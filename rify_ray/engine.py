@@ -1,0 +1,544 @@
+"""Distributed semi-naive forward-chaining fixpoint over Ray Data.
+
+Public API mirrors the reference's three entry points:
+
+- :func:`infer`  — ``/root/reference/src/infer.rs:9-26``
+- :func:`prove`  — ``/root/reference/src/prove.rs:58-88``
+- :func:`validate` — ``/root/reference/src/validate.rs:61-82``
+
+Architecture (SURVEY.md §3.4):
+
+* Facts are quads of **strings** ``(s, p, o, g)``; non-string terms are
+  transparently JSON-encoded/decoded at the boundary (the reference is
+  generic over ``Bound: Ord`` — tests use ``&str``, ``u32`` and RDF-term
+  enums, ``src/infer.rs:9``).
+* Rules are compiled on the driver into per-delta-position join-chain
+  plans (:mod:`rify_ray.plan`); rules/plans/proofs stay on the driver —
+  only fact state is distributed (SURVEY.md §7.4 item 9).
+* Each fixpoint round is semi-naive: for every rule and every body
+  position, a join chain seeded with the delta set, then first-wins
+  dedup and an anti-join against the full store (``apply_related``,
+  ``src/reasoner.rs:131-155``; ``low_infer``, ``src/infer.rs:29-101``).
+* Two physical evaluators, chosen per-iteration by store size:
+  - **broadcast** (:mod:`rify_ray.eval_broadcast`) — vectorized polars
+    hash joins on an in-memory table; the small-side path.
+  - **shuffle** (:mod:`rify_ray.eval_shuffle`) — real
+    ``ray.data.Dataset.join`` hash-shuffle exchanges; the 100 TB path.
+* Optional per-iteration Parquet checkpointing with a manifest, making
+  a long fixpoint resumable (BASELINE.json ``north_rule``).
+
+Determinism: output facts are a set; we expose them with an
+``iteration`` column (round of first derivation) and sort within a round
+by quad, so output files are reproducible.  Proof *content* may differ
+from the reference's sequential proofs, but every proof is validated by
+the order-sensitive :func:`validate` replay (SURVEY.md §7.4 item 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import polars as pl
+import pyarrow as pa
+
+from . import local as _local
+from .eval_broadcast import FACT_COLS, LKEY_SEP, run_iteration
+from .model import (
+    ExhaustedSearchSpace,
+    Fact,
+    NovelName,
+    Rule,
+    RuleApplication,
+    Valid,
+)
+from .plan import RulePlan, compile_rules
+
+# rows in the full store above which an iteration switches from the
+# broadcast evaluator to Dataset.join shuffles
+DEFAULT_BROADCAST_THRESHOLD = 2_000_000
+
+_JSON_PREFIX = "\x00j:"
+
+
+# ---------------------------------------------------------------------------
+# term encoding: the engine is string-typed; arbitrary Ord terms in/out
+# ---------------------------------------------------------------------------
+
+
+def encode_term(t: Any) -> str:
+    if isinstance(t, str) and not t.startswith(_JSON_PREFIX):
+        return t
+    return _JSON_PREFIX + json.dumps(t, sort_keys=True, separators=(",", ":"))
+
+
+def decode_term(s: str) -> Any:
+    if s.startswith(_JSON_PREFIX):
+        return json.loads(s[len(_JSON_PREFIX):])
+    return s
+
+
+def decode_lkey(lkey: str) -> Tuple[int, Tuple[str, ...]]:
+    """Inverse of the lineage-key encoding (see eval_broadcast docstring)."""
+    parts = lkey.split(LKEY_SEP)
+    rule_index = int(parts[0])
+    return rule_index, tuple(parts[1:])
+
+
+def _encode_rule(rule: Rule) -> Rule:
+    from .model import B, U
+
+    def enc(atom):
+        return [U(e.value) if e.is_unbound() else B(encode_term(e.value)) for e in atom]
+
+    return Rule(tuple(tuple(enc(a)) for a in rule.if_all), tuple(tuple(enc(a)) for a in rule.then))
+
+
+# ---------------------------------------------------------------------------
+# input normalization
+# ---------------------------------------------------------------------------
+
+QuadsLike = Union[Sequence[Fact], pa.Table, pl.DataFrame, "ray.data.Dataset"]  # noqa: F821
+
+
+def _to_polars(premises: QuadsLike) -> Tuple[pl.DataFrame, bool]:
+    """Normalize premises to a polars frame of string quads.
+
+    Returns (frame, decoded) where decoded=True means terms went through
+    JSON encoding (list-of-tuples input with non-string terms).
+    """
+    if isinstance(premises, pl.DataFrame):
+        return premises.select(FACT_COLS), False
+    if isinstance(premises, pa.Table):
+        return pl.from_arrow(premises).select(FACT_COLS), False
+    try:
+        import ray.data
+
+        if isinstance(premises, ray.data.Dataset):
+            batches = list(
+                premises.select_columns(FACT_COLS).iter_batches(
+                    batch_size=None, batch_format="pyarrow"
+                )
+            )
+            if not batches:
+                return pl.DataFrame(schema={c: pl.Utf8 for c in FACT_COLS}), False
+            return pl.from_arrow(pa.concat_tables(batches)).select(FACT_COLS), False
+    except ImportError:  # pragma: no cover
+        pass
+    # sequence of 4-tuples of arbitrary Ord terms
+    rows = list(premises)
+    needs_encode = any(not isinstance(t, str) for f in rows for t in f)
+    if needs_encode:
+        rows = [tuple(encode_term(t) for t in f) for f in rows]
+    cols = {c: [f[j] for f in rows] for j, c in enumerate(FACT_COLS)}
+    return pl.DataFrame(cols, schema={c: pl.Utf8 for c in FACT_COLS}), needs_encode
+
+
+# ---------------------------------------------------------------------------
+# fixpoint driver
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FixpointResult:
+    """Everything a caller (or a resumed run) needs about one fixpoint."""
+
+    premises: pl.DataFrame
+    full: pl.DataFrame                      # premises ∪ all derivations
+    deltas: List[pl.DataFrame] = field(default_factory=list)  # per round
+    lineage: List[pl.DataFrame] = field(default_factory=list)  # per round, (quad, lkey)
+    metrics: List[Dict[str, Any]] = field(default_factory=list)
+    goals_reached: bool = True
+
+    @property
+    def iterations(self) -> int:
+        return len(self.deltas)
+
+    def derived(self) -> pl.DataFrame:
+        """All newly derived facts (premises excluded) with an
+        ``iteration`` column; deterministic order (iteration, s, p, o, g).
+
+        Mirrors ``infer``'s output contract: duplicate-free, premises
+        excluded (``src/infer.rs:79-98``); first-derivation *round* is
+        exposed instead of the reference's incidental insertion order.
+        """
+        frames = []
+        for it, d in enumerate(self.deltas):
+            if d.height:
+                frames.append(
+                    d.select(FACT_COLS).with_columns(pl.lit(it, dtype=pl.Int32).alias("iteration"))
+                )
+        if not frames:
+            return pl.DataFrame(
+                schema={**{c: pl.Utf8 for c in FACT_COLS}, "iteration": pl.Int32}
+            )
+        out = pl.concat(frames)
+        out = out.join(self.premises, on=FACT_COLS, how="anti")
+        return out.sort(["iteration", *FACT_COLS])
+
+    def arguments(self) -> Dict[Tuple[str, str, str, str], Tuple[int, Tuple[str, ...]]]:
+        """First-derivation-wins lineage map quad -> (rule_index, inst)
+        (reference ``arguments``, ``src/prove.rs:142-147``)."""
+        args: Dict[Tuple[str, str, str, str], Tuple[int, Tuple[str, ...]]] = {}
+        for frame in self.lineage:
+            if not frame.height:
+                continue
+            for s, p, o, g, lkey in frame.select([*FACT_COLS, "lkey"]).iter_rows():
+                q = (s, p, o, g)
+                if q not in args:
+                    args[q] = decode_lkey(lkey)
+        return args
+
+
+def _fire_unconditional(
+    plans: Sequence[RulePlan], with_lineage: bool
+) -> pl.DataFrame:
+    """Rules with empty bodies fire exactly once up front
+    (``src/infer.rs:36-50``); their heads are fully constant by the
+    range-restriction invariant."""
+    rows: List[Tuple[str, ...]] = []
+    for plan in plans:
+        if plan.body:
+            continue
+        for atom in plan.head:
+            quad = tuple(v for _, v in atom.slots)  # all const
+            if with_lineage:
+                rows.append((*quad, f"{plan.index:06d}"))
+            else:
+                rows.append(quad)
+    cols = [*FACT_COLS, "lkey"] if with_lineage else FACT_COLS
+    if not rows:
+        return pl.DataFrame(schema={c: pl.Utf8 for c in cols})
+    return pl.DataFrame(
+        {c: [r[j] for r in rows] for j, c in enumerate(cols)},
+        schema={c: pl.Utf8 for c in cols},
+    )
+
+
+class Fixpoint:
+    """Driver for the distributed fixpoint; holds compiled plans and
+    execution knobs, runs rounds until no new facts (or goals reached).
+    """
+
+    def __init__(
+        self,
+        rules: Sequence[Rule],
+        *,
+        mode: str = "auto",  # auto | broadcast | shuffle
+        broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
+        num_partitions: int = 32,
+        checkpoint_dir: Optional[str] = None,
+        max_iterations: int = 10_000,
+    ):
+        self.rules = list(rules)
+        self.plans = compile_rules(self.rules)
+        self.mode = mode
+        self.broadcast_threshold = broadcast_threshold
+        self.num_partitions = num_partitions
+        self.checkpoint_dir = checkpoint_dir
+        self.max_iterations = max_iterations
+
+    # -- evaluator selection ------------------------------------------------
+
+    def _run_round(
+        self, delta: pl.DataFrame, full: pl.DataFrame, with_lineage: bool
+    ) -> Tuple[pl.DataFrame, str]:
+        use_shuffle = self.mode == "shuffle" or (
+            self.mode == "auto" and full.height > self.broadcast_threshold
+        )
+        if use_shuffle:
+            from .eval_shuffle import run_iteration_ds
+
+            new = run_iteration_ds(
+                delta, full, self.plans, with_lineage, self.num_partitions
+            )
+            return new, "shuffle"
+        return run_iteration(delta, full, self.plans, with_lineage), "broadcast"
+
+    # -- checkpointing ------------------------------------------------------
+
+    def _checkpoint(self, it: int, delta: pl.DataFrame, lineage: Optional[pl.DataFrame], metrics: Dict) -> None:
+        if not self.checkpoint_dir:
+            return
+        d = os.path.join(self.checkpoint_dir, f"iter={it:05d}")
+        os.makedirs(d, exist_ok=True)
+        delta.write_parquet(os.path.join(d, "delta.parquet"))
+        if lineage is not None:
+            lineage.write_parquet(os.path.join(d, "lineage.parquet"))
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump(metrics, f)
+        with open(os.path.join(d, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def load_checkpoint(self) -> Optional[Tuple[int, List[pl.DataFrame], List[pl.DataFrame]]]:
+        """Read back every complete iteration (has ``_SUCCESS``); returns
+        (last_iter, deltas, lineages) or None when nothing checkpointed."""
+        if not self.checkpoint_dir or not os.path.isdir(self.checkpoint_dir):
+            return None
+        deltas, lineages = [], []
+        it = 0
+        while True:
+            d = os.path.join(self.checkpoint_dir, f"iter={it:05d}")
+            if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                break
+            deltas.append(pl.read_parquet(os.path.join(d, "delta.parquet")))
+            lp = os.path.join(d, "lineage.parquet")
+            lineages.append(pl.read_parquet(lp) if os.path.exists(lp) else pl.DataFrame())
+            it += 1
+        if not deltas:
+            return None
+        return it - 1, deltas, lineages
+
+    # -- the loop -----------------------------------------------------------
+
+    def run(
+        self,
+        premises: pl.DataFrame,
+        *,
+        with_lineage: bool = False,
+        goals: Optional[pl.DataFrame] = None,
+        resume: bool = False,
+    ) -> FixpointResult:
+        premises = premises.unique(subset=FACT_COLS)
+        res = FixpointResult(premises=premises, full=premises)
+
+        start_iter = 0
+        if resume:
+            ck = self.load_checkpoint()
+            if ck is not None:
+                last_it, deltas, lineages = ck
+                full = premises
+                for d in deltas:
+                    res.deltas.append(d.select(FACT_COLS))
+                    full = pl.concat([full, d.select(FACT_COLS)]).unique(subset=FACT_COLS)
+                res.lineage = [
+                    lf if lf.height else pl.DataFrame(schema={c: pl.Utf8 for c in [*FACT_COLS, "lkey"]})
+                    for lf in lineages
+                ]
+                res.full = full
+                start_iter = last_it + 1
+
+        if start_iter == 0:
+            # iteration 0: unconditional heads + premises form the first delta
+            uncond = _fire_unconditional(self.plans, with_lineage)
+            uncond_new = uncond.join(premises, on=FACT_COLS, how="anti")
+            delta0 = pl.concat([premises, uncond_new.select(FACT_COLS)])
+            res.full = pl.concat([premises, uncond_new.select(FACT_COLS)])
+            res.deltas.append(uncond_new.select(FACT_COLS))  # derived part only
+            if with_lineage:
+                res.lineage.append(
+                    uncond_new.select([*FACT_COLS, "lkey"])
+                    if uncond_new.height
+                    else pl.DataFrame(schema={c: pl.Utf8 for c in [*FACT_COLS, "lkey"]})
+                )
+            t0 = time.monotonic()
+            m = {
+                "iteration": 0,
+                "new_facts": int(uncond_new.height),
+                "full_size": int(res.full.height),
+                "evaluator": "driver",
+                "sec": 0.0,
+            }
+            res.metrics.append(m)
+            self._checkpoint(0, uncond_new, res.lineage[-1] if with_lineage else None, m)
+            delta = delta0  # premises + uncond heads seed round 1
+            start_iter = 1
+        else:
+            delta = res.deltas[-1]
+
+        for it in range(start_iter, self.max_iterations):
+            if goals is not None and self._goals_met(goals, res.full):
+                return res
+            if delta.height == 0:
+                break
+            t0 = time.monotonic()
+            new, evaluator = self._run_round(delta, res.full, with_lineage)
+            elapsed = time.monotonic() - t0
+            new_facts = new.select(FACT_COLS)
+            res.deltas.append(new_facts)
+            if with_lineage:
+                res.lineage.append(new.select([*FACT_COLS, "lkey"]) if new.height else new)
+            res.full = pl.concat([res.full, new_facts])
+            m = {
+                "iteration": it,
+                "new_facts": int(new.height),
+                "full_size": int(res.full.height),
+                "evaluator": evaluator,
+                "sec": round(elapsed, 4),
+            }
+            res.metrics.append(m)
+            self._checkpoint(it, new_facts, new if with_lineage else None, m)
+            delta = new_facts
+            if new.height == 0:
+                break
+
+        if goals is not None:
+            res.goals_reached = self._goals_met(goals, res.full)
+        return res
+
+    @staticmethod
+    def _goals_met(goals: pl.DataFrame, full: pl.DataFrame) -> bool:
+        return goals.join(full, on=FACT_COLS, how="anti").height == 0
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def infer(
+    premises: QuadsLike,
+    rules: Sequence[Rule],
+    *,
+    mode: str = "auto",
+    broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
+    num_partitions: int = 32,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    as_dataset: bool = False,
+):
+    """Forward-chaining fixpoint; returns only the newly derived facts,
+    duplicate-free, premises excluded (``src/infer.rs:9-26``).
+
+    Input may be a list of 4-tuples (returns a list of 4-tuples, like the
+    reference), or a polars/arrow/ray Dataset of quads (returns a polars
+    frame, or a ``ray.data.Dataset`` when ``as_dataset=True``).
+    """
+    df, encoded = _to_polars(premises)
+    eng_rules = [_encode_rule(r) for r in rules] if encoded else list(rules)
+    fp = Fixpoint(
+        eng_rules,
+        mode=mode,
+        broadcast_threshold=broadcast_threshold,
+        num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
+    )
+    res = fp.run(df, resume=resume)
+    out = res.derived()
+    if isinstance(premises, (list, tuple)):
+        rows = [tuple(r) for r in out.select(FACT_COLS).iter_rows()]
+        if encoded:
+            rows = [tuple(decode_term(t) for t in f) for f in rows]
+        return rows
+    if as_dataset:
+        import ray.data
+
+        return ray.data.from_arrow(out.to_arrow())
+    return out
+
+
+def prove(
+    premises: QuadsLike,
+    to_prove: Sequence[Fact],
+    rules: Sequence[Rule],
+    *,
+    mode: str = "auto",
+    broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
+    num_partitions: int = 32,
+) -> List[RuleApplication]:
+    """Distributed proof search (``src/prove.rs:58-165``): fixpoint with
+    first-wins lineage and early exit once all goals are derived, then a
+    driver-side lineage walk (``recall_proof``, ``src/prove.rs:171-210``).
+
+    Raises :class:`NovelName` / :class:`ExhaustedSearchSpace` like the
+    reference.  Proofs are returned in user terms and always re-checkable
+    via :func:`validate`.
+    """
+    df, encoded = _to_polars(premises)
+    eng_rules = [_encode_rule(r) for r in rules] if encoded else list(rules)
+
+    enc = encode_term if encoded else (lambda t: t)
+    goals = [tuple(enc(t) for t in f) for f in to_prove]
+
+    # NovelName pre-check: every goal term must occur in premises ∪ rule
+    # constants (src/prove.rs:68-72)
+    universe = set()
+    for c in FACT_COLS:
+        universe.update(df[c].to_list())
+    for plan in compile_rules(eng_rules):
+        universe.update(plan.bound_constants())
+    for f, orig in zip(goals, to_prove):
+        for t in f:
+            if t not in universe:
+                raise NovelName(f"goal {orig!r} uses a term absent from premises and rules")
+
+    goals_df = pl.DataFrame(
+        {c: [f[j] for f in goals] for j, c in enumerate(FACT_COLS)},
+        schema={c: pl.Utf8 for c in FACT_COLS},
+    )
+    fp = Fixpoint(
+        eng_rules,
+        mode=mode,
+        broadcast_threshold=broadcast_threshold,
+        num_partitions=num_partitions,
+    )
+    res = fp.run(df, with_lineage=True, goals=goals_df)
+    if not res.goals_reached:
+        raise ExhaustedSearchSpace("goal not derivable from premises under rules")
+
+    arguments = res.arguments()
+    # premises never carry lineage (they are assumed, src/prove.rs:171-210)
+    premise_set = set(map(tuple, df.select(FACT_COLS).iter_rows()))
+    for q in premise_set:
+        arguments.pop(q, None)
+
+    out: List[RuleApplication] = []
+    for goal in goals:
+        _recall_proof(tuple(goal), arguments, eng_rules, out)
+    if encoded:
+        out = [
+            RuleApplication(a.rule_index, tuple(decode_term(t) for t in a.instantiations))
+            for a in out
+        ]
+    return out
+
+
+def _recall_proof(
+    goal: Tuple[str, str, str, str],
+    arguments: Dict[Tuple[str, str, str, str], Tuple[int, Tuple[str, ...]]],
+    rules: Sequence[Rule],
+    out: List[RuleApplication],
+) -> None:
+    """Post-order lineage walk; each argument consumed at most once
+    (``src/prove.rs:171-210``)."""
+    app = arguments.pop(goal, None)
+    if app is None:
+        return  # premise — assumed
+    rule_index, inst = app
+    rule = rules[rule_index]
+    binding = dict(zip(rule.canonical_unbound(), inst))
+    for atom in rule.if_all:
+        sub = tuple(binding[e.value] if e.is_unbound() else e.value for e in atom)
+        _recall_proof(sub, arguments, rules, out)
+    out.append(RuleApplication(rule_index, tuple(inst)))
+
+
+def validate(rules: Sequence[Rule], proof: Sequence[RuleApplication]) -> Valid:
+    """Order-sensitive sequential proof replay — identical semantics to
+    the reference (``src/validate.rs:61-82``); proofs are tiny, so this
+    runs on the driver (SURVEY.md §2.1 #17)."""
+    return _local.validate(rules, proof)
+
+
+def validate_many(
+    rules: Sequence[Rule], proofs: Sequence[Sequence[RuleApplication]]
+) -> List[Valid]:
+    """Validate many independent proofs in parallel (one Ray task per
+    chunk of proofs); each proof itself stays a sequential fold."""
+    import ray
+
+    rules = list(rules)
+
+    @ray.remote
+    def _chunk(ps: List[List[RuleApplication]]) -> List[Valid]:
+        return [_local.validate(rules, p) for p in ps]
+
+    if len(proofs) < 8:
+        return [_local.validate(rules, p) for p in proofs]
+    n = max(1, len(proofs) // 32)
+    chunks = [list(proofs[i : i + n]) for i in range(0, len(proofs), n)]
+    parts = ray.get([_chunk.remote(c) for c in chunks])
+    return [v for part in parts for v in part]

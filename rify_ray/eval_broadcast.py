@@ -1,0 +1,167 @@
+"""Broadcast (small-side) evaluator for one fixpoint iteration.
+
+When the fact store fits comfortably in a single worker's memory, the
+cheapest-possible physical plan for a rule-body join chain is a
+vectorized hash join against an in-memory Arrow/polars table — the same
+small-side-broadcast optimization Spark/DataFusion apply automatically.
+The fixpoint driver (:mod:`rify_ray.engine`) picks this evaluator when
+``full.count() <= broadcast_threshold`` and the shuffle evaluator
+(:mod:`rify_ray.eval_shuffle`, real ``Dataset.join`` exchanges) above it.
+
+Semantics mirrored from the reference:
+
+- seeded semi-naive chains per delta position (``apply_related``,
+  ``/root/reference/src/reasoner.rs:131-155``);
+- intra-atom repeated variables constrain equality (``can_match``,
+  ``src/reasoner.rs:266-274``);
+- head projection substitutes bindings into ``then`` atoms
+  (``local_to_global``, ``src/reasoner.rs:24-34``);
+- derivations are deduped first-wins with a deterministic tie-break
+  (rule_index, instantiations) — the distributed stand-in for the
+  reference's sequential first-derivation order
+  (``src/prove.rs:142-147``; see SURVEY.md §7.4 item 2).
+
+All operations are columnar polars expressions; no Python-level row
+loops anywhere.
+
+Lineage encoding: each derivation carries a single sortable string
+``lkey = f"{rule_index:06d}" + SEP + SEP.join(instantiations)`` (SEP =
+``\\x1f``, the ASCII unit separator).  ``min(lkey)`` per quad is then a
+deterministic first-wins pick that works identically in polars
+``group_by`` and Ray Data ``groupby(...).min()`` — see
+:func:`rify_ray.engine.decode_lkey`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import polars as pl
+
+from .plan import SLOTS, AtomPlan, ChainPlan, RulePlan, vcol
+
+FACT_COLS = list(SLOTS)
+LKEY_SEP = "\x1f"
+LINEAGE_COLS = ["s", "p", "o", "g", "lkey"]
+
+
+def _empty_bindings(var_indices: Sequence[int]) -> pl.DataFrame:
+    return pl.DataFrame(schema={vcol(i): pl.Utf8 for i in var_indices})
+
+
+def match_atom(facts: pl.DataFrame, atom: AtomPlan) -> pl.DataFrame:
+    """Filtered projection of the fact table for one body atom: apply
+    constant-equality filters and intra-atom variable-equality filters,
+    then project distinct variable columns (named ``_v{i}``)."""
+    preds = [pl.col(c) == pl.lit(v) for c, v in atom.const_filters]
+    seen: dict = {}
+    for col, vi in atom.var_slots:
+        if vi in seen:
+            preds.append(pl.col(col) == pl.col(seen[vi]))
+        else:
+            seen[vi] = col
+    df = facts.lazy()
+    if preds:
+        df = df.filter(pl.all_horizontal(preds) if len(preds) > 1 else preds[0])
+    proj = [pl.col(seen[vi]).alias(vcol(vi)) for vi in atom.var_indices]
+    if not proj:
+        # all-constant atom: emit one row iff a matching fact exists
+        n = df.select(pl.len()).collect().item()
+        return pl.DataFrame({"__present": [True] if n else []})
+    return df.select(proj).unique().collect()
+
+
+def eval_chain(
+    delta: pl.DataFrame,
+    full: pl.DataFrame,
+    plan: RulePlan,
+    chain: ChainPlan,
+) -> Optional[pl.DataFrame]:
+    """Evaluate one delta-seeded join chain; returns the binding set (one
+    ``_v{i}`` column per canonical variable of the rule) or None when
+    empty."""
+    body = plan.body
+    bindings: Optional[pl.DataFrame] = None
+    for step, atom_i in enumerate(chain.order):
+        side = delta if step == 0 else full
+        m = match_atom(side, body[atom_i])
+        if m.height == 0:
+            return None
+        if "__present" in m.columns:
+            continue  # all-constant atom satisfied; bindings unchanged
+        if bindings is None:
+            bindings = m
+            continue
+        shared = [c for c in m.columns if c in bindings.columns]
+        if shared:
+            bindings = bindings.join(m, on=shared, how="inner")
+        else:
+            bindings = bindings.join(m, how="cross")
+        if bindings.height == 0:
+            return None
+    if bindings is None:
+        # body entirely constant atoms, all satisfied: single empty binding
+        bindings = pl.DataFrame({"__one": [1]})
+    return bindings
+
+
+def project_heads(
+    plan: RulePlan, bindings: pl.DataFrame, with_lineage: bool
+) -> pl.DataFrame:
+    """Substitute bindings into every ``then`` atom; emits quad columns
+    plus (optionally) lineage columns rule_index / inst."""
+    frames: List[pl.DataFrame] = []
+    inst_expr = None
+    if with_lineage:
+        parts: List[pl.Expr] = [pl.lit(f"{plan.index:06d}")]
+        for i in range(plan.n_vars):
+            parts.append(pl.lit(LKEY_SEP))
+            parts.append(pl.col(vcol(i)))
+        inst_expr = pl.concat_str(parts).alias("lkey")
+    for atom in plan.head:
+        exprs = []
+        for j, (kind, v) in enumerate(atom.slots):
+            if kind == "const":
+                exprs.append(pl.lit(v, dtype=pl.Utf8).alias(SLOTS[j]))
+            else:
+                exprs.append(pl.col(vcol(v)).cast(pl.Utf8).alias(SLOTS[j]))
+        if with_lineage:
+            exprs.append(inst_expr)
+        frames.append(bindings.select(exprs))
+    return pl.concat(frames) if len(frames) > 1 else frames[0]
+
+
+def run_iteration(
+    delta: pl.DataFrame,
+    full: pl.DataFrame,
+    plans: Sequence[RulePlan],
+    with_lineage: bool = False,
+) -> pl.DataFrame:
+    """One semi-naive round: for every rule and every delta position, run
+    the join chain, project heads, dedup first-wins, and anti-join
+    against ``full``.  ``full`` must already include ``delta``.
+
+    Returns the new-fact frame (columns s,p,o,g [,rule_index,inst]).
+    """
+    out_cols = LINEAGE_COLS if with_lineage else FACT_COLS
+    derived: List[pl.DataFrame] = []
+    for plan in plans:
+        if not plan.body:
+            continue  # unconditional rules are fired once by the driver
+        for chain in plan.chains:
+            b = eval_chain(delta, full, plan, chain)
+            if b is None or b.height == 0:
+                continue
+            derived.append(project_heads(plan, b, with_lineage))
+    if not derived:
+        return pl.DataFrame(schema={c: pl.Utf8 for c in out_cols})
+    new = pl.concat(derived)
+    if with_lineage:
+        # deterministic first-wins per quad: min lkey = (rule_index, inst)
+        new = new.group_by(FACT_COLS).agg(pl.col("lkey").min())
+    else:
+        new = new.unique(subset=FACT_COLS)
+    # anti-join: keep only globally-new facts (Reasoner::insert dedup,
+    # src/reasoner.rs:103-127)
+    new = new.join(full, on=FACT_COLS, how="anti")
+    return new.select(out_cols)

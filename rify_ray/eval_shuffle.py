@@ -1,0 +1,257 @@
+"""Shuffle evaluator: one fixpoint iteration as Ray Data hash-join
+exchanges.
+
+This is the scale path of the engine (SURVEY.md §2.1 #6-#8): every
+rule-body atom becomes a filtered/projected ``map_batches`` over the
+fact Dataset (zero-copy Arrow), and every chain step is a
+``Dataset.join`` hash shuffle keyed on the variables shared with the
+already-joined prefix — the distributed analogue of the reference's
+16-way permutation-index dispatch (``/root/reference/src/reasoner.rs:202-227``).
+Dedup is a ``groupby(s,p,o,g)`` aggregate; insert-if-absent is a
+``left_anti`` join against the full store
+(``Reasoner::insert``, ``src/reasoner.rs:103-127``).
+
+The driver (:mod:`rify_ray.engine`) hands this evaluator the per-round
+delta and full sets; blocks never round-trip through Python rows — all
+per-batch work is pyarrow.compute kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .eval_broadcast import FACT_COLS, LKEY_SEP
+from .plan import SLOTS, AtomPlan, ChainPlan, RulePlan, vcol
+
+
+def _ensure_schema_fn(cols: Sequence[str]) -> Callable[[pa.Table], pa.Table]:
+    """Ray's hash aggregators emit zero-row blocks with an EMPTY schema
+    for empty partitions; a downstream join then crashes with "No match
+    for FieldRef".  Rebuild such blocks with the expected string schema
+    and put columns in canonical order."""
+    schema = pa.schema([(c, pa.string()) for c in cols])
+    cols = list(cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return schema.empty_table()
+        return batch.select(cols)
+
+    return fn
+
+
+def _drop_empty_blocks(ds):
+    """Ray's hash-shuffle aggregators (groupby) emit zero-row blocks with
+    an EMPTY schema for empty partitions, and map tasks are elided on
+    empty blocks — so such blocks survive any map fix-up and later poison
+    a join's schema broadcast ("No match for FieldRef").  Rebuild the
+    dataset from the non-empty block refs (no data movement: refs stay in
+    the object store).  Returns None when every block is empty."""
+    import ray.data
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)
+
+
+def _to_arrow_string(df: pl.DataFrame) -> pa.Table:
+    """polars emits ``large_string``; the engine's Arrow kernels and join
+    keys use ``string`` — cast once at the boundary."""
+    tbl = df.to_arrow()
+    return tbl.cast(pa.schema([(f.name, pa.string()) for f in tbl.schema]))
+
+
+def _match_batch_fn(atom: AtomPlan) -> Callable[[pa.Table], pa.Table]:
+    """Vectorized filter+project for one body atom (constant equality +
+    intra-atom variable equality — ``can_match``, src/reasoner.rs:266-274)."""
+    const_filters = atom.const_filters
+    var_slots = atom.var_slots
+    var_indices = atom.var_indices
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = None
+        for col, val in const_filters:
+            m = pc.equal(batch[col], pa.scalar(val, pa.string()))
+            mask = m if mask is None else pc.and_(mask, m)
+        first_col = {}
+        for col, vi in var_slots:
+            if vi in first_col:
+                m = pc.equal(batch[col], batch[first_col[vi]])
+                mask = m if mask is None else pc.and_(mask, m)
+            else:
+                first_col[vi] = col
+        if mask is not None:
+            batch = batch.filter(mask)
+        arrays = [batch[first_col[vi]] for vi in var_indices]
+        names = [vcol(vi) for vi in var_indices]
+        return pa.table(arrays, names=names)
+
+    return fn
+
+
+def _head_batch_fn(plan: RulePlan, with_lineage: bool) -> Callable[[pa.Table], pa.Table]:
+    head = plan.head
+    n_vars = plan.n_vars
+    rule_prefix = f"{plan.index:06d}"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        tables = []
+        lkey = None
+        if with_lineage:
+            parts: List = [pa.array([rule_prefix] * n, pa.string())]
+            for i in range(n_vars):
+                parts.append(batch[vcol(i)])
+            if len(parts) > 1:
+                lkey = pc.binary_join_element_wise(*parts, LKEY_SEP)
+            else:
+                lkey = parts[0]
+        for atom in head:
+            arrays, names = [], []
+            for j, (kind, v) in enumerate(atom.slots):
+                if kind == "const":
+                    arrays.append(pa.array([v] * n, pa.string()))
+                else:
+                    arrays.append(
+                        batch[vcol(v)].combine_chunks()
+                        if isinstance(batch[vcol(v)], pa.ChunkedArray)
+                        else batch[vcol(v)]
+                    )
+                names.append(SLOTS[j])
+            if with_lineage:
+                arrays.append(lkey)
+                names.append("lkey")
+            tables.append(pa.table(arrays, names=names))
+        return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+
+    return fn
+
+
+def run_iteration_ds(
+    delta: pl.DataFrame,
+    full: pl.DataFrame,
+    plans: Sequence[RulePlan],
+    with_lineage: bool = False,
+    num_partitions: int = 32,
+) -> pl.DataFrame:
+    """One semi-naive round executed as Ray Data shuffles.
+
+    The driver currently materializes the per-round result back to the
+    driver (rounds are checkpointed to Parquet anyway); the joins,
+    groupby-dedup and anti-join — the O(data) exchanges — all run
+    distributed.
+    """
+    import ray.data
+
+    delta_ds = ray.data.from_arrow(_to_arrow_string(delta.select(FACT_COLS))).materialize()
+    full_ds = ray.data.from_arrow(_to_arrow_string(full.select(FACT_COLS))).materialize()
+
+    chain_outputs = []
+    for plan in plans:
+        if not plan.body:
+            continue
+        for chain in plan.chains:
+            out = _eval_chain_ds(delta_ds, full_ds, plan, chain, with_lineage, num_partitions)
+            if out is not None:
+                chain_outputs.append(out)
+    cols = [*FACT_COLS, "lkey"] if with_lineage else FACT_COLS
+    if not chain_outputs:
+        return pl.DataFrame(schema={c: pl.Utf8 for c in cols})
+
+    new = chain_outputs[0]
+    if len(chain_outputs) > 1:
+        new = new.union(*chain_outputs[1:])
+
+    # dedup (first-wins on lkey) — hash-partition groupby on the quad
+    if with_lineage:
+        new = new.groupby(FACT_COLS).min("lkey")
+        new = new.rename_columns({"min(lkey)": "lkey"})
+    else:
+        new = new.groupby(FACT_COLS).count().drop_columns(["count()"])
+    new = _drop_empty_blocks(new.materialize())
+    if new is None:
+        return pl.DataFrame(schema={c: pl.Utf8 for c in cols})
+    new = new.map_batches(
+        _ensure_schema_fn(cols), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # insert-if-absent: anti-join against the full store
+    new = new.join(full_ds, "left_anti", num_partitions, on=tuple(FACT_COLS))
+
+    batches = list(new.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pl.DataFrame(schema={c: pl.Utf8 for c in cols})
+    out_df = pl.from_arrow(pa.concat_tables(batches))
+    if out_df.height == 0:
+        return pl.DataFrame(schema={c: pl.Utf8 for c in cols})
+    return out_df.select(cols)
+
+
+def _eval_chain_ds(
+    delta_ds,
+    full_ds,
+    plan: RulePlan,
+    chain: ChainPlan,
+    with_lineage: bool,
+    num_partitions: int,
+):
+    """Left-deep join chain for one delta position; returns a Dataset of
+    head quads (with lkey when tracing lineage) or None if statically
+    empty."""
+    body = plan.body
+    bindings = None
+    bound_cols: List[str] = []
+    for step, atom_i in enumerate(chain.order):
+        atom = body[atom_i]
+        side = delta_ds if step == 0 else full_ds
+        # materialize + count: (a) pins the schema so the hash-shuffle
+        # aggregator can build empty partitions (Ray drops schema-less
+        # empty lazy outputs), (b) prunes dead chains early — the
+        # distributed analogue of pop_strictest_requirement's
+        # fewest-matches-first pruning (src/reasoner.rs:235-243)
+        m = side.map_batches(
+            _match_batch_fn(atom), batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        if m.count() == 0:
+            return None
+        if not atom.var_indices:
+            continue  # all-constant existence check passed
+        m_cols = [vcol(i) for i in atom.var_indices]
+        if bindings is None:
+            bindings, bound_cols = m, m_cols
+            continue
+        shared = [c for c in m_cols if c in bound_cols]
+        if shared:
+            bindings = bindings.join(
+                m, "inner", num_partitions=num_partitions, on=tuple(shared)
+            ).materialize()
+        else:
+            # cross join: constant key on both sides (degenerate; only for
+            # rules whose atoms share no variables)
+            add_key = lambda b: b.append_column("__ck", pa.array([0] * b.num_rows, pa.int32()))
+            bindings = bindings.map_batches(add_key, batch_format="pyarrow").join(
+                m.map_batches(add_key, batch_format="pyarrow").materialize(),
+                "inner",
+                num_partitions=num_partitions,
+                on=("__ck",),
+            ).drop_columns(["__ck"]).materialize()
+        if bindings.count() == 0:
+            return None
+        bound_cols = bound_cols + [c for c in m_cols if c not in bound_cols]
+    if bindings is None:
+        # body entirely constant atoms, all satisfied — single empty binding
+        import ray.data
+
+        bindings = ray.data.from_arrow(pa.table({"__one": pa.array([1])}))
+    return bindings.map_batches(
+        _head_batch_fn(plan, with_lineage), batch_format="pyarrow", zero_copy_batch=True
+    )
