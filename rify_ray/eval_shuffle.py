@@ -26,48 +26,14 @@ import pyarrow.compute as pc
 
 from .eval_broadcast import FACT_COLS, LKEY_SEP
 from .plan import SLOTS, AtomPlan, ChainPlan, RulePlan, vcol
+from .util import drop_empty_blocks as _drop_empty_blocks
+from .util import ensure_schema_fn as _ensure_schema
+from .util import polars_to_arrow_string as _to_arrow_string
+from .util import string_schema
 
 
 def _ensure_schema_fn(cols: Sequence[str]) -> Callable[[pa.Table], pa.Table]:
-    """Ray's hash aggregators emit zero-row blocks with an EMPTY schema
-    for empty partitions; a downstream join then crashes with "No match
-    for FieldRef".  Rebuild such blocks with the expected string schema
-    and put columns in canonical order."""
-    schema = pa.schema([(c, pa.string()) for c in cols])
-    cols = list(cols)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or batch.num_rows == 0:
-            return schema.empty_table()
-        return batch.select(cols)
-
-    return fn
-
-
-def _drop_empty_blocks(ds):
-    """Ray's hash-shuffle aggregators (groupby) emit zero-row blocks with
-    an EMPTY schema for empty partitions, and map tasks are elided on
-    empty blocks — so such blocks survive any map fix-up and later poison
-    a join's schema broadcast ("No match for FieldRef").  Rebuild the
-    dataset from the non-empty block refs (no data movement: refs stay in
-    the object store).  Returns None when every block is empty."""
-    import ray.data
-
-    refs = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            if meta.num_rows is None or meta.num_rows > 0:
-                refs.append(ref)
-    if not refs:
-        return None
-    return ray.data.from_arrow_refs(refs)
-
-
-def _to_arrow_string(df: pl.DataFrame) -> pa.Table:
-    """polars emits ``large_string``; the engine's Arrow kernels and join
-    keys use ``string`` — cast once at the boundary."""
-    tbl = df.to_arrow()
-    return tbl.cast(pa.schema([(f.name, pa.string()) for f in tbl.schema]))
+    return _ensure_schema(string_schema(cols))
 
 
 def _match_batch_fn(atom: AtomPlan) -> Callable[[pa.Table], pa.Table]:

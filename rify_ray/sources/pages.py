@@ -1,0 +1,178 @@
+"""Deterministic synthetic Common-Crawl-style web pages.
+
+Schema is exactly BASELINE.json ``input_hint``::
+
+    url:     string      -- unique key "https://ex.org/p/{i}"
+    warc_ts: timestamp[us]
+    html:    binary      -- template-rendered page embedding entity mentions
+    text:    string      -- golden extraction output (byte-identity check)
+    lang:    string      -- "en" mostly, deterministic "de"/"fr" sprinkle
+
+Every page embeds a known set of (subject, predicate-phrase, object)
+mentions drawn from a closed alias dictionary, so each page has a known
+expected triple set (FIXTURES.md §F1) and the KG pipeline's output has a
+closed-form oracle:
+
+- page ``i`` asserts ``person_{i % M}  is the parent of  person_{(i+1) % M}``
+  → the parent graph over M entities is a ring → the ancestor closure is
+  exactly the M² ordered pairs (same shape as the reference's ancestry
+  golden case, ``/root/reference/src/infer.rs:116-154``).
+- page ``i`` also asserts a ``works with`` filler relation and one
+  distractor sentence with no relations.
+
+Generation is a pure function of the row index — no RNG state, no wall
+clock — so any parallelism / block split yields identical bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Set, Tuple
+
+import pyarrow as pa
+
+EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+# closed predicate-phrase dictionary: surface phrase -> canonical predicate
+PREDICATE_PHRASES: Dict[str, str] = {
+    "is the parent of": "parent",
+    "works with": "works_with",
+}
+
+_LANGS = ["de", "fr"]
+
+
+def entity_iri(k: int) -> str:
+    return f"ent:person_{k}"
+
+
+def surface_form(k: int, variant: int) -> str:
+    """Two alias surface forms per entity; the linker must map both."""
+    return f"Person {k}" if variant == 0 else f"P-{k}"
+
+
+def alias_index(m: int) -> Dict[str, str]:
+    """Alias dictionary: surface form -> canonical entity IRI.  This is
+    the shared lookup loaded once per linker actor."""
+    out: Dict[str, str] = {}
+    for k in range(m):
+        out[surface_form(k, 0)] = entity_iri(k)
+        out[surface_form(k, 1)] = entity_iri(k)
+    return out
+
+
+# default dictionary used by tests/bench (big enough for any M <= 100k
+# is wasteful to prebuild: callers use alias_index(M))
+ALIAS_INDEX = alias_index
+
+
+def _page_parts(i: int, m: int) -> Tuple[str, str, str, List[Tuple[str, str, str]]]:
+    """(title, sentences, distractor, triples) for page i over m entities."""
+    a = i % m
+    b = (i + 1) % m
+    c = (i * 7 + 3) % m
+    # alternate surface forms deterministically to exercise the alias dict
+    sa = surface_form(a, i % 2)
+    sb = surface_form(b, (i // 2) % 2)
+    sc = surface_form(c, (i // 3) % 2)
+    s1 = f"{sa} is the parent of {sb}."
+    s2 = f"{sa} works with {sc}."
+    distractor = f"The weather on day {i} was mild and the market closed early."
+    triples = [
+        (entity_iri(a), "parent", entity_iri(b)),
+        (entity_iri(a), "works_with", entity_iri(c)),
+    ]
+    return f"Page {i}", [s1, s2, distractor], distractor, triples
+
+
+def _lang(i: int) -> str:
+    if i % 17 == 0:
+        return "de"
+    if i % 23 == 0:
+        return "fr"
+    return "en"
+
+
+def render_page(i: int, m: int) -> Tuple[str, int, bytes, str, str]:
+    """One page row.  The golden ``text`` is constructed to be exactly
+    what :func:`rify_ray.stages.extract.extract_text` produces from
+    ``html`` (single-space separated, entities decoded)."""
+    title, sentences, _, _ = _page_parts(i, m)
+    body_html = "".join(f"<p>{s}</p>" for s in sentences)
+    html = (
+        f"<html><head><title>{title}</title>"
+        f"<style>body{{color:#000;margin:0}}</style>"
+        f"<script>var i={i};console.log(i&amp;&amp;1);</script></head>"
+        f"<body><h1>{title}</h1>{body_html}"
+        f"<div>footer &amp; links</div></body></html>"
+    )
+    text = " ".join([title, title, *sentences, "footer & links"])
+    return (
+        f"https://ex.org/p/{i}",
+        EPOCH_US + i * 1_000_000,
+        html.encode("utf-8"),
+        text,
+        _lang(i),
+    )
+
+
+def pages_batch(indices, m: int) -> pa.Table:
+    """Vector of pages for a batch of row indices (pure, deterministic)."""
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for i in indices:
+        u, ts, h, t, l = render_page(int(i), m)
+        urls.append(u)
+        tss.append(ts)
+        htmls.append(h)
+        texts.append(t)
+        langs.append(l)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def pages_table(n_pages: int, m_entities: int | None = None) -> pa.Table:
+    """Driver-side (small) pages table for tests."""
+    m = m_entities or max(4, min(1000, n_pages))
+    return pages_batch(range(n_pages), m)
+
+
+def pages_dataset(n_pages: int, m_entities: int | None = None, *, override_num_blocks: int | None = None):
+    """Distributed pages source: ``ray.data.range`` → ``map_batches`` of
+    the pure page renderer.  At real scale this is replaced by
+    ``ray.data.read_parquet(..., columns=[...])`` over WARC-derived
+    parquet; the renderer stands in for that input deterministically."""
+    import ray.data
+
+    m = m_entities or max(4, min(1000, n_pages))
+    ds = ray.data.range(n_pages, override_num_blocks=override_num_blocks)
+
+    def build(batch: pa.Table) -> pa.Table:
+        return pages_batch(batch["id"].to_pylist(), m)
+
+    return ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def expected_page_triples(n_pages: int, m_entities: int | None = None) -> Set[Tuple[str, str, str]]:
+    """Closed-form union of per-page known triples (dedup'd)."""
+    m = m_entities or max(4, min(1000, n_pages))
+    out: Set[Tuple[str, str, str]] = set()
+    for i in range(n_pages):
+        _, _, _, triples = _page_parts(i, m)
+        out.update(triples)
+    return out

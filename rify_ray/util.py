@@ -1,0 +1,75 @@
+"""Shared Ray Data helpers: schema pinning and empty-block hygiene.
+
+Ray 2.49's hash aggregators (groupby) emit zero-row blocks with an
+EMPTY schema for empty partitions, and map tasks are elided on empty
+blocks, so such blocks survive `map_batches` fix-ups and later poison a
+join's schema broadcast ("ArrowInvalid: No match for FieldRef").  Every
+groupby → join boundary in this package goes through these helpers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import pyarrow as pa
+
+
+def drop_empty_blocks(ds):
+    """Rebuild a materialized Dataset from its non-empty block refs (no
+    data movement — refs stay in the object store).  Returns None when
+    every block is empty."""
+    import ray.data
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)
+
+
+def ensure_schema_fn(schema: pa.Schema) -> Callable[[pa.Table], pa.Table]:
+    """map_batches fn that rebuilds empty/odd blocks with the expected
+    schema and puts columns in canonical order."""
+    names = list(schema.names)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return schema.empty_table()
+        return batch.select(names)
+
+    return fn
+
+
+def string_schema(cols: Sequence[str]) -> pa.Schema:
+    return pa.schema([(c, pa.string()) for c in cols])
+
+
+def polars_to_arrow_string(df) -> pa.Table:
+    """polars emits ``large_string``; Arrow join keys / kernels here use
+    ``string`` — cast once at the boundary."""
+    tbl = df.to_arrow()
+    return tbl.cast(
+        pa.schema(
+            [
+                (f.name, pa.string()) if f.type in (pa.large_string(), pa.utf8()) else f
+                for f in tbl.schema
+            ]
+        )
+    )
+
+
+def distinct(ds, cols: Sequence[str], *, keep_cols: Optional[Sequence[str]] = None):
+    """Distributed distinct over ``cols`` via hash-partition groupby,
+    with empty-block hygiene.  Returns a Dataset with exactly ``cols``
+    (string-typed) or None when input is empty."""
+    out = ds.groupby(list(cols)).count().drop_columns(["count()"])
+    out = out.materialize()
+    out = drop_empty_blocks(out)
+    if out is None:
+        return None
+    return out.map_batches(
+        ensure_schema_fn(string_schema(cols)), batch_format="pyarrow", zero_copy_batch=True
+    )

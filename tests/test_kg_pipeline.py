@@ -1,0 +1,74 @@
+"""KG construction pipeline tests (BASELINE.json north_star contract):
+
+- extraction is byte-identical per url across parallelism levels;
+- linked + canonicalized triples equal the closed-form per-page sets;
+- flagship pipeline derives the M² ancestor closure.
+"""
+
+import pyarrow as pa
+import pytest
+
+from rify_ray.pipelines.kg import build_triples, kg_construct_and_infer
+from rify_ray.sources import expected_page_triples, pages_dataset, pages_table
+from rify_ray.sources.pages import alias_index
+from rify_ray.stages.extract import extract_stage, extract_text_array
+
+from fixtures import ancestry_rules
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_extraction_matches_golden_text():
+    tbl = pages_table(120)
+    ext = extract_text_array(tbl["html"])
+    assert [a.as_py() for a in ext] == tbl["text"].to_pylist()
+
+
+@pytest.mark.parametrize("blocks", [2, 7])
+def test_extraction_byte_identical_across_parallelism(blocks):
+    tbl = pages_table(120)
+    golden = dict(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    ds = pages_dataset(120, override_num_blocks=blocks)
+    out = extract_stage(ds).select_columns(["url", "text"]).take_all()
+    assert len(out) == 120
+    for r in out:
+        assert r["text"] == golden[r["url"]]
+
+
+def test_build_triples_matches_expected():
+    n, m = 200, 40
+    quads = build_triples(pages_dataset(n, m, override_num_blocks=4), alias_index(m), concurrency=2)
+    got = {(r["s"], r["p"], r["o"]) for r in quads.take_all()}
+    assert got == expected_page_triples(n, m)
+    # dedup: no duplicates
+    rows = [(r["s"], r["p"], r["o"], r["g"]) for r in quads.take_all()]
+    assert len(rows) == len(set(rows))
+
+
+def test_no_mentions_yields_none():
+    import ray.data
+
+    junk = pa.table(
+        {
+            "url": ["https://ex.org/x1"],
+            "warc_ts": pa.array([0], pa.timestamp("us")),
+            "html": [b"<html><body><p>nothing here.</p></body></html>"],
+            "text": [""],
+            "lang": ["en"],
+        }
+    )
+    assert build_triples(ray.data.from_arrow(junk), alias_index(4), concurrency=1) is None
+
+
+def test_flagship_closure():
+    n, m = 150, 30
+    res = kg_construct_and_infer(
+        pages_dataset(n, m, override_num_blocks=4), ancestry_rules(), m, concurrency=2
+    )
+    derived = res.derived()
+    anc = {
+        (s, o)
+        for s, p, o, g in derived.select(["s", "p", "o", "g"]).iter_rows()
+        if p == "ancestor"
+    }
+    assert anc == {(f"ent:person_{i}", f"ent:person_{j}") for i in range(m) for j in range(m)}
