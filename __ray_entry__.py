@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code it calls) calls ``ray.init()`` /
+``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- :func:`entry` — flagship KG pipeline (synthetic pages → extract →
+  link → canonicalize → dedup → fixpoint, plus relational quads from
+  sf0.001 parquet) returning a Dataset of derived triples.
+- :func:`queries` — one callable per implemented operator/pipeline from
+  SURVEY.md §2 (+ the training-data ops); each takes ``sf_dir``.
+- :func:`oracle_sql` — DuckDB-runnable ANSI-SQL twins for every
+  SQL-expressible query (same column names; order-insensitive compare).
 """
 
 from __future__ import annotations
@@ -18,27 +18,431 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+FACT_COLS = ["s", "p", "o", "g"]
+DG = "default_graph"
+
+
+# ---------------------------------------------------------------------------
+# shared helpers (no ray.init anywhere)
+# ---------------------------------------------------------------------------
+
+
+def _rules_in_region():
+    from rify_ray import B, Rule, U
+
+    return [
+        Rule.create(
+            [
+                [U("c"), B("in_nation"), U("n"), B(DG)],
+                [U("n"), B("in_region"), U("r"), B(DG)],
+            ],
+            [[U("c"), B("in_region"), U("r"), B(DG)]],
+        )
+    ]
+
+
+def _rules_conational():
+    from rify_ray import B, Rule, U
+
+    return [
+        Rule.create(
+            [
+                [U("a"), B("in_nation"), U("n"), B(DG)],
+                [U("b"), B("in_nation"), U("n"), B(DG)],
+            ],
+            [[U("a"), B("conational"), U("b"), B(DG)]],
+        )
+    ]
+
+
+def _rules_reach():
+    from rify_ray import B, Rule, U
+
+    return [
+        Rule.create(
+            [[U("a"), B("succ"), U("b"), B(DG)]],
+            [[U("a"), B("reach"), U("b"), B(DG)]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("reach"), U("b"), B(DG)],
+                [U("b"), B("reach"), U("c"), B(DG)],
+            ],
+            [[U("a"), B("reach"), U("c"), B(DG)]],
+        ),
+    ]
+
+
+def _derived_to_arrow(derived_pl) -> pa.Table:
+    from rify_ray.util import polars_to_arrow_string
+
+    return polars_to_arrow_string(derived_pl.select(FACT_COLS))
+
+
+def _collect_quads(*datasets) -> "polars.DataFrame":  # noqa: F821
+    import polars as pl
+
+    frames = []
+    for ds in datasets:
+        if isinstance(ds, pa.Table):
+            frames.append(pl.from_arrow(ds))
+            continue
+        batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+        if batches:
+            frames.append(pl.from_arrow(pa.concat_tables(batches)))
+    if not frames:
+        return pl.DataFrame(schema={c: pl.Utf8 for c in FACT_COLS})
+    return pl.concat([f.select(FACT_COLS) for f in frames])
+
+
+def _query_vectors(sf_dir: str, n: int = 10):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    mask = pc.less(tbl["vec_id"], n)
+    sub = tbl.filter(mask)
+    ids = np.asarray(sub["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(sub["embedding"].to_pylist(), dtype=np.float64)
+    return ids, mat
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 + synthetic pages."""
+    import ray.data
+
+    from rify_ray import engine
+    from rify_ray.pipelines.kg import kg_construct_and_infer
+    from rify_ray.pipelines.relational import customer_nation_quads, nation_region_quads
+    from rify_ray.sources import pages_dataset
+
+    sf_dir = "/root/testdata/sf0.001"
+    # 1. KG from synthetic Common-Crawl-style pages → ancestor closure
+    res = kg_construct_and_infer(
+        pages_dataset(200, 40), fixtures_rules.ancestry_rules(), 40, concurrency=2
+    )
+    pages_derived = _derived_to_arrow(res.derived())
+    # 2. relational quads from parquet → in_region inference
+    quads = _collect_quads(customer_nation_quads(sf_dir), nation_region_quads(sf_dir))
+    rel_derived = engine.infer(quads, _rules_in_region())
+    rel_tbl = _derived_to_arrow(rel_derived)
+    return ray.data.from_arrow(pa.concat_tables([pages_derived, rel_tbl]))
+
+
+# inline ancestry rules to keep entry() self-contained (tests/fixtures.py
+# is not importable from the driver context)
+class _FixturesRules:
+    @staticmethod
+    def ancestry_rules():
+        from rify_ray import B, Rule, U
+
+        return [
+            Rule.create(
+                [[U("a"), B("parent"), U("b"), B(DG)]],
+                [[U("a"), B("ancestor"), U("b"), B(DG)]],
+            ),
+            Rule.create(
+                [
+                    [U("a"), B("ancestor"), U("b"), B(DG)],
+                    [U("b"), B("ancestor"), U("c"), B(DG)],
+                ],
+                [[U("a"), B("ancestor"), U("c"), B(DG)]],
+            ),
+        ]
+
+
+fixtures_rules = _FixturesRules
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_kg_customer_region(sf_dir: str):
+    from rify_ray import engine
+    from rify_ray.pipelines.relational import customer_nation_quads, nation_region_quads
+
+    quads = _collect_quads(customer_nation_quads(sf_dir), nation_region_quads(sf_dir))
+    return _derived_to_arrow(engine.infer(quads, _rules_in_region()))
+
+
+def _q_kg_conational(sf_dir: str):
+    from rify_ray import engine
+    from rify_ray.pipelines.relational import customer_nation_quads, supplier_nation_quads
+
+    quads = _collect_quads(customer_nation_quads(sf_dir), supplier_nation_quads(sf_dir))
+    return _derived_to_arrow(engine.infer(quads, _rules_conational()))
+
+
+def _q_kg_nation_chain_closure(sf_dir: str):
+    from rify_ray import engine
+    from rify_ray.pipelines.relational import nation_chain_quads
+
+    quads = _collect_quads(nation_chain_quads(sf_dir))
+    return _derived_to_arrow(engine.infer(quads, _rules_reach()))
+
+
+def _q_kg_pages_flagship(sf_dir: str):
+    from rify_ray.pipelines.kg import kg_construct_and_infer
+    from rify_ray.sources import pages_dataset
+
+    res = kg_construct_and_infer(
+        pages_dataset(500, 50), fixtures_rules.ancestry_rules(), 50, concurrency=2
+    )
+    return _derived_to_arrow(res.derived())
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _q_dedup_exact_docs(sf_dir: str):
+    from rify_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(_docs_ds(sf_dir))
+    if out is None:
+        return pa.schema([("doc_id", pa.int64())]).empty_table()
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def _q_text_token_counts(sf_dir: str):
+    from rify_ray.stages.text import text_stage, token_count_fn
+
+    out = text_stage(_docs_ds(sf_dir), token_count_fn)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def _q_text_char_stats(sf_dir: str):
+    from rify_ray.stages.text import char_stats_fn, text_stage
+
+    out = text_stage(_docs_ds(sf_dir), char_stats_fn)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def _q_text_lang_id(sf_dir: str):
+    from rify_ray.stages.text import lang_id_fn, text_stage
+
+    out = text_stage(_docs_ds(sf_dir), lang_id_fn)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def _q_text_fingerprint(sf_dir: str):
+    from rify_ray.stages.text import fingerprint_fn, text_stage
+
+    out = text_stage(_docs_ds(sf_dir), fingerprint_fn)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def _q_events_window_counts(sf_dir: str):
+    from rify_ray.pipelines.relational import events_window_counts
+
+    out = events_window_counts(sf_dir)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def _q_knn_cosine_top5(sf_dir: str):
+    import ray.data
+
+    from rify_ray.stages.similarity import knn_brute
+
+    ids, mat = _query_vectors(sf_dir, 10)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_brute(emb, ids, mat, k=5)
+    tbl = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return tbl.select(["query_id", "rank", "neighbor_id"])
+
+
+def _q_knn_lsh_top3(sf_dir: str):
+    import ray.data
+
+    from rify_ray.stages.similarity import knn_lsh
+
+    ids, mat = _query_vectors(sf_dir, 5)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_lsh(emb, ids, mat, k=3)
+    tbl = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return tbl.select(["query_id", "rank", "neighbor_id"])
+
+
+def _q_minhash_candidates(sf_dir: str):
+    from rify_ray.stages.dedup import minhash_lsh_candidates
+
+    out = minhash_lsh_candidates(_docs_ds(sf_dir))
+    if out is None:
+        return pa.schema([("id1", pa.int64()), ("id2", pa.int64())]).empty_table()
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def _q_minhash_verified(sf_dir: str):
+    from rify_ray.stages.dedup import minhash_lsh_candidates, verify_pairs_jaccard
+
+    cands = minhash_lsh_candidates(_docs_ds(sf_dir))
+    if cands is None:
+        return pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("jaccard", pa.float64())]
+        ).empty_table()
+    out = verify_pairs_jaccard(cands, _docs_ds(sf_dir), threshold=0.5)
+    batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("jaccard", pa.float64())]
+        ).empty_table()
+    return pa.concat_tables(batches)
+
+
+def _q_simhash_neardup(sf_dir: str):
+    from rify_ray.stages.dedup import simhash_candidates
+
+    out = simhash_candidates(_docs_ds(sf_dir))
+    if out is None:
+        return pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("hamming", pa.int64())]
+        ).empty_table()
+    batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("hamming", pa.int64())]
+        ).empty_table()
+    return pa.concat_tables(batches)
+
+
+def _q_embed_neardup(sf_dir: str):
+    import ray.data
+
+    from rify_ray.stages.dedup import embedding_neardup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embedding_neardup_pairs(emb, threshold=0.9)
+    batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("cosine", pa.float64())]
+        ).empty_table()
+    return pa.concat_tables(batches)
+
+
+def _q_multimodal_decode(sf_dir: str):
+    import ray.data
+
+    from rify_ray.stages.multimodal import media_stage, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(60))
+    out = media_stage(media, backend="fake", concurrency=2)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "kg_customer_region": _q_kg_customer_region,
+        "kg_conational": _q_kg_conational,
+        "kg_nation_chain_closure": _q_kg_nation_chain_closure,
+        "kg_pages_flagship": _q_kg_pages_flagship,
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "text_token_counts": _q_text_token_counts,
+        "text_char_stats": _q_text_char_stats,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "events_window_counts": _q_events_window_counts,
+        "knn_cosine_top5": _q_knn_cosine_top5,
+        "knn_lsh_top3": _q_knn_lsh_top3,
+        "minhash_candidates": _q_minhash_candidates,
+        "minhash_verified": _q_minhash_verified,
+        "simhash_neardup": _q_simhash_neardup,
+        "embed_neardup": _q_embed_neardup,
+        "multimodal_decode": _q_multimodal_decode,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _lang_id_sql() -> str:
+    from rify_ray.stages.text import LANG_MARKERS
+
+    score_exprs = []
+    for name, markers in LANG_MARKERS:
+        parts = [
+            f"(length(text) - length(replace(text, '{m}', ''))) // {len(m)}"
+            for m in markers
+        ]
+        score_exprs.append(f"({' + '.join(parts)}) AS {name}")
+    scores = ", ".join(score_exprs)
+    names = [name for name, _ in LANG_MARKERS]
+    case = (
+        f"CASE WHEN {names[0]} >= {names[1]} AND {names[0]} >= {names[2]} THEN '{names[0]}' "
+        f"WHEN {names[1]} >= {names[2]} THEN '{names[1]}' ELSE '{names[2]}' END"
+    )
+    return (
+        f"SELECT doc_id, {case} AS lang_pred "
+        f"FROM (SELECT doc_id, {scores} FROM documents)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_customer_region": (
+            "SELECT 'c:' || c_custkey AS s, 'in_region' AS p, "
+            "'r:' || r_regionkey AS o, 'default_graph' AS g "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "kg_conational": (
+            "WITH ents AS ("
+            "SELECT 'c:' || c_custkey AS e, c_nationkey AS nk FROM customer "
+            "UNION ALL SELECT 's:' || s_suppkey, s_nationkey FROM supplier) "
+            "SELECT a.e AS s, 'conational' AS p, b.e AS o, 'default_graph' AS g "
+            "FROM ents a JOIN ents b ON a.nk = b.nk"
+        ),
+        "kg_nation_chain_closure": (
+            "WITH ordered AS (SELECT n_nationkey, "
+            "row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation) "
+            "SELECT 'n:' || a.n_nationkey AS s, 'reach' AS p, "
+            "'n:' || b.n_nationkey AS o, 'default_graph' AS g "
+            "FROM ordered a JOIN ordered b ON a.rn < b.rn"
+        ),
+        "dedup_exact_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "text_token_counts": (
+            "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "text_char_stats": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha, "
+            "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit, "
+            "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space "
+            "FROM documents"
+        ),
+        "text_lang_id": _lang_id_sql(),
+        "text_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "events_window_counts": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "knn_cosine_top5": (
+            "WITH q AS (SELECT vec_id AS query_id, "
+            "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10), "
+            "sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id) "
+            "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ("
+            "SELECT query_id, neighbor_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM sims) "
+            "WHERE rank <= 5"
+        ),
+    }

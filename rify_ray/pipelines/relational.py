@@ -1,0 +1,152 @@
+"""Quad builders over the TPC-H-ish test tables + windowed event
+aggregates.
+
+These feed the inference engine with facts derived from relational
+parquet inputs (read with column pruning — only the key columns leave
+storage) and give the DuckDB oracle something exactly SQL-expressible
+to check: entity-tagged string quads like ``c:{custkey} in_nation
+n:{nationkey}``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DG = "default_graph"
+
+
+def _tag(prefix: str, col) -> pa.Array:
+    """Vectorized ``prefix || int_col`` string building."""
+    num = pc.cast(col, pa.string())
+    pref = pa.array([prefix] * len(num), pa.string())
+    return pc.binary_join_element_wise(pref, num, "")
+
+
+def _quads_fn(s_prefix: str, s_col: str, pred: str, o_prefix: str, o_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "s": _tag(s_prefix, batch[s_col]),
+                "p": pa.array([pred] * n, pa.string()),
+                "o": _tag(o_prefix, batch[o_col]),
+                "g": pa.array([DG] * n, pa.string()),
+            }
+        )
+
+    return fn
+
+
+def customer_nation_quads(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    return ds.map_batches(
+        _quads_fn("c:", "c_custkey", "in_nation", "n:", "c_nationkey"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def supplier_nation_quads(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    return ds.map_batches(
+        _quads_fn("s:", "s_suppkey", "in_nation", "n:", "s_nationkey"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def nation_region_quads(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    return ds.map_batches(
+        _quads_fn("n:", "n_nationkey", "in_region", "r:", "n_regionkey"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def nation_chain_quads(sf_dir: str) -> pa.Table:
+    """Chain ``n:k_i succ n:k_{i+1}`` over nation keys in sorted order.
+    Nation is a 25-row dimension table — built driver-side (broadcast
+    size), exactly like rule constants."""
+    import pyarrow.parquet as pq
+
+    keys = sorted(
+        pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])[
+            "n_nationkey"
+        ].to_pylist()
+    )
+    s, o = [], []
+    for a, b in zip(keys, keys[1:]):
+        s.append(f"n:{a}")
+        o.append(f"n:{b}")
+    n = len(s)
+    return pa.table(
+        {
+            "s": pa.array(s, pa.string()),
+            "p": pa.array(["succ"] * n, pa.string()),
+            "o": pa.array(o, pa.string()),
+            "g": pa.array([DG] * n, pa.string()),
+        }
+    )
+
+
+def events_window_counts(sf_dir: str, *, window_s: int = 3600):
+    """Tumbling-window event counts per user: (user_id, window_start
+    epoch-seconds, n_events).  Pre-aggregation happens inside the
+    groupby's hash partitions; only integers shuffle."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())  # microseconds
+        win = pc.multiply(
+            pc.divide(us, pa.scalar(window_s * 1_000_000, pa.int64())),
+            pa.scalar(window_s, pa.int64()),
+        )
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "window_start": win,
+            }
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_start"])
+        .count()
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("window_start", pa.int64()),
+                    ("n_events", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "window_start": pc.cast(batch["window_start"], pa.int64()),
+                "n_events": pc.cast(batch["count()"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,96 @@
+"""Text-analysis stages over the ``documents`` table: token counting,
+character stats, language ID, quality features, document fingerprints.
+
+All per-batch functions are Arrow compute kernels (vectorized); the md5
+fingerprint uses hashlib per row (C-level digest, no Python parsing).
+Each op has an exact ANSI-SQL twin in ``__ray_entry__.oracle_sql`` — the
+semantics here are deliberately SQL-expressible so the DuckDB oracle can
+verify them value-for-value.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# language-ID stopword lists: counts of these substrings decide the
+# language (argmax, ties broken in list order).  Substring counting is
+# non-overlapping left-to-right in BOTH Arrow (count_substring) and the
+# SQL replace-based twin, so the two sides agree exactly.
+LANG_MARKERS: List[Tuple[str, List[str]]] = [
+    ("en", [" the ", " and ", " of "]),
+    ("de", [" der ", " und ", " die "]),
+    ("fr", [" le ", " la ", " et "]),
+]
+
+
+def token_count_fn(batch: pa.Table) -> pa.Table:
+    """n_tokens = number of maximal non-whitespace runs."""
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()
+            ),
+        }
+    )
+
+
+def char_stats_fn(batch: pa.Table) -> pa.Table:
+    """Integer quality features: total/alpha/digit/space char counts."""
+    text = batch["text"]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_alpha": pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"), pa.int64()),
+            "n_digit": pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.int64()),
+            "n_space": pc.cast(pc.count_substring(text, " "), pa.int64()),
+        }
+    )
+
+
+def lang_id_fn(batch: pa.Table) -> pa.Table:
+    """N-gram(ish) heuristic language ID: argmax of stopword-marker
+    counts, first language in LANG_MARKERS wins ties."""
+    text = batch["text"]
+    scores = []
+    for _, markers in LANG_MARKERS:
+        s = None
+        for mk in markers:
+            c = pc.count_substring(text, mk)
+            s = c if s is None else pc.add(s, c)
+        scores.append(s)
+    # argmax with first-wins ties: pred = en if en>=de and en>=fr else ...
+    pred = None
+    n = batch.num_rows
+    lang_names = [name for name, _ in LANG_MARKERS]
+    # build from the last upwards: default = last language
+    pred = pa.array([lang_names[-1]] * n, pa.string())
+    for i in range(len(lang_names) - 2, -1, -1):
+        ge_all = None
+        for j in range(i + 1, len(lang_names)):
+            ge = pc.greater_equal(scores[i], scores[j])
+            ge_all = ge if ge_all is None else pc.and_(ge_all, ge)
+        pred = pc.if_else(ge_all, pa.array([lang_names[i]] * n, pa.string()), pred)
+    return pa.table({"doc_id": batch["doc_id"], "lang_pred": pred})
+
+
+def fingerprint_fn(batch: pa.Table) -> pa.Table:
+    """Document fingerprint = md5 hex digest of the text bytes (exactly
+    DuckDB's ``md5(text)``)."""
+    fps = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+        for t in batch["text"].to_pylist()
+    ]
+    return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.string())})
+
+
+def text_stage(docs_ds, fn, *, batch_size: int = 4096):
+    """Apply one of the text fns as a streaming stateless stage."""
+    return docs_ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
