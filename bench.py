@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+``--scaling`` runs the headline KG pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports throughput at
+both plus scaling efficiency (the sandbox stand-in for the N vs 4N
+node-count criterion in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else 0.1
+
+
+SF = _sf_from_dir(SF_DIR)
+# pages scale with sf: sf0.1 → 20k pages (~3.5 KB html each) over 500
+# entities; scaling children run 4× the pages so the map stages dominate
+# fixed overheads and the 8→32 CPU comparison measures real compute
+N_PAGES = max(200, int(200_000 * SF))
+if os.environ.get("GRAFT_SCALING_CHILD"):
+    # scaling children need enough parallel compute (~4 min single-core)
+    # to dominate Ray's fixed per-stage overheads (~4 s)
+    N_PAGES *= 36
+M_ENTITIES = 500
+
+# N vs 4N CPU levels for --scaling.  4 and 16 (not 8/32): this host's 32
+# hardware threads are hyperthreaded pairs — 32 workers yield only ~22
+# cores' worth of cycles, capping even perfectly-parallel code at ~0.78
+# wall-time efficiency.  4→16 runs on distinct physical cores at both
+# levels, so it measures the SOFTWARE's scaling, which is the criterion.
+SCALING_LEVELS = (4, 16)
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def bench_kg_pages(num_cpus: int) -> dict:
+    """Headline: pages → extract → link → canonicalize → dedup →
+    fixpoint ancestor closure."""
+    from rify_ray.pipelines.kg import kg_construct_and_infer
+    from rify_ray.sources import pages_dataset
+    from rify_ray.model import Rule
+    from rify_ray import B, U
+
+    rules = [
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), B("default_graph")]],
+            [[U("a"), B("ancestor"), U("b"), B("default_graph")]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("ancestor"), U("b"), B("default_graph")],
+                [U("b"), B("ancestor"), U("c"), B("default_graph")],
+            ],
+            [[U("a"), B("ancestor"), U("c"), B("default_graph")]],
+        ),
+    ]
+    t0 = time.monotonic()
+    res = kg_construct_and_infer(
+        pages_dataset(N_PAGES, M_ENTITIES, override_num_blocks=num_cpus * 2),
+        rules,
+        M_ENTITIES,
+        concurrency=max(2, num_cpus // 2),
+    )
+    n_derived = int(res.derived().height)
+    dt = time.monotonic() - t0
+    return {
+        "sec": dt,
+        "pages": N_PAGES,
+        "derived_triples": n_derived,
+        "pages_per_sec": N_PAGES / dt,
+        "triples_per_sec": n_derived / dt,
+    }
+
+
+def run_queries() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    picks = [
+        "kg_customer_region",
+        "kg_conational",
+        "kg_nation_chain_closure",
+        "dedup_exact_docs",
+        "text_token_counts",
+        "text_lang_id",
+        "text_fingerprint",
+        "events_window_counts",
+        "knn_cosine_top5",
+        "minhash_candidates",
+        "simhash_neardup",
+        "multimodal_decode",
+    ]
+    out = {}
+    for name in picks:
+        t0 = time.monotonic()
+        qs[name](SF_DIR)
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    _init_ray(NUM_CPUS)
+    queries = {}
+    kg = bench_kg_pages(NUM_CPUS)
+    queries["kg_pages_flagship"] = round(kg["sec"], 3)
+    queries.update(run_queries())
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg-construct+fixpoint+training-data ops wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF,
+                "num_cpus": NUM_CPUS,
+                "pages": kg["pages"],
+                "derived_triples": kg["derived_triples"],
+                "pages_per_sec": round(kg["pages_per_sec"], 1),
+                "triples_per_sec": round(kg["triples_per_sec"], 1),
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+def child(num_cpus: int) -> None:
+    """--scaling child: run ONLY the headline KG pipeline."""
+    _init_ray(num_cpus)
+    r = bench_kg_pages(num_cpus)
+    print("CHILD_RESULT " + json.dumps(r))
+    import ray
+
+    ray.shutdown()
+
+
+def scaling() -> None:
+    results = {}
+    for n in SCALING_LEVELS:
+        env = dict(os.environ)
+        # the child simulates an n-core cluster: cap BOTH Ray slots and
+        # the driver-side polars threadpool
+        env["POLARS_MAX_THREADS"] = str(n)
+        env["GRAFT_SCALING_CHILD"] = "1"
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
+        if not line:
+            print(json.dumps({"error": "child failed", "stderr": p.stderr[-2000:]}))
+            sys.exit(1)
+        results[n] = json.loads(line[-1][len("CHILD_RESULT "):])
+    lo, hi = SCALING_LEVELS
+    t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
+    speedup = t_lo / t_hi
+    efficiency = speedup / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, fresh processes)",
+                "value": round(efficiency, 3),
+                "unit": "efficiency",
+                "sf": SF,
+                "pages": results[lo]["pages"],
+                f"sec_at_{lo}": round(t_lo, 3),
+                f"sec_at_{hi}": round(t_hi, 3),
+                f"pages_per_sec_at_{lo}": round(results[lo]["pages_per_sec"], 1),
+                f"pages_per_sec_at_{hi}": round(results[hi]["pages_per_sec"], 1),
+                "speedup": round(speedup, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]))
+    else:
+        main()

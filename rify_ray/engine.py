@@ -165,6 +165,7 @@ class FixpointResult:
         excluded (``src/infer.rs:79-98``); first-derivation *round* is
         exposed instead of the reference's incidental insertion order.
         """
+        fact_dtype = self.premises.schema["s"] if "s" in self.premises.schema else pl.Utf8
         frames = []
         for it, d in enumerate(self.deltas):
             if d.height:
@@ -173,7 +174,7 @@ class FixpointResult:
                 )
         if not frames:
             return pl.DataFrame(
-                schema={**{c: pl.Utf8 for c in FACT_COLS}, "iteration": pl.Int32}
+                schema={**{c: fact_dtype for c in FACT_COLS}, "iteration": pl.Int32}
             )
         out = pl.concat(frames)
         out = out.join(self.premises, on=FACT_COLS, how="anti")
@@ -194,12 +195,12 @@ class FixpointResult:
 
 
 def _fire_unconditional(
-    plans: Sequence[RulePlan], with_lineage: bool
+    plans: Sequence[RulePlan], with_lineage: bool, fact_dtype=pl.Utf8
 ) -> pl.DataFrame:
     """Rules with empty bodies fire exactly once up front
     (``src/infer.rs:36-50``); their heads are fully constant by the
     range-restriction invariant."""
-    rows: List[Tuple[str, ...]] = []
+    rows: List[Tuple] = []
     for plan in plans:
         if plan.body:
             continue
@@ -209,12 +210,14 @@ def _fire_unconditional(
                 rows.append((*quad, f"{plan.index:06d}"))
             else:
                 rows.append(quad)
-    cols = [*FACT_COLS, "lkey"] if with_lineage else FACT_COLS
+    schema = {c: fact_dtype for c in FACT_COLS}
+    if with_lineage:
+        schema["lkey"] = pl.Utf8
+    cols = list(schema)
     if not rows:
-        return pl.DataFrame(schema={c: pl.Utf8 for c in cols})
+        return pl.DataFrame(schema=schema)
     return pl.DataFrame(
-        {c: [r[j] for r in rows] for j, c in enumerate(cols)},
-        schema={c: pl.Utf8 for c in cols},
+        {c: [r[j] for r in rows] for j, c in enumerate(cols)}, schema=schema
     )
 
 
@@ -244,19 +247,27 @@ class Fixpoint:
     # -- evaluator selection ------------------------------------------------
 
     def _run_round(
-        self, delta: pl.DataFrame, full: pl.DataFrame, with_lineage: bool
+        self,
+        delta: pl.DataFrame,
+        full_old: pl.DataFrame,
+        full_new: pl.DataFrame,
+        with_lineage: bool,
     ) -> Tuple[pl.DataFrame, str]:
         use_shuffle = self.mode == "shuffle" or (
-            self.mode == "auto" and full.height > self.broadcast_threshold
+            self.mode == "auto" and full_new.height > self.broadcast_threshold
         )
         if use_shuffle:
             from .eval_shuffle import run_iteration_ds
 
             new = run_iteration_ds(
-                delta, full, self.plans, with_lineage, self.num_partitions
+                delta, full_new, self.plans, with_lineage, self.num_partitions,
+                full_old=full_old,
             )
             return new, "shuffle"
-        return run_iteration(delta, full, self.plans, with_lineage), "broadcast"
+        return (
+            run_iteration(delta, full_new, self.plans, with_lineage, full_old=full_old),
+            "broadcast",
+        )
 
     # -- checkpointing ------------------------------------------------------
 
@@ -306,6 +317,7 @@ class Fixpoint:
         res = FixpointResult(premises=premises, full=premises)
 
         start_iter = 0
+        full_old = premises.clear()
         if resume:
             ck = self.load_checkpoint()
             if ck is not None:
@@ -313,6 +325,7 @@ class Fixpoint:
                 full = premises
                 for d in deltas:
                     res.deltas.append(d.select(FACT_COLS))
+                    full_old = full
                     full = pl.concat([full, d.select(FACT_COLS)]).unique(subset=FACT_COLS)
                 res.lineage = [
                     lf if lf.height else pl.DataFrame(schema={c: pl.Utf8 for c in [*FACT_COLS, "lkey"]})
@@ -321,9 +334,10 @@ class Fixpoint:
                 res.full = full
                 start_iter = last_it + 1
 
+        fact_dtype = premises.schema["s"] if premises.width else pl.Utf8
         if start_iter == 0:
             # iteration 0: unconditional heads + premises form the first delta
-            uncond = _fire_unconditional(self.plans, with_lineage)
+            uncond = _fire_unconditional(self.plans, with_lineage, fact_dtype)
             uncond_new = uncond.join(premises, on=FACT_COLS, how="anti")
             delta0 = pl.concat([premises, uncond_new.select(FACT_COLS)])
             res.full = pl.concat([premises, uncond_new.select(FACT_COLS)])
@@ -332,7 +346,9 @@ class Fixpoint:
                 res.lineage.append(
                     uncond_new.select([*FACT_COLS, "lkey"])
                     if uncond_new.height
-                    else pl.DataFrame(schema={c: pl.Utf8 for c in [*FACT_COLS, "lkey"]})
+                    else pl.DataFrame(
+                        schema={**{c: fact_dtype for c in FACT_COLS}, "lkey": pl.Utf8}
+                    )
                 )
             t0 = time.monotonic()
             m = {
@@ -355,12 +371,13 @@ class Fixpoint:
             if delta.height == 0:
                 break
             t0 = time.monotonic()
-            new, evaluator = self._run_round(delta, res.full, with_lineage)
+            new, evaluator = self._run_round(delta, full_old, res.full, with_lineage)
             elapsed = time.monotonic() - t0
             new_facts = new.select(FACT_COLS)
             res.deltas.append(new_facts)
             if with_lineage:
                 res.lineage.append(new.select([*FACT_COLS, "lkey"]) if new.height else new)
+            full_old = res.full
             res.full = pl.concat([res.full, new_facts])
             m = {
                 "iteration": it,
@@ -385,6 +402,72 @@ class Fixpoint:
 
 
 # ---------------------------------------------------------------------------
+# dictionary (Translator) encoding: terms -> dense int ids for the
+# fixpoint hot loop.  Joins/dedup on Int64 are several times faster and
+# far smaller than on IRI strings; the reference lowers terms for the
+# same reason (``Translator``, src/translator.rs:13-40; ids are
+# sort-ranks of the term universe, reproduced here).
+# ---------------------------------------------------------------------------
+
+
+def _build_terms_df(df: pl.DataFrame, rules: Sequence[Rule]) -> pl.DataFrame:
+    consts = sorted({e.value for r in rules for e in _iter_rule_entities(r) if e.is_bound()})
+    parts = [df[c].unique().rename("term") for c in FACT_COLS]
+    parts.append(pl.Series("term", consts, dtype=pl.Utf8))
+    terms = pl.concat(parts).unique().sort()
+    return pl.DataFrame({"term": terms}).with_row_index("tid").select(
+        pl.col("term"), pl.col("tid").cast(pl.Int64)
+    )
+
+
+def _iter_rule_entities(rule: Rule):
+    for atom in rule.if_all:
+        yield from atom
+    for atom in rule.then:
+        yield from atom
+
+
+def _encode_quads_df(df: pl.DataFrame, terms: pl.DataFrame) -> pl.DataFrame:
+    out = df
+    for c in FACT_COLS:
+        out = (
+            out.join(terms, left_on=c, right_on="term", how="left")
+            .drop(c)
+            .rename({"tid": c})
+        )
+    return out.select(FACT_COLS)
+
+
+def _decode_quads_df(df: pl.DataFrame, terms: pl.DataFrame, extra: Sequence[str] = ()) -> pl.DataFrame:
+    out = df
+    for c in FACT_COLS:
+        out = (
+            out.join(terms, left_on=c, right_on="tid", how="left")
+            .drop(c)
+            .rename({"term": c})
+        )
+    return out.select([*FACT_COLS, *extra])
+
+
+def _encode_rules_ids(rules: Sequence[Rule], terms: pl.DataFrame) -> List[Rule]:
+    from .model import B, U
+
+    consts = {e.value for r in rules for e in _iter_rule_entities(r) if e.is_bound()}
+    sub = terms.filter(pl.col("term").is_in(list(consts)))
+    mapping = dict(zip(sub["term"].to_list(), sub["tid"].to_list()))
+
+    def enc_atom(atom):
+        return tuple(
+            U(e.value) if e.is_unbound() else B(mapping[e.value]) for e in atom
+        )
+
+    return [
+        Rule(tuple(enc_atom(a) for a in r.if_all), tuple(enc_atom(a) for a in r.then))
+        for r in rules
+    ]
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -399,6 +482,7 @@ def infer(
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
     as_dataset: bool = False,
+    dict_encode: bool = True,
 ):
     """Forward-chaining fixpoint; returns only the newly derived facts,
     duplicate-free, premises excluded (``src/infer.rs:9-26``).
@@ -406,9 +490,18 @@ def infer(
     Input may be a list of 4-tuples (returns a list of 4-tuples, like the
     reference), or a polars/arrow/ray Dataset of quads (returns a polars
     frame, or a ``ray.data.Dataset`` when ``as_dataset=True``).
+
+    ``dict_encode=True`` (default) runs the fixpoint over dense int term
+    ids (rify's Translator lowering) — the hot joins then move Int64
+    columns instead of strings.
     """
     df, encoded = _to_polars(premises)
     eng_rules = [_encode_rule(r) for r in rules] if encoded else list(rules)
+    terms = None
+    if dict_encode:
+        terms = _build_terms_df(df, eng_rules)
+        df = _encode_quads_df(df, terms)
+        eng_rules = _encode_rules_ids(eng_rules, terms)
     fp = Fixpoint(
         eng_rules,
         mode=mode,
@@ -418,6 +511,8 @@ def infer(
     )
     res = fp.run(df, resume=resume)
     out = res.derived()
+    if terms is not None:
+        out = _decode_quads_df(out, terms, extra=["iteration"])
     if isinstance(premises, (list, tuple)):
         rows = [tuple(r) for r in out.select(FACT_COLS).iter_rows()]
         if encoded:

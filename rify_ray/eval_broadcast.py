@@ -49,10 +49,18 @@ def _empty_bindings(var_indices: Sequence[int]) -> pl.DataFrame:
     return pl.DataFrame(schema={vcol(i): pl.Utf8 for i in var_indices})
 
 
-def match_atom(facts: pl.DataFrame, atom: AtomPlan) -> pl.DataFrame:
+def match_atom(facts: pl.DataFrame, atom: AtomPlan) -> Optional[pl.LazyFrame]:
     """Filtered projection of the fact table for one body atom: apply
     constant-equality filters and intra-atom variable-equality filters,
-    then project distinct variable columns (named ``_v{i}``)."""
+    then project the variable columns (named ``_v{i}``).
+
+    The projection is duplicate-free by construction — every slot is
+    either a constant (fixed by the filter) or projected — so no
+    ``unique()`` pass is needed.
+
+    Returns None for an UNSATISFIED all-constant atom (presence probe),
+    a lazy frame otherwise (empty lazy frame = no matches).
+    """
     preds = [pl.col(c) == pl.lit(v) for c, v in atom.const_filters]
     seen: dict = {}
     for col, vi in atom.var_slots:
@@ -65,49 +73,65 @@ def match_atom(facts: pl.DataFrame, atom: AtomPlan) -> pl.DataFrame:
         df = df.filter(pl.all_horizontal(preds) if len(preds) > 1 else preds[0])
     proj = [pl.col(seen[vi]).alias(vcol(vi)) for vi in atom.var_indices]
     if not proj:
-        # all-constant atom: emit one row iff a matching fact exists
+        # all-constant atom: satisfied iff a matching fact exists
         n = df.select(pl.len()).collect().item()
-        return pl.DataFrame({"__present": [True] if n else []})
-    return df.select(proj).unique().collect()
+        return pl.LazyFrame({"__one": [1]}) if n else None
+    return df.select(proj)
 
 
 def eval_chain(
     delta: pl.DataFrame,
-    full: pl.DataFrame,
+    full_old: pl.DataFrame,
+    full_new: pl.DataFrame,
     plan: RulePlan,
     chain: ChainPlan,
-) -> Optional[pl.DataFrame]:
-    """Evaluate one delta-seeded join chain; returns the binding set (one
-    ``_v{i}`` column per canonical variable of the rule) or None when
-    empty."""
+) -> Optional[pl.LazyFrame]:
+    """Build the (lazy) join chain for one delta position; returns the
+    binding set (one ``_v{i}`` column per canonical variable) or None
+    when statically unsatisfiable.  Nothing materializes here — the
+    round collects ONE fused query (joins → head projection → anti-join
+    → dedup), so polars pipelines the whole thing.
+
+    Classic semi-naive old/new split: the atom at ``chain.delta_pos``
+    reads the delta; atoms at smaller original positions read the
+    PRE-round store; atoms at larger positions read the post-round store
+    — so each new combination is derived by exactly one of the k chains
+    instead of all of them.
+    """
     body = plan.body
-    bindings: Optional[pl.DataFrame] = None
+    bindings: Optional[pl.LazyFrame] = None
+    bound_cols: List[str] = []
     for step, atom_i in enumerate(chain.order):
-        side = delta if step == 0 else full
+        if step == 0:
+            side = delta
+        elif atom_i < chain.delta_pos:
+            side = full_old
+        else:
+            side = full_new
         m = match_atom(side, body[atom_i])
-        if m.height == 0:
-            return None
-        if "__present" in m.columns:
-            continue  # all-constant atom satisfied; bindings unchanged
+        if m is None:
+            return None  # unsatisfied all-constant atom
+        m_cols = [vcol(i) for i in body[atom_i].var_indices]
+        if not m_cols:
+            continue  # satisfied all-constant atom
         if bindings is None:
-            bindings = m
+            bindings, bound_cols = m, m_cols
             continue
-        shared = [c for c in m.columns if c in bindings.columns]
+        shared = [c for c in m_cols if c in bound_cols]
         if shared:
             bindings = bindings.join(m, on=shared, how="inner")
         else:
             bindings = bindings.join(m, how="cross")
-        if bindings.height == 0:
-            return None
+        bound_cols = bound_cols + [c for c in m_cols if c not in bound_cols]
     if bindings is None:
         # body entirely constant atoms, all satisfied: single empty binding
-        bindings = pl.DataFrame({"__one": [1]})
+        bindings = pl.LazyFrame({"__one": [1]})
     return bindings
 
 
 def project_heads(
-    plan: RulePlan, bindings: pl.DataFrame, with_lineage: bool
-) -> pl.DataFrame:
+    plan: RulePlan, bindings: pl.LazyFrame, with_lineage: bool, fact_dtype=pl.Utf8
+) -> pl.LazyFrame:
     """Substitute bindings into every ``then`` atom; emits quad columns
     plus (optionally) lineage columns rule_index / inst."""
     frames: List[pl.DataFrame] = []
@@ -116,15 +140,15 @@ def project_heads(
         parts: List[pl.Expr] = [pl.lit(f"{plan.index:06d}")]
         for i in range(plan.n_vars):
             parts.append(pl.lit(LKEY_SEP))
-            parts.append(pl.col(vcol(i)))
+            parts.append(pl.col(vcol(i)).cast(pl.Utf8))
         inst_expr = pl.concat_str(parts).alias("lkey")
     for atom in plan.head:
         exprs = []
         for j, (kind, v) in enumerate(atom.slots):
             if kind == "const":
-                exprs.append(pl.lit(v, dtype=pl.Utf8).alias(SLOTS[j]))
+                exprs.append(pl.lit(v, dtype=fact_dtype).alias(SLOTS[j]))
             else:
-                exprs.append(pl.col(vcol(v)).cast(pl.Utf8).alias(SLOTS[j]))
+                exprs.append(pl.col(vcol(v)).alias(SLOTS[j]))
         if with_lineage:
             exprs.append(inst_expr)
         frames.append(bindings.select(exprs))
@@ -133,35 +157,45 @@ def project_heads(
 
 def run_iteration(
     delta: pl.DataFrame,
-    full: pl.DataFrame,
+    full_new: pl.DataFrame,
     plans: Sequence[RulePlan],
     with_lineage: bool = False,
+    full_old: Optional[pl.DataFrame] = None,
 ) -> pl.DataFrame:
     """One semi-naive round: for every rule and every delta position, run
     the join chain, project heads, dedup first-wins, and anti-join
-    against ``full``.  ``full`` must already include ``delta``.
+    against ``full_new``.  ``full_new`` must already include ``delta``;
+    ``full_old`` is the store before this delta (defaults to full_new,
+    which is still correct — just does redundant work).
 
-    Returns the new-fact frame (columns s,p,o,g [,rule_index,inst]).
+    Returns the new-fact frame (columns s,p,o,g [,lkey]).
     """
+    if full_old is None:
+        full_old = full_new
     out_cols = LINEAGE_COLS if with_lineage else FACT_COLS
-    derived: List[pl.DataFrame] = []
+    fact_dtype = full_new.schema["s"]
+    derived: List[pl.LazyFrame] = []
     for plan in plans:
         if not plan.body:
             continue  # unconditional rules are fired once by the driver
         for chain in plan.chains:
-            b = eval_chain(delta, full, plan, chain)
-            if b is None or b.height == 0:
+            b = eval_chain(delta, full_old, full_new, plan, chain)
+            if b is None:
                 continue
-            derived.append(project_heads(plan, b, with_lineage))
+            derived.append(project_heads(plan, b, with_lineage, fact_dtype))
     if not derived:
-        return pl.DataFrame(schema={c: pl.Utf8 for c in out_cols})
-    new = pl.concat(derived)
+        return pl.DataFrame(
+            schema={c: (pl.Utf8 if c == "lkey" else fact_dtype) for c in out_cols}
+        )
+    # anti-join FIRST (probe the big derivation stream against the small
+    # store hash — Reasoner::insert dedup, src/reasoner.rs:103-127), then
+    # dedup the tiny remainder.  In late rounds almost everything derived
+    # is already known, so dedup-after-anti touches ~0 rows instead of
+    # the full O(n^k) enumeration.  One fused lazy query per round.
+    new = pl.concat(derived).join(full_new.lazy(), on=FACT_COLS, how="anti")
     if with_lineage:
         # deterministic first-wins per quad: min lkey = (rule_index, inst)
         new = new.group_by(FACT_COLS).agg(pl.col("lkey").min())
     else:
         new = new.unique(subset=FACT_COLS)
-    # anti-join: keep only globally-new facts (Reasoner::insert dedup,
-    # src/reasoner.rs:103-127)
-    new = new.join(full, on=FACT_COLS, how="anti")
-    return new.select(out_cols)
+    return new.select(out_cols).collect(engine="streaming")

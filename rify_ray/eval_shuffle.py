@@ -46,7 +46,7 @@ def _match_batch_fn(atom: AtomPlan) -> Callable[[pa.Table], pa.Table]:
     def fn(batch: pa.Table) -> pa.Table:
         mask = None
         for col, val in const_filters:
-            m = pc.equal(batch[col], pa.scalar(val, pa.string()))
+            m = pc.equal(batch[col], pa.scalar(val))
             mask = m if mask is None else pc.and_(mask, m)
         first_col = {}
         for col, vi in var_slots:
@@ -76,7 +76,7 @@ def _head_batch_fn(plan: RulePlan, with_lineage: bool) -> Callable[[pa.Table], p
         if with_lineage:
             parts: List = [pa.array([rule_prefix] * n, pa.string())]
             for i in range(n_vars):
-                parts.append(batch[vcol(i)])
+                parts.append(pc.cast(batch[vcol(i)], pa.string()))
             if len(parts) > 1:
                 lkey = pc.binary_join_element_wise(*parts, LKEY_SEP)
             else:
@@ -85,7 +85,8 @@ def _head_batch_fn(plan: RulePlan, with_lineage: bool) -> Callable[[pa.Table], p
             arrays, names = [], []
             for j, (kind, v) in enumerate(atom.slots):
                 if kind == "const":
-                    arrays.append(pa.array([v] * n, pa.string()))
+                    ctype = pa.string() if isinstance(v, str) else pa.int64()
+                    arrays.append(pa.array([v] * n, ctype))
                 else:
                     arrays.append(
                         batch[vcol(v)].combine_chunks()
@@ -108,6 +109,7 @@ def run_iteration_ds(
     plans: Sequence[RulePlan],
     with_lineage: bool = False,
     num_partitions: int = 32,
+    full_old: "pl.DataFrame" = None,
 ) -> pl.DataFrame:
     """One semi-naive round executed as Ray Data shuffles.
 
@@ -116,22 +118,39 @@ def run_iteration_ds(
     groupby-dedup and anti-join — the O(data) exchanges — all run
     distributed.
     """
+    import polars as _pl
     import ray.data
+
+    fact_dtype = full.schema["s"] if full.width else _pl.Utf8
+    pa_fact = pa.int64() if fact_dtype in (_pl.Int64, _pl.UInt32, _pl.Int32) else pa.string()
+    out_schema = {c: fact_dtype for c in FACT_COLS}
+    pin_schema = pa.schema([(c, pa_fact) for c in FACT_COLS])
+    if with_lineage:
+        out_schema["lkey"] = _pl.Utf8
+        pin_schema = pin_schema.append(pa.field("lkey", pa.string()))
 
     delta_ds = ray.data.from_arrow(_to_arrow_string(delta.select(FACT_COLS))).materialize()
     full_ds = ray.data.from_arrow(_to_arrow_string(full.select(FACT_COLS))).materialize()
+    if full_old is None:
+        full_old_ds = full_ds
+    else:
+        full_old_ds = ray.data.from_arrow(
+            _to_arrow_string(full_old.select(FACT_COLS))
+        ).materialize()
 
     chain_outputs = []
     for plan in plans:
         if not plan.body:
             continue
         for chain in plan.chains:
-            out = _eval_chain_ds(delta_ds, full_ds, plan, chain, with_lineage, num_partitions)
+            out = _eval_chain_ds(
+                delta_ds, full_old_ds, full_ds, plan, chain, with_lineage, num_partitions
+            )
             if out is not None:
                 chain_outputs.append(out)
     cols = [*FACT_COLS, "lkey"] if with_lineage else FACT_COLS
     if not chain_outputs:
-        return pl.DataFrame(schema={c: pl.Utf8 for c in cols})
+        return pl.DataFrame(schema=out_schema)
 
     new = chain_outputs[0]
     if len(chain_outputs) > 1:
@@ -145,9 +164,9 @@ def run_iteration_ds(
         new = new.groupby(FACT_COLS).count().drop_columns(["count()"])
     new = _drop_empty_blocks(new.materialize())
     if new is None:
-        return pl.DataFrame(schema={c: pl.Utf8 for c in cols})
+        return pl.DataFrame(schema=out_schema)
     new = new.map_batches(
-        _ensure_schema_fn(cols), batch_format="pyarrow", zero_copy_batch=True
+        _ensure_schema(pin_schema), batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
     # insert-if-absent: anti-join against the full store
@@ -155,16 +174,17 @@ def run_iteration_ds(
 
     batches = list(new.iter_batches(batch_size=None, batch_format="pyarrow"))
     if not batches:
-        return pl.DataFrame(schema={c: pl.Utf8 for c in cols})
+        return pl.DataFrame(schema=out_schema)
     out_df = pl.from_arrow(pa.concat_tables(batches))
     if out_df.height == 0:
-        return pl.DataFrame(schema={c: pl.Utf8 for c in cols})
-    return out_df.select(cols)
+        return pl.DataFrame(schema=out_schema)
+    return out_df.select(cols).cast(out_schema)
 
 
 def _eval_chain_ds(
     delta_ds,
-    full_ds,
+    full_old_ds,
+    full_new_ds,
     plan: RulePlan,
     chain: ChainPlan,
     with_lineage: bool,
@@ -178,7 +198,12 @@ def _eval_chain_ds(
     bound_cols: List[str] = []
     for step, atom_i in enumerate(chain.order):
         atom = body[atom_i]
-        side = delta_ds if step == 0 else full_ds
+        if step == 0:
+            side = delta_ds
+        elif atom_i < chain.delta_pos:
+            side = full_old_ds  # semi-naive old/new split (no double count)
+        else:
+            side = full_new_ds
         # materialize + count: (a) pins the schema so the hash-shuffle
         # aggregator can build empty partitions (Ray drops schema-less
         # empty lazy outputs), (b) prunes dead chains early — the
@@ -200,6 +225,9 @@ def _eval_chain_ds(
             bindings = bindings.join(
                 m, "inner", num_partitions=num_partitions, on=tuple(shared)
             ).materialize()
+            bindings = _drop_empty_blocks(bindings)
+            if bindings is None:
+                return None
         else:
             # cross join: constant key on both sides (degenerate; only for
             # rules whose atoms share no variables)

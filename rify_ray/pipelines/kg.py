@@ -36,6 +36,7 @@ def build_triples(
     broadcast: bool = True,
     output_path: Optional[str] = None,
     num_output_partitions: int = 0,
+    compute: str = "tasks",
 ):
     """pages Dataset → deduped canonical quads Dataset.
 
@@ -54,7 +55,12 @@ def build_triples(
 
     text_ds = extract_stage(pages_ds)
     mentions = linking_stage(
-        text_ds, idx_arg, phrases, concurrency=concurrency, batch_size=linker_batch_size
+        text_ds,
+        idx_arg,
+        phrases,
+        concurrency=concurrency,
+        batch_size=linker_batch_size,
+        compute=compute,
     )
     quads = canonicalize_stage(mentions, phrase_to_pred, graph=graph)
     if quads is None:

@@ -75,8 +75,27 @@ def alias_index(m: int) -> Dict[str, str]:
 ALIAS_INDEX = alias_index
 
 
+_FILLER_WORDS = (
+    "market weather harbor signal garden window stream meadow copper lantern "
+    "quarry timber ledger anchor willow saddle furnace compass orchard mill"
+).split()
+
+
+def _filler_sentence(i: int, j: int) -> str:
+    """Deterministic 12-word distractor sentence (no relations)."""
+    w = _FILLER_WORDS
+    n = len(w)
+    words = [w[(i * 31 + j * 17 + k * 7) % n] for k in range(12)]
+    return f"On day {i} the " + " ".join(words) + " was noted."
+
+
 def _page_parts(i: int, m: int) -> Tuple[str, str, str, List[Tuple[str, str, str]]]:
-    """(title, sentences, distractor, triples) for page i over m entities."""
+    """(title, sentences, distractor, triples) for page i over m entities.
+
+    Pages carry Common-Crawl-like bulk: a handful of relation sentences
+    buried in dozens of filler sentences, so extraction and linking do
+    realistic per-page work.
+    """
     a = i % m
     b = (i + 1) % m
     c = (i * 7 + 3) % m
@@ -87,11 +106,14 @@ def _page_parts(i: int, m: int) -> Tuple[str, str, str, List[Tuple[str, str, str
     s1 = f"{sa} is the parent of {sb}."
     s2 = f"{sa} works with {sc}."
     distractor = f"The weather on day {i} was mild and the market closed early."
+    n_filler = 24 + (i % 7)
+    fillers = [_filler_sentence(i, j) for j in range(n_filler)]
+    sentences = [s1, *fillers[: n_filler // 2], s2, *fillers[n_filler // 2 :], distractor]
     triples = [
         (entity_iri(a), "parent", entity_iri(b)),
         (entity_iri(a), "works_with", entity_iri(c)),
     ]
-    return f"Page {i}", [s1, s2, distractor], distractor, triples
+    return f"Page {i}", sentences, distractor, triples
 
 
 def _lang(i: int) -> str:

@@ -197,6 +197,16 @@ def minhash_lsh_candidates(
     return _distinct_pairs(pairs)
 
 
+def _empty_verified():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("jaccard", pa.float64())]
+        ).empty_table()
+    )
+
+
 def ngram_jaccard(text1: str, text2: str, k: int = 5) -> float:
     """Exact k-char-shingle Jaccard (verification predicate)."""
     s1 = set(map(int, _shingle_hashes(text1 or "", k)))
@@ -222,12 +232,16 @@ def verify_pairs_jaccard(
 
     d1 = docs_ds.map_batches(prep("id1"), batch_format="pyarrow", zero_copy_batch=True).materialize()
     d2 = docs_ds.map_batches(prep("id2"), batch_format="pyarrow", zero_copy_batch=True).materialize()
-    joined = (
-        pairs_ds.join(d1, "inner", num_partitions, on=("id1",))
-        .materialize()
-        .join(d2, "inner", num_partitions, on=("id2",))
-        .materialize()
+    half = drop_empty_blocks(
+        pairs_ds.join(d1, "inner", num_partitions, on=("id1",)).materialize()
     )
+    if half is None:
+        return _empty_verified()
+    joined = drop_empty_blocks(
+        half.join(d2, "inner", num_partitions, on=("id2",)).materialize()
+    )
+    if joined is None:
+        return _empty_verified()
 
     def verify(batch: pa.Table) -> pa.Table:
         keep1, keep2, jac = [], [], []
@@ -327,9 +341,12 @@ def simhash_candidates(docs_ds, *, max_hamming: int = 3):
 
     s1 = sig_small.map_batches(rename("id1"), batch_format="pyarrow").materialize()
     s2 = sig_small.map_batches(rename("id2"), batch_format="pyarrow").materialize()
-    joined = (
-        pairs.join(s1, "inner", 8, on=("id1",)).materialize().join(s2, "inner", 8, on=("id2",)).materialize()
-    )
+    half = drop_empty_blocks(pairs.join(s1, "inner", 8, on=("id1",)).materialize())
+    if half is None:
+        return None
+    joined = drop_empty_blocks(half.join(s2, "inner", 8, on=("id2",)).materialize())
+    if joined is None:
+        return None
 
     def verify(batch: pa.Table) -> pa.Table:
         k1, k2, hd = [], [], []

@@ -77,24 +77,62 @@ class MentionExtractor:
         )
 
 
+# per-worker-process cache for the task-based linker: the alias dict is
+# fetched from the object store ONCE per process (not per batch) and the
+# compiled extractor reused — broadcast-small-side without reserving CPU
+# slots the way a fixed actor pool does (a fixed pool also blocks Ray's
+# operator fusion, forcing the whole upstream chain through `concurrency`
+# actors)
+_LINKER_CACHE: dict = {}
+
+
+def make_linker_fn(alias_ref, phrases: List[str]):
+    phrases = list(phrases)
+
+    def link_mentions(batch: pa.Table) -> pa.Table:
+        key = getattr(alias_ref, "hex", lambda: str(id(alias_ref)))()
+        state = _LINKER_CACHE.get(key)
+        if state is None:
+            state = MentionExtractor(alias_ref, phrases)
+            _LINKER_CACHE[key] = state
+        return state(batch)
+
+    return link_mentions
+
+
 def linking_stage(
     text_ds,
     alias_index,
     phrases: List[str],
     *,
-    concurrency: int = 4,
+    concurrency=None,
     batch_size: int = 512,
     num_cpus: float = 1,
+    compute: str = "tasks",
 ):
-    """text Dataset → mentions Dataset via an actor pool holding the
-    alias dictionary.  ``alias_index`` may be a dict or a ``ray.put``
-    object ref (preferred for big dictionaries)."""
+    """text Dataset → mentions Dataset.
+
+    ``compute="tasks"`` (default): stateless tasks with a per-process
+    cached linker — fuses with neighboring map stages and uses every
+    CPU.  ``compute="actors"``: classic fixed actor pool (the pattern
+    for heavyweight model loads); note a fixed pool caps the fused
+    chain's parallelism at ``concurrency``.
+
+    ``alias_index`` may be a dict or a ``ray.put`` object ref
+    (preferred: N workers share one object-store copy)."""
+    if compute == "tasks":
+        return text_ds.map_batches(
+            make_linker_fn(alias_index, phrases),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     return text_ds.map_batches(
         MentionExtractor,
         fn_constructor_kwargs={"alias_index": alias_index, "phrases": phrases},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or 4,
         num_cpus=num_cpus,
     )

@@ -62,10 +62,31 @@ def polars_to_arrow_string(df) -> pa.Table:
 
 
 def distinct(ds, cols: Sequence[str], *, keep_cols: Optional[Sequence[str]] = None):
-    """Distributed distinct over ``cols`` via hash-partition groupby,
-    with empty-block hygiene.  Returns a Dataset with exactly ``cols``
-    (string-typed) or None when input is empty."""
-    out = ds.groupby(list(cols)).count().drop_columns(["count()"])
+    """Distributed distinct over ``cols``: local per-batch dedup first
+    (combiner — shrinks the shuffle input before any exchange), then a
+    hash-partition groupby, with empty-block hygiene.  Returns a Dataset
+    with exactly ``cols`` (string-typed) or None when input is empty."""
+    cols = list(cols)
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    # materialize the combined (shrunken) stream BEFORE the shuffle: the
+    # hash-aggregate operator reserves CPU/2 for its aggregator actors,
+    # and running it concurrently with the map chain starves the maps on
+    # small clusters (measured 3x slowdown of the whole pipeline); with
+    # the combiner output materialized, maps get every CPU, then the
+    # (cheap) exchange runs alone
+    pre = ds.map_batches(
+        local_dedup, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.1
+    out = pre.groupby(cols, num_partitions=16).count().drop_columns(["count()"])
     out = out.materialize()
     out = drop_empty_blocks(out)
     if out is None:

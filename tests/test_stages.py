@@ -1,0 +1,265 @@
+"""Unit tests for the training-data stages: text analysis, dedup
+family, similarity search, multimodal plumbing.
+
+These complement the DuckDB-oracle checks the driver runs: here we pin
+closed-form expectations on small deterministic inputs.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array(rows, pa.string()),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def test_token_count_and_char_stats():
+    from rify_ray.stages.text import char_stats_fn, token_count_fn
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a bb  ccc", "", "x1 2y"], pa.string()),
+        }
+    )
+    tc = token_count_fn(batch)
+    assert tc["n_tokens"].to_pylist() == [3, 0, 2]
+    cs = char_stats_fn(batch)
+    assert cs["n_chars"].to_pylist() == [9, 0, 5]
+    assert cs["n_alpha"].to_pylist() == [6, 0, 2]
+    assert cs["n_digit"].to_pylist() == [0, 0, 2]
+    assert cs["n_space"].to_pylist() == [3, 0, 1]
+
+
+def test_lang_id_markers():
+    from rify_ray.stages.text import lang_id_fn
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "it is the house of the king and the queen",
+                    "das ist der hund und die katze und der vogel",
+                    "voici le chat et la souris et le chien",
+                    "no markers at all",  # tie at 0 -> first language wins
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = lang_id_fn(batch)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "fr", "en"]
+
+
+def test_fingerprint_is_md5():
+    import hashlib
+
+    from rify_ray.stages.text import fingerprint_fn
+
+    batch = pa.table(
+        {"doc_id": pa.array([7], pa.int64()), "text": pa.array(["hello"], pa.string())}
+    )
+    out = fingerprint_fn(batch)
+    assert out["fingerprint"].to_pylist() == [hashlib.md5(b"hello").hexdigest()]
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_keeps_min_id():
+    from rify_ray.stages.dedup import exact_dedup
+
+    ds = _docs(["same", "other", "same", "same", "other"])
+    out = exact_dedup(ds)
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert ids == [0, 1]
+
+
+def test_minhash_finds_near_duplicates():
+    from rify_ray.stages.dedup import minhash_lsh_candidates, verify_pairs_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "hazy")
+    other = "completely different content about distributed dataflow engines " * 5
+    ds = _docs([base, near, other])
+    cands = minhash_lsh_candidates(ds)
+    pairs = {(r["id1"], r["id2"]) for r in cands.take_all()}
+    assert (0, 1) in pairs
+    verified = verify_pairs_jaccard(cands, ds, threshold=0.5)
+    vpairs = {(r["id1"], r["id2"]) for r in verified.take_all()}
+    assert (0, 1) in vpairs
+    assert (0, 2) not in vpairs and (1, 2) not in vpairs
+
+
+def test_ngram_jaccard_bounds():
+    from rify_ray.stages.dedup import ngram_jaccard
+
+    assert ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert ngram_jaccard("aaaaaaa", "zzzzzzz") == 0.0
+
+
+def test_simhash_near_duplicates():
+    from rify_ray.stages.dedup import simhash_candidates
+
+    # near-dup detection via simhash needs many distinct (low-weight)
+    # tokens: one changed word among 200 flips only the bits with weak
+    # vote margins
+    base = " ".join(f"word{i}" for i in range(200))
+    near = base.replace("word100", "wordX")
+    other = " ".join(f"zz{i}" for i in range(200))
+    ds = _docs([base, near, other])
+    out = simhash_candidates(ds, max_hamming=16)
+    assert out is not None
+    pairs = {(r["id1"], r["id2"]) for r in out.take_all()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_embedding_neardup():
+    import ray.data
+
+    from rify_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(0)
+    a = rng.normal(size=16)
+    vecs = [a, a + rng.normal(scale=0.01, size=16), rng.normal(size=16)]
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = embedding_neardup_pairs(emb, threshold=0.95)
+    pairs = {(r["id1"], r["id2"]) for r in out.take_all()}
+    assert pairs == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def _embeddings_ds(n=50, dim=8, seed=3):
+    import ray.data
+
+    rng = np.random.RandomState(seed)
+    mat = rng.normal(size=(n, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32())),
+        }
+    )
+    return ray.data.from_arrow(tbl), mat
+
+
+def test_knn_brute_matches_numpy():
+    from rify_ray.stages.similarity import knn_brute
+
+    ds, mat = _embeddings_ds()
+    fmat = np.asarray(mat, dtype=np.float32).astype(np.float64)
+    qids = np.array([0, 1], dtype=np.int64)
+    out = knn_brute(ds, qids, fmat[:2], k=3, batch_size=16)
+    rows = sorted(
+        ((r["query_id"], r["rank"], r["neighbor_id"]) for r in out.take_all())
+    )
+    # numpy reference
+    nm = fmat / np.linalg.norm(fmat, axis=1)[:, None]
+    exp = []
+    for q in (0, 1):
+        sims = nm[q] @ nm.T
+        order = [i for i in np.lexsort((np.arange(len(sims)), -sims)) if i != q][:3]
+        exp.extend((q, r + 1, int(i)) for r, i in enumerate(order))
+    assert rows == sorted(exp)
+
+
+def test_knn_lsh_recall_reasonable():
+    from rify_ray.stages.similarity import knn_brute, knn_lsh
+
+    ds, mat = _embeddings_ds(n=200, dim=16)
+    fmat = np.asarray(mat, dtype=np.float32).astype(np.float64)
+    qids = np.array([5], dtype=np.int64)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_brute(ds, qids, fmat[5:6], k=5).take_all()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh(ds, qids, fmat[5:6], k=5, nbits=4).take_all()
+    }
+    assert len(approx) >= 1  # bucket non-empty, returns neighbors
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_media_stage_fake_decode_deterministic():
+    import ray.data
+
+    from rify_ray.stages.multimodal import media_stage, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(30))
+    out1 = sorted(
+        (r["media_id"], r["width"], r["height"], tuple(r["feature"]))
+        for r in media_stage(media, backend="fake", concurrency=2).take_all()
+    )
+    out2 = sorted(
+        (r["media_id"], r["width"], r["height"], tuple(r["feature"]))
+        for r in media_stage(media, backend="fake", concurrency=2, batch_size=7).take_all()
+    )
+    assert out1 == out2
+    assert len(out1) == 30
+
+
+def test_media_real_backend_raises():
+    from rify_ray.stages.multimodal import DecodeStage
+
+    stage = DecodeStage(backend="real")
+    batch = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["image"], pa.string()),
+            "payload": pa.array([b"xx"], pa.binary()),
+            "meta": pa.array(["{}"], pa.string()),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        stage(batch)
+
+
+def test_frame_sample():
+    from rify_ray.stages.multimodal import frame_sample_fn
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"0123456789"], pa.binary()),
+        }
+    )
+    out = frame_sample_fn(4)(batch)
+    assert out["frame_no"].to_pylist() == [0, 1, 2, 3]
+    assert out["byte_offset"].to_pylist() == [0, 2, 5, 7]
