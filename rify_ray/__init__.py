@@ -32,7 +32,11 @@ from .model import (
     rules_from_json,
     rules_to_json,
 )
-from .local import infer, prove, validate
+# package-level infer/prove/validate are the DISTRIBUTED engine entry
+# points (they accept lists of quads like the reference, plus Arrow
+# tables / polars frames / ray Datasets); the faithful single-process
+# oracle stays available as rify_ray.local
+from .engine import infer, prove, validate
 
 __all__ = [
     "B",

@@ -235,6 +235,7 @@ class Fixpoint:
         num_partitions: int = 32,
         checkpoint_dir: Optional[str] = None,
         max_iterations: int = 10_000,
+        salt_factor: int = 1,
     ):
         self.rules = list(rules)
         self.plans = compile_rules(self.rules)
@@ -243,6 +244,9 @@ class Fixpoint:
         self.num_partitions = num_partitions
         self.checkpoint_dir = checkpoint_dir
         self.max_iterations = max_iterations
+        # >1 activates salted joins on the shuffle path (skew mitigation
+        # for hot predicates/nodes — SURVEY.md §7.3)
+        self.salt_factor = salt_factor
 
     # -- evaluator selection ------------------------------------------------
 
@@ -261,7 +265,7 @@ class Fixpoint:
 
             new = run_iteration_ds(
                 delta, full_new, self.plans, with_lineage, self.num_partitions,
-                full_old=full_old,
+                full_old=full_old, salt_factor=self.salt_factor,
             )
             return new, "shuffle"
         return (

@@ -103,6 +103,46 @@ def _head_batch_fn(plan: RulePlan, with_lineage: bool) -> Callable[[pa.Table], p
     return fn
 
 
+def _salt_probe_fn(cols: Sequence[str], salt_factor: int):
+    """Deterministic per-row salt on the probe (bindings) side: hot join
+    keys spread over ``salt_factor`` partitions instead of landing on
+    one aggregator (skew mitigation — SURVEY.md §7.3; the canonical hot
+    key is a popular predicate/node like ``ancestor``)."""
+    import zlib
+
+    cols = list(cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__salt", pa.array([], pa.int32()))
+        joined = pc.binary_join_element_wise(
+            *[pc.cast(batch[c], pa.string()) for c in cols], "\x1f"
+        )
+        salts = pa.array(
+            [zlib.crc32(v.encode("utf-8")) % salt_factor for v in joined.to_pylist()],
+            pa.int32(),
+        )
+        return batch.append_column("__salt", salts)
+
+    return fn
+
+
+def _replicate_build_fn(salt_factor: int):
+    """Replicate the build (store-match) side once per salt value."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = []
+        for s in range(salt_factor):
+            parts.append(
+                batch.append_column(
+                    "__salt", pa.array([s] * batch.num_rows, pa.int32())
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return fn
+
+
 def run_iteration_ds(
     delta: pl.DataFrame,
     full: pl.DataFrame,
@@ -110,6 +150,7 @@ def run_iteration_ds(
     with_lineage: bool = False,
     num_partitions: int = 32,
     full_old: "pl.DataFrame" = None,
+    salt_factor: int = 1,
 ) -> pl.DataFrame:
     """One semi-naive round executed as Ray Data shuffles.
 
@@ -144,7 +185,8 @@ def run_iteration_ds(
             continue
         for chain in plan.chains:
             out = _eval_chain_ds(
-                delta_ds, full_old_ds, full_ds, plan, chain, with_lineage, num_partitions
+                delta_ds, full_old_ds, full_ds, plan, chain, with_lineage,
+                num_partitions, salt_factor,
             )
             if out is not None:
                 chain_outputs.append(out)
@@ -189,6 +231,7 @@ def _eval_chain_ds(
     chain: ChainPlan,
     with_lineage: bool,
     num_partitions: int,
+    salt_factor: int = 1,
 ):
     """Left-deep join chain for one delta position; returns a Dataset of
     head quads (with lkey when tracing lineage) or None if statically
@@ -222,9 +265,27 @@ def _eval_chain_ds(
             continue
         shared = [c for c in m_cols if c in bound_cols]
         if shared:
-            bindings = bindings.join(
-                m, "inner", num_partitions=num_partitions, on=tuple(shared)
-            ).materialize()
+            if salt_factor > 1:
+                bindings = bindings.map_batches(
+                    _salt_probe_fn(bound_cols, salt_factor),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                m = m.map_batches(
+                    _replicate_build_fn(salt_factor),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).materialize()
+                bindings = bindings.join(
+                    m,
+                    "inner",
+                    num_partitions=num_partitions,
+                    on=tuple([*shared, "__salt"]),
+                ).drop_columns(["__salt"]).materialize()
+            else:
+                bindings = bindings.join(
+                    m, "inner", num_partitions=num_partitions, on=tuple(shared)
+                ).materialize()
             bindings = _drop_empty_blocks(bindings)
             if bindings is None:
                 return None

@@ -1,0 +1,201 @@
+"""Hash-partitioned, parquet-backed quad store — the distributed
+``Reasoner`` fact log (reference ``src/reasoner.rs:86-127``) as durable
+state.
+
+Layout (BASELINE.json ``north_rule``: "resumable from checkpoint with
+per-partition lineage + metrics")::
+
+    <path>/
+      manifest.json                 # generations, counts, partitioning
+      gen=00000/part=<k>/*.parquet  # generation 0 (first add), hash-partitioned
+      gen=00001/part=<k>/*.parquet  # generation 1 (second add), ...
+
+Each ``add`` writes one new immutable *generation*: the incoming quads
+are deduped, anti-joined against the current store (insert-if-absent —
+``Reasoner::insert``), tagged with ``part = hash64(s,p,o,g) % P``, and
+written partitioned by ``part``.  A crashed ``add`` leaves no manifest
+entry, so the store never observes half-written generations: resuming
+re-runs the add idempotently (the anti-join re-drops what landed).
+
+Reads are ``ray.data.read_parquet`` over all committed generations —
+streaming, column-prunable, spillable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+QUAD_COLS = ["s", "p", "o", "g"]
+
+
+def _hash_part_fn(num_partitions: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("part", pa.array([], pa.int32()))
+        key = batch[QUAD_COLS[0]]
+        combined = pc.binary_join_element_wise(
+            *[pc.cast(batch[c], pa.string()) for c in QUAD_COLS], "\x1f"
+        )
+        # 64-bit FNV-1a over the joined key, vectorized via python hash of
+        # bytes is non-deterministic; use xxhash-like via pyarrow? Arrow has
+        # no direct hash kernel — use crc32-of-string via python (C-level)
+        import zlib
+
+        parts = pa.array(
+            [zlib.crc32(v.encode("utf-8")) % num_partitions for v in combined.to_pylist()],
+            pa.int32(),
+        )
+        return batch.append_column("part", parts)
+
+    return fn
+
+
+class TripleStore:
+    """Durable distributed quad store with exact insert-if-absent."""
+
+    def __init__(self, path: str, num_partitions: int = 64):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self.manifest_path = os.path.join(path, "manifest.json")
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                self.manifest = json.load(f)
+            self.num_partitions = self.manifest["num_partitions"]
+        else:
+            self.num_partitions = num_partitions
+            self.manifest = {
+                "num_partitions": num_partitions,
+                "generations": [],  # [{gen, rows, metrics}]
+            }
+
+    # -- reads --------------------------------------------------------------
+
+    @property
+    def generations(self) -> List[Dict]:
+        return self.manifest["generations"]
+
+    def count(self) -> int:
+        return sum(g["rows"] for g in self.generations)
+
+    def dataset(self, columns: Optional[List[str]] = None):
+        """Streaming Dataset over every committed generation (column
+        pruning supported)."""
+        import ray.data
+
+        # Ray's read_parquet rejects a list of >1 DIRECTORIES — expand the
+        # committed generations to concrete parquet file paths
+        files: List[str] = []
+        for g in self.generations:
+            gen_dir = os.path.join(self.path, f"gen={g['gen']:05d}")
+            for root, _dirs, names in os.walk(gen_dir):
+                files.extend(
+                    os.path.join(root, n) for n in names if n.endswith(".parquet")
+                )
+        if not files:
+            return ray.data.from_arrow(
+                pa.schema([(c, pa.string()) for c in QUAD_COLS]).empty_table()
+            )
+        return ray.data.read_parquet(sorted(files), columns=columns or QUAD_COLS)
+
+    def contains(self, quads: pa.Table) -> pa.Table:
+        """Semi-join membership check (``Reasoner::contains``,
+        src/reasoner.rs:98-101): returns the subset of ``quads`` present
+        in the store."""
+        import ray.data
+
+        from ..util import drop_empty_blocks
+
+        probe = ray.data.from_arrow(quads.select(QUAD_COLS)).materialize()
+        store = self.dataset().materialize()
+        if store.count() == 0 or probe.count() == 0:
+            return pa.schema([(c, pa.string()) for c in QUAD_COLS]).empty_table()
+        hit = probe.join(store, "left_semi", 8, on=tuple(QUAD_COLS))
+        batches = list(hit.iter_batches(batch_size=None, batch_format="pyarrow"))
+        if not batches:
+            return pa.schema([(c, pa.string()) for c in QUAD_COLS]).empty_table()
+        return pa.concat_tables(batches)
+
+    # -- writes -------------------------------------------------------------
+
+    def add(self, quads_ds) -> Dict:
+        """Insert-if-absent a Dataset (or arrow Table) of quads as one
+        new generation; returns per-add metrics.  Idempotent on retry:
+        an uncommitted generation directory is ignored and overwritten.
+        """
+        import time
+
+        import ray.data
+
+        from ..util import distinct, drop_empty_blocks
+
+        t0 = time.monotonic()
+        if isinstance(quads_ds, pa.Table):
+            quads_ds = ray.data.from_arrow(quads_ds)
+        incoming = distinct(quads_ds.select_columns(QUAD_COLS), QUAD_COLS)
+        if incoming is None:
+            return {"added": 0, "sec": 0.0}
+        incoming = incoming.materialize()
+        if self.count() > 0:
+            store = self.dataset().materialize()
+            incoming = incoming.join(
+                store, "left_anti", max(8, self.num_partitions // 8), on=tuple(QUAD_COLS)
+            ).materialize()
+            incoming = drop_empty_blocks(incoming)
+            if incoming is None:
+                return {"added": 0, "sec": round(time.monotonic() - t0, 3)}
+
+        gen = len(self.generations)
+        gen_dir = os.path.join(self.path, f"gen={gen:05d}")
+        parted = incoming.map_batches(
+            _hash_part_fn(self.num_partitions),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        parted.write_parquet(gen_dir, partition_cols=["part"])
+        added = incoming.count()
+        metrics = {
+            "added": int(added),
+            "sec": round(time.monotonic() - t0, 3),
+        }
+        # commit: manifest write is the atomic commit point
+        self.manifest["generations"].append({"gen": gen, "rows": int(added), "metrics": metrics})
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f)
+        os.replace(tmp, self.manifest_path)
+        return metrics
+
+    def compact(self) -> None:
+        """Rewrite all generations as one (drops tombstone-free history;
+        metrics preserved in the manifest)."""
+        import ray.data
+
+        if len(self.generations) <= 1:
+            return
+        ds = self.dataset().materialize()
+        gen = len(self.generations)
+        gen_dir = os.path.join(self.path, f"gen={gen:05d}")
+        parted = ds.map_batches(
+            _hash_part_fn(self.num_partitions),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        parted.write_parquet(gen_dir, partition_cols=["part"])
+        total = ds.count()
+        old_dirs = [os.path.join(self.path, f"gen={g['gen']:05d}") for g in self.generations]
+        self.manifest["generations"] = [
+            {"gen": gen, "rows": int(total), "metrics": {"compacted_from": len(old_dirs)}}
+        ]
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f)
+        os.replace(tmp, self.manifest_path)
+        import shutil
+
+        for d in old_dirs:
+            shutil.rmtree(d, ignore_errors=True)

@@ -233,6 +233,21 @@ def test_shuffle_ancestry(ray_session=None):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_shuffle_salted_join(ray_session=None):
+    """Salted joins (skew mitigation) must not change the result set."""
+    import polars as pl
+
+    facts = ancestry_facts(5)
+    df = pl.DataFrame(
+        {c: [f[j] for f in facts] for j, c in enumerate(["s", "p", "o", "g"])}
+    )
+    fp = engine.Fixpoint(ancestry_rules(), mode="shuffle", num_partitions=4, salt_factor=3)
+    res = fp.run(df)
+    got = set(map(tuple, res.derived().select(["s", "p", "o", "g"]).iter_rows()))
+    assert got == ancestry_expected(5)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_shuffle_prove_validate(ray_session=None):
     facts = ancestry_facts(4)
     rules = ancestry_rules()

@@ -1,0 +1,64 @@
+"""TripleStore: durable hash-partitioned quad store."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from rify_ray.state import TripleStore
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _quads(rows):
+    return pa.table(
+        {
+            "s": pa.array([r[0] for r in rows], pa.string()),
+            "p": pa.array([r[1] for r in rows], pa.string()),
+            "o": pa.array([r[2] for r in rows], pa.string()),
+            "g": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_add_dedup_contains_reload(tmp_path):
+    store = TripleStore(str(tmp_path / "kg"), num_partitions=4)
+    q1 = [("a", "p", "b", "g"), ("b", "p", "c", "g"), ("a", "p", "b", "g")]
+    m1 = store.add(_quads(q1))
+    assert m1["added"] == 2
+    # insert-if-absent: overlapping second add
+    q2 = [("a", "p", "b", "g"), ("c", "p", "d", "g")]
+    m2 = store.add(_quads(q2))
+    assert m2["added"] == 1
+    assert store.count() == 3
+
+    got = {
+        (r["s"], r["p"], r["o"], r["g"]) for r in store.dataset().take_all()
+    }
+    assert got == {("a", "p", "b", "g"), ("b", "p", "c", "g"), ("c", "p", "d", "g")}
+
+    hit = store.contains(_quads([("a", "p", "b", "g"), ("z", "z", "z", "z")]))
+    assert hit.num_rows == 1
+
+    # reload from disk (resume path)
+    store2 = TripleStore(str(tmp_path / "kg"))
+    assert store2.count() == 3
+    assert store2.num_partitions == 4
+    m3 = store2.add(_quads(q1))  # idempotent re-add
+    assert m3["added"] == 0
+
+
+def test_partition_layout_and_compact(tmp_path):
+    store = TripleStore(str(tmp_path / "kg"), num_partitions=4)
+    rows = [(f"s{i}", "p", f"o{i}", "g") for i in range(50)]
+    store.add(_quads(rows))
+    store.add(_quads([(f"s{i}", "q", f"o{i}", "g") for i in range(50)]))
+    gen0 = os.listdir(tmp_path / "kg" / "gen=00000")
+    assert any(d.startswith("part=") for d in gen0)
+    assert store.count() == 100
+
+    store.compact()
+    assert store.count() == 100
+    assert len(store.generations) == 1
+    got = store.dataset().count()
+    assert got == 100
