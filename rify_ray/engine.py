@@ -529,6 +529,85 @@ def infer(
     return out
 
 
+def infer_store(
+    premises_ds,
+    rules: Sequence[Rule],
+    store_path: str,
+    *,
+    num_partitions: int = 32,
+    salt_factor: int = 1,
+    max_iterations: int = 10_000,
+    resume: bool = True,
+):
+    """Fully Dataset/parquet-resident fixpoint — the 100 TB path.
+
+    Facts NEVER land on the driver: the full store lives in a
+    :class:`rify_ray.state.TripleStore` (hash-partitioned parquet
+    generations), each round is a :func:`run_iteration_core` of
+    ``Dataset.join`` exchanges, and each round's delta is committed as a
+    new store generation (atomic manifest commit → crash-resumable:
+    rerunning continues from the last committed generation).
+
+    Generation 0 holds the (deduped) premises + unconditional-rule heads;
+    generations 1..k are the per-round deltas, so
+    ``store.dataset(first_gen=1)`` is exactly the derived set.
+
+    Terms stay strings here (a global dictionary would itself need a
+    shuffle; the broadcast path does dictionary encoding instead).
+    Returns the TripleStore.
+    """
+    import ray.data
+
+    from .eval_shuffle import run_iteration_core
+    from .state import TripleStore
+
+    plans = compile_rules(list(rules))
+    store = TripleStore(store_path, num_partitions=num_partitions)
+    if store.generations and not resume:
+        raise ValueError(f"store at {store_path} is non-empty and resume=False")
+    if isinstance(premises_ds, pa.Table):
+        premises_ds = ray.data.from_arrow(premises_ds)
+
+    if not store.generations:
+        # generation 0: premises + unconditional heads
+        uncond = _fire_unconditional(plans, with_lineage=False)
+        gen0 = premises_ds.select_columns(FACT_COLS)
+        if uncond.height:
+            gen0 = gen0.union(
+                ray.data.from_arrow(
+                    uncond.to_arrow().cast(
+                        pa.schema([(c, pa.string()) for c in FACT_COLS])
+                    )
+                )
+            )
+        store.add(gen0)
+
+    start_round = len(store.generations)  # resume after last committed delta
+    for it in range(start_round, max_iterations):
+        last = len(store.generations) - 1
+        delta_ds = store.dataset(first_gen=last).materialize()
+        full_new = store.dataset().materialize()
+        full_old = (
+            store.dataset(last_gen=last - 1).materialize()
+            if last >= 1
+            else ray.data.from_arrow(
+                pa.schema([(c, pa.string()) for c in FACT_COLS]).empty_table()
+            )
+        )
+        new = run_iteration_core(
+            delta_ds,
+            full_old,
+            full_new,
+            plans,
+            num_partitions=num_partitions,
+            salt_factor=salt_factor,
+        )
+        if new is None or new.count() == 0:
+            break
+        store.add(new)
+    return store
+
+
 def prove(
     premises: QuadsLike,
     to_prove: Sequence[Fact],

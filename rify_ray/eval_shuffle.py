@@ -57,6 +57,10 @@ def _match_batch_fn(atom: AtomPlan) -> Callable[[pa.Table], pa.Table]:
                 first_col[vi] = col
         if mask is not None:
             batch = batch.filter(mask)
+        if not var_indices:
+            # all-constant atom: presence probe (a zero-column table
+            # would silently drop its row count)
+            return pa.table({"__one": pa.array([1] * batch.num_rows, pa.int32())})
         arrays = [batch[first_col[vi]] for vi in var_indices]
         names = [vcol(vi) for vi in var_indices]
         return pa.table(arrays, names=names)
@@ -179,20 +183,61 @@ def run_iteration_ds(
             _to_arrow_string(full_old.select(FACT_COLS))
         ).materialize()
 
+    new = run_iteration_core(
+        delta_ds,
+        full_old_ds,
+        full_ds,
+        plans,
+        with_lineage=with_lineage,
+        num_partitions=num_partitions,
+        salt_factor=salt_factor,
+        pin_schema=pin_schema,
+    )
+    if new is None:
+        return pl.DataFrame(schema=out_schema)
+    cols = [*FACT_COLS, "lkey"] if with_lineage else FACT_COLS
+    batches = list(new.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pl.DataFrame(schema=out_schema)
+    out_df = pl.from_arrow(pa.concat_tables(batches))
+    if out_df.height == 0:
+        return pl.DataFrame(schema=out_schema)
+    return out_df.select(cols).cast(out_schema)
+
+
+def run_iteration_core(
+    delta_ds,
+    full_old_ds,
+    full_new_ds,
+    plans: Sequence[RulePlan],
+    *,
+    with_lineage: bool = False,
+    num_partitions: int = 32,
+    salt_factor: int = 1,
+    pin_schema: Optional[pa.Schema] = None,
+):
+    """Dataset-in / Dataset-out semi-naive round — the fully
+    Dataset-resident variant used by :func:`rify_ray.engine.infer_store`
+    (facts never land on the driver).  Returns a materialized Dataset of
+    the round's new facts, or None when the round derives nothing."""
+    if pin_schema is None:
+        pin_schema = pa.schema([(c, pa.string()) for c in FACT_COLS])
+        if with_lineage:
+            pin_schema = pin_schema.append(pa.field("lkey", pa.string()))
     chain_outputs = []
+    match_cache: dict = {}
     for plan in plans:
         if not plan.body:
             continue
         for chain in plan.chains:
             out = _eval_chain_ds(
-                delta_ds, full_old_ds, full_ds, plan, chain, with_lineage,
-                num_partitions, salt_factor,
+                delta_ds, full_old_ds, full_new_ds, plan, chain, with_lineage,
+                num_partitions, salt_factor, match_cache,
             )
             if out is not None:
                 chain_outputs.append(out)
-    cols = [*FACT_COLS, "lkey"] if with_lineage else FACT_COLS
     if not chain_outputs:
-        return pl.DataFrame(schema=out_schema)
+        return None
 
     new = chain_outputs[0]
     if len(chain_outputs) > 1:
@@ -206,21 +251,15 @@ def run_iteration_ds(
         new = new.groupby(FACT_COLS).count().drop_columns(["count()"])
     new = _drop_empty_blocks(new.materialize())
     if new is None:
-        return pl.DataFrame(schema=out_schema)
+        return None
     new = new.map_batches(
         _ensure_schema(pin_schema), batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
     # insert-if-absent: anti-join against the full store
-    new = new.join(full_ds, "left_anti", num_partitions, on=tuple(FACT_COLS))
-
-    batches = list(new.iter_batches(batch_size=None, batch_format="pyarrow"))
-    if not batches:
-        return pl.DataFrame(schema=out_schema)
-    out_df = pl.from_arrow(pa.concat_tables(batches))
-    if out_df.height == 0:
-        return pl.DataFrame(schema=out_schema)
-    return out_df.select(cols).cast(out_schema)
+    new = new.join(full_new_ds, "left_anti", num_partitions, on=tuple(FACT_COLS))
+    new = _drop_empty_blocks(new.materialize())
+    return new
 
 
 def _eval_chain_ds(
@@ -232,30 +271,45 @@ def _eval_chain_ds(
     with_lineage: bool,
     num_partitions: int,
     salt_factor: int = 1,
+    match_cache: Optional[dict] = None,
 ):
     """Left-deep join chain for one delta position; returns a Dataset of
     head quads (with lkey when tracing lineage) or None if statically
-    empty."""
+    empty.  ``match_cache`` memoizes (side, atom) match datasets across
+    the round's chains — the k delta-position chains of one rule (and
+    rules sharing atoms) reuse the same filtered projections."""
     body = plan.body
     bindings = None
     bound_cols: List[str] = []
     for step, atom_i in enumerate(chain.order):
         atom = body[atom_i]
         if step == 0:
-            side = delta_ds
+            side, side_key = delta_ds, "delta"
         elif atom_i < chain.delta_pos:
-            side = full_old_ds  # semi-naive old/new split (no double count)
+            # semi-naive old/new split (no double count)
+            side, side_key = full_old_ds, "old"
         else:
-            side = full_new_ds
+            side, side_key = full_new_ds, "new"
         # materialize + count: (a) pins the schema so the hash-shuffle
         # aggregator can build empty partitions (Ray drops schema-less
         # empty lazy outputs), (b) prunes dead chains early — the
         # distributed analogue of pop_strictest_requirement's
         # fewest-matches-first pruning (src/reasoner.rs:235-243)
-        m = side.map_batches(
-            _match_batch_fn(atom), batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
-        if m.count() == 0:
+        cache_key = (side_key, atom.slots)
+        in_cache = match_cache is not None and cache_key in match_cache
+        if in_cache:
+            m = match_cache[cache_key]
+        else:
+            m = side.map_batches(
+                _match_batch_fn(atom), batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+            # map tasks are ELIDED on empty input blocks, which then keep
+            # their ORIGINAL schema — drop them or the join sees mixed
+            # schemas ("No match for FieldRef")
+            m = _drop_empty_blocks(m)
+            if match_cache is not None:
+                match_cache[cache_key] = m
+        if m is None:
             return None
         if not atom.var_indices:
             continue  # all-constant existence check passed

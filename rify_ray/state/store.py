@@ -82,15 +82,23 @@ class TripleStore:
     def count(self) -> int:
         return sum(g["rows"] for g in self.generations)
 
-    def dataset(self, columns: Optional[List[str]] = None):
-        """Streaming Dataset over every committed generation (column
-        pruning supported)."""
+    def dataset(
+        self,
+        columns: Optional[List[str]] = None,
+        *,
+        first_gen: int = 0,
+        last_gen: Optional[int] = None,
+    ):
+        """Streaming Dataset over committed generations
+        ``[first_gen, last_gen]`` (inclusive; default: all).  Column
+        pruning supported."""
         import ray.data
 
+        gens = self.generations[first_gen : (last_gen + 1 if last_gen is not None else None)]
         # Ray's read_parquet rejects a list of >1 DIRECTORIES — expand the
         # committed generations to concrete parquet file paths
         files: List[str] = []
-        for g in self.generations:
+        for g in gens:
             gen_dir = os.path.join(self.path, f"gen={g['gen']:05d}")
             for root, _dirs, names in os.walk(gen_dir):
                 files.extend(
