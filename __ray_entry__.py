@@ -252,6 +252,53 @@ def _q_events_window_counts(sf_dir: str):
     return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 
 
+def _collect(out):
+    batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return pa.concat_tables(batches) if batches else out.schema().empty_table()
+
+
+def _q_top_users_by_events(sf_dir: str):
+    from rify_ray.pipelines.relational import top_users_by_events
+
+    return _collect(top_users_by_events(sf_dir, 10))
+
+
+def _q_orders_by_status_priority(sf_dir: str):
+    from rify_ray.pipelines.relational import orders_by_status_priority
+
+    return _collect(orders_by_status_priority(sf_dir))
+
+
+def _q_segment_order_counts(sf_dir: str):
+    from rify_ray.pipelines.relational import segment_order_counts
+
+    return _collect(segment_order_counts(sf_dir))
+
+
+def _q_lineitem_pricing_cents(sf_dir: str):
+    from rify_ray.pipelines.relational import lineitem_pricing_cents
+
+    return _collect(lineitem_pricing_cents(sf_dir))
+
+
+def _q_kg_pages_store(sf_dir: str):
+    """Flagship over the Dataset-resident path: pages → triples →
+    infer_store (parquet-generation fixpoint) → derived reach facts."""
+    import tempfile
+
+    from rify_ray import engine
+    from rify_ray.pipelines.kg import build_triples
+    from rify_ray.sources import pages_dataset
+    from rify_ray.sources.pages import alias_index
+
+    quads = build_triples(pages_dataset(200, 12), alias_index(12), concurrency=2)
+    with tempfile.TemporaryDirectory() as d:
+        store = engine.infer_store(
+            quads, fixtures_rules.ancestry_rules(), f"{d}/kg", num_partitions=4
+        )
+        return _collect(store.dataset(first_gen=1))
+
+
 def _q_knn_cosine_top5(sf_dir: str):
     import ray.data
 
@@ -355,6 +402,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "events_window_counts": _q_events_window_counts,
+        "top_users_by_events": _q_top_users_by_events,
+        "orders_by_status_priority": _q_orders_by_status_priority,
+        "segment_order_counts": _q_segment_order_counts,
+        "lineitem_pricing_cents": _q_lineitem_pricing_cents,
+        "kg_pages_store": _q_kg_pages_store,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "knn_lsh_top3": _q_knn_lsh_top3,
         "minhash_candidates": _q_minhash_candidates,
@@ -433,6 +485,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT) AS window_start, "
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "top_users_by_events": (
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY user_id "
+            "ORDER BY n_events DESC, user_id LIMIT 10"
+        ),
+        "orders_by_status_priority": (
+            "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY 1, 2"
+        ),
+        "segment_order_counts": (
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+        ),
+        "lineitem_pricing_cents": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_cents, "
+            "CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_price_cents "
+            "FROM lineitem GROUP BY 1, 2"
         ),
         "knn_cosine_top5": (
             "WITH q AS (SELECT vec_id AS query_id, "

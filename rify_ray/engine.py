@@ -582,18 +582,17 @@ def infer_store(
             )
         store.add(gen0)
 
+    # cache the store-backed sides across rounds: full_new(k) =
+    # full_new(k-1) ∪ delta(k), so only the first round reads parquet
     start_round = len(store.generations)  # resume after last committed delta
+    last = len(store.generations) - 1
+    delta_ds = store.dataset(first_gen=last).materialize()
+    empty_ds = ray.data.from_arrow(
+        pa.schema([(c, pa.string()) for c in FACT_COLS]).empty_table()
+    )
+    full_old = store.dataset(last_gen=last - 1).materialize() if last >= 1 else empty_ds
+    full_new = full_old.union(delta_ds) if last >= 1 else delta_ds
     for it in range(start_round, max_iterations):
-        last = len(store.generations) - 1
-        delta_ds = store.dataset(first_gen=last).materialize()
-        full_new = store.dataset().materialize()
-        full_old = (
-            store.dataset(last_gen=last - 1).materialize()
-            if last >= 1
-            else ray.data.from_arrow(
-                pa.schema([(c, pa.string()) for c in FACT_COLS]).empty_table()
-            )
-        )
         new = run_iteration_core(
             delta_ds,
             full_old,
@@ -604,7 +603,11 @@ def infer_store(
         )
         if new is None or new.count() == 0:
             break
-        store.add(new)
+        # new already went through dedup + anti-join inside the round
+        store.add(new, precleaned=True)
+        full_old = full_new
+        full_new = full_old.union(new)
+        delta_ds = new
     return store
 
 

@@ -105,6 +105,134 @@ def nation_chain_quads(sf_dir: str) -> pa.Table:
     )
 
 
+def _clean_groupby_output(out, schema: pa.Schema, rename: dict):
+    """Post-groupby hygiene: empty aggregator blocks + column renames +
+    exact output types."""
+    from ..util import drop_empty_blocks
+
+    out = drop_empty_blocks(out.materialize())
+    if out is None:
+        import ray.data
+
+        return ray.data.from_arrow(schema.empty_table())
+
+    def fix(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return schema.empty_table()
+        cols = {}
+        for name in schema.names:
+            src = rename.get(name, name)
+            cols[name] = pc.cast(batch[src], schema.field(name).type)
+        return pa.table(cols)
+
+    return out.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_users_by_events(sf_dir: str, k: int = 10):
+    """groupby + sort + limit (top-k): the k users with most events,
+    deterministic tie-break on user_id."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = ds.groupby("user_id").count()
+    schema = pa.schema([("user_id", pa.int64()), ("n_events", pa.int64())])
+    out = _clean_groupby_output(out, schema, {"n_events": "count()"})
+    # sort by (n_events desc, user_id asc), take k
+    out = out.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
+    return out
+
+
+def orders_by_status_priority(sf_dir: str):
+    """Multi-key groupby count."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderpriority"]
+    )
+    out = ds.groupby(["o_orderstatus", "o_orderpriority"]).count()
+    schema = pa.schema(
+        [
+            ("o_orderstatus", pa.string()),
+            ("o_orderpriority", pa.string()),
+            ("n_orders", pa.int64()),
+        ]
+    )
+    return _clean_groupby_output(out, schema, {"n_orders": "count()"})
+
+
+def segment_order_counts(sf_dir: str, num_partitions: int = 8):
+    """Hash-join + groupby: orders per customer market segment."""
+    import ray.data
+
+    from ..util import drop_empty_blocks
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).materialize()
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).materialize()
+    joined = orders.join(
+        cust, "inner", num_partitions, on=("o_custkey",), right_on=("c_custkey",)
+    ).materialize()
+    joined = drop_empty_blocks(joined)
+    schema = pa.schema([("c_mktsegment", pa.string()), ("n_orders", pa.int64())])
+    if joined is None:
+        import ray.data as rd
+
+        return rd.from_arrow(schema.empty_table())
+    out = joined.groupby("c_mktsegment").count()
+    return _clean_groupby_output(out, schema, {"n_orders": "count()"})
+
+
+def lineitem_pricing_cents(sf_dir: str):
+    """TPC-H Q1-style aggregate with integer-cent outputs (stable under
+    float summation-order differences): per (returnflag, linestatus)
+    count + rounded sums."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).sum(
+        ["l_quantity", "l_extendedprice"]
+    )
+    from ..util import drop_empty_blocks
+
+    out = drop_empty_blocks(out.materialize())
+    schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("sum_qty_cents", pa.int64()),
+            ("sum_price_cents", pa.int64()),
+        ]
+    )
+    if out is None:
+        return __import__("ray.data", fromlist=["data"]).from_arrow(schema.empty_table())
+
+    def fix(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "l_returnflag": pc.cast(batch["l_returnflag"], pa.string()),
+                "l_linestatus": pc.cast(batch["l_linestatus"], pa.string()),
+                "sum_qty_cents": pc.cast(
+                    pc.round(pc.multiply(batch["sum(l_quantity)"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+                "sum_price_cents": pc.cast(
+                    pc.round(pc.multiply(batch["sum(l_extendedprice)"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def events_window_counts(sf_dir: str, *, window_s: int = 3600):
     """Tumbling-window event counts per user: (user_id, window_start
     epoch-seconds, n_events).  Pre-aggregation happens inside the

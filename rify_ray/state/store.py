@@ -130,10 +130,15 @@ class TripleStore:
 
     # -- writes -------------------------------------------------------------
 
-    def add(self, quads_ds) -> Dict:
+    def add(self, quads_ds, *, precleaned: bool = False) -> Dict:
         """Insert-if-absent a Dataset (or arrow Table) of quads as one
         new generation; returns per-add metrics.  Idempotent on retry:
         an uncommitted generation directory is ignored and overwritten.
+
+        ``precleaned=True`` skips the dedup + anti-join (caller
+        guarantees the quads are already duplicate-free and absent from
+        the store — e.g. a fixpoint round's delta, which went through
+        exactly those exchanges already).
         """
         import time
 
@@ -144,18 +149,25 @@ class TripleStore:
         t0 = time.monotonic()
         if isinstance(quads_ds, pa.Table):
             quads_ds = ray.data.from_arrow(quads_ds)
-        incoming = distinct(quads_ds.select_columns(QUAD_COLS), QUAD_COLS)
-        if incoming is None:
-            return {"added": 0, "sec": 0.0}
-        incoming = incoming.materialize()
-        if self.count() > 0:
-            store = self.dataset().materialize()
-            incoming = incoming.join(
-                store, "left_anti", max(8, self.num_partitions // 8), on=tuple(QUAD_COLS)
-            ).materialize()
-            incoming = drop_empty_blocks(incoming)
+        if precleaned:
+            incoming = drop_empty_blocks(
+                quads_ds.select_columns(QUAD_COLS).materialize()
+            )
             if incoming is None:
                 return {"added": 0, "sec": round(time.monotonic() - t0, 3)}
+        else:
+            incoming = distinct(quads_ds.select_columns(QUAD_COLS), QUAD_COLS)
+            if incoming is None:
+                return {"added": 0, "sec": 0.0}
+            incoming = incoming.materialize()
+            if self.count() > 0:
+                store = self.dataset().materialize()
+                incoming = incoming.join(
+                    store, "left_anti", max(8, self.num_partitions // 8), on=tuple(QUAD_COLS)
+                ).materialize()
+                incoming = drop_empty_blocks(incoming)
+                if incoming is None:
+                    return {"added": 0, "sec": round(time.monotonic() - t0, 3)}
 
         gen = len(self.generations)
         gen_dir = os.path.join(self.path, f"gen={gen:05d}")
