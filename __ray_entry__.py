@@ -371,7 +371,9 @@ def _q_embed_neardup(sf_dir: str):
     from rify_ray.stages.dedup import embedding_neardup_pairs
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = embedding_neardup_pairs(emb, threshold=0.9)
+    # the synthetic embeddings have no true near-dups (max pair cosine
+    # ~0.51); 0.45 keeps the op's output non-trivial and deterministic
+    out = embedding_neardup_pairs(emb, threshold=0.45)
     batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
     if not batches:
         return pa.schema(
