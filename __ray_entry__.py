@@ -281,6 +281,12 @@ def _q_lineitem_pricing_cents(sf_dir: str):
     return _collect(lineitem_pricing_cents(sf_dir))
 
 
+def _q_events_sessionize(sf_dir: str):
+    from rify_ray.pipelines.relational import events_sessionize
+
+    return _collect(events_sessionize(sf_dir))
+
+
 def _q_kg_pages_store(sf_dir: str):
     """Flagship over the Dataset-resident path: pages → triples →
     infer_store (parquet-generation fixpoint) → derived reach facts."""
@@ -408,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_status_priority": _q_orders_by_status_priority,
         "segment_order_counts": _q_segment_order_counts,
         "lineitem_pricing_cents": _q_lineitem_pricing_cents,
+        "events_sessionize": _q_events_sessionize,
         "kg_pages_store": _q_kg_pages_store,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "knn_lsh_top3": _q_knn_lsh_top3,
@@ -506,6 +513,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_cents, "
             "CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_price_cents "
             "FROM lineitem GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH marked AS ("
+            "  SELECT user_id, epoch_us(ts) AS tus, "
+            "    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 "
+            "         THEN 1 ELSE 0 END AS brk "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))"
+            "), sess AS ("
+            "  SELECT user_id, tus, "
+            "    SUM(brk) OVER (PARTITION BY user_id ORDER BY tus "
+            "      ROWS UNBOUNDED PRECEDING) AS session_id "
+            "  FROM marked) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "  CAST(session_id AS BIGINT) AS session_id, "
+            "  CAST(count(*) AS BIGINT) AS n_events, "
+            "  CAST(min(tus) AS BIGINT) AS start_us "
+            "FROM sess GROUP BY user_id, session_id"
         ),
         "knn_cosine_top5": (
             "WITH q AS (SELECT vec_id AS query_id, "

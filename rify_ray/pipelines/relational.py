@@ -233,6 +233,54 @@ def lineitem_pricing_cents(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def events_sessionize(sf_dir: str, *, gap_s: int = 1800):
+    """Gap-based sessionization: per user, events sorted by time are cut
+    into sessions wherever the inter-event gap exceeds ``gap_s``.
+    Returns (user_id, session_id, n_events, start_us) — session_id is
+    0-based per user in time order.
+
+    Partitioning: one hash-shuffle on user_id (``groupby.map_groups``);
+    the per-group fold is vectorized numpy.  This is the streaming-window
+    pattern: all state confined to the group/partition.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    import numpy as np
+
+    gap_us = gap_s * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        uid = group["user_id"][0].as_py()
+        ts = np.sort(np.asarray(pc.cast(group["ts"], pa.int64()).to_pylist(), dtype=np.int64))
+        if ts.size == 0:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("session_id", pa.int64()),
+                    ("n_events", pa.int64()),
+                    ("start_us", pa.int64()),
+                ]
+            ).empty_table()
+        brk = np.empty(ts.size, dtype=np.int64)
+        brk[0] = 0
+        brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(brk)
+        n_sessions = sid[-1] + 1
+        counts = np.bincount(sid, minlength=n_sessions)
+        starts = ts[np.searchsorted(sid, np.arange(n_sessions))]
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * n_sessions, pa.int64()),
+                "session_id": pa.array(np.arange(n_sessions), pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "start_us": pa.array(starts, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
 def events_window_counts(sf_dir: str, *, window_s: int = 3600):
     """Tumbling-window event counts per user: (user_id, window_start
     epoch-seconds, n_events).  Pre-aggregation happens inside the

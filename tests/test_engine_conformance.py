@@ -233,6 +233,26 @@ def test_shuffle_ancestry(ray_session=None):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_auto_mode_crosses_to_shuffle(ray_session=None):
+    """auto mode switches broadcast → shuffle when the store outgrows the
+    threshold mid-fixpoint; the result set must be unchanged."""
+    import polars as pl
+
+    facts = ancestry_facts(5)
+    df = pl.DataFrame(
+        {c: [f[j] for f in facts] for j, c in enumerate(["s", "p", "o", "g"])}
+    )
+    fp = engine.Fixpoint(
+        ancestry_rules(), mode="auto", broadcast_threshold=12, num_partitions=4
+    )
+    res = fp.run(df)
+    evals = {m["evaluator"] for m in res.metrics}
+    assert "broadcast" in evals and "shuffle" in evals
+    got = set(map(tuple, res.derived().select(["s", "p", "o", "g"]).iter_rows()))
+    assert got == ancestry_expected(5)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_shuffle_salted_join(ray_session=None):
     """Salted joins (skew mitigation) must not change the result set."""
     import polars as pl
