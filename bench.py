@@ -117,6 +117,10 @@ def run_queries() -> dict:
         "text_lang_id",
         "text_fingerprint",
         "events_window_counts",
+        "events_sessionize",
+        "top_users_by_events",
+        "segment_order_counts",
+        "lineitem_pricing_cents",
         "knn_cosine_top5",
         "minhash_candidates",
         "simhash_neardup",

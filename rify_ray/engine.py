@@ -583,7 +583,11 @@ def infer_store(
         store.add(gen0)
 
     # cache the store-backed sides across rounds: full_new(k) =
-    # full_new(k-1) ∪ delta(k), so only the first round reads parquet
+    # full_new(k-1) ∪ delta(k), so only the first round reads parquet;
+    # per-atom matches are maintained incrementally (only the delta is
+    # ever rescanned — IncrementalMatches)
+    from .eval_shuffle import IncrementalMatches
+
     start_round = len(store.generations)  # resume after last committed delta
     last = len(store.generations) - 1
     delta_ds = store.dataset(first_gen=last).materialize()
@@ -592,6 +596,14 @@ def infer_store(
     )
     full_old = store.dataset(last_gen=last - 1).materialize() if last >= 1 else empty_ds
     full_new = full_old.union(delta_ds) if last >= 1 else delta_ds
+    inc = IncrementalMatches(plans)
+    if last >= 1:
+        # resume mid-fixpoint: seed the incremental matches with one scan
+        # of the pre-delta store
+        inc.advance(full_old)
+        inc.advance(delta_ds)
+    else:
+        inc.advance(delta_ds)
     for it in range(start_round, max_iterations):
         new = run_iteration_core(
             delta_ds,
@@ -600,6 +612,7 @@ def infer_store(
             plans,
             num_partitions=num_partitions,
             salt_factor=salt_factor,
+            match_cache=inc.cache(),
         )
         if new is None or new.count() == 0:
             break
@@ -608,6 +621,7 @@ def infer_store(
         full_old = full_new
         full_new = full_old.union(new)
         delta_ds = new
+        inc.advance(delta_ds)
     return store
 
 

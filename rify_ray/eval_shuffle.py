@@ -215,17 +215,24 @@ def run_iteration_core(
     num_partitions: int = 32,
     salt_factor: int = 1,
     pin_schema: Optional[pa.Schema] = None,
+    match_cache: Optional[dict] = None,
 ):
     """Dataset-in / Dataset-out semi-naive round — the fully
     Dataset-resident variant used by :func:`rify_ray.engine.infer_store`
     (facts never land on the driver).  Returns a materialized Dataset of
-    the round's new facts, or None when the round derives nothing."""
+    the round's new facts, or None when the round derives nothing.
+
+    ``match_cache`` may be pre-populated (keys ``(side, atom.slots)``
+    with side in delta/old/new) by an incremental maintainer — see
+    :class:`IncrementalMatches` — so a round never rescans the full
+    store."""
     if pin_schema is None:
         pin_schema = pa.schema([(c, pa.string()) for c in FACT_COLS])
         if with_lineage:
             pin_schema = pin_schema.append(pa.field("lkey", pa.string()))
     chain_outputs = []
-    match_cache: dict = {}
+    if match_cache is None:
+        match_cache = {}
     for plan in plans:
         if not plan.body:
             continue
@@ -260,6 +267,55 @@ def run_iteration_core(
     new = new.join(full_new_ds, "left_anti", num_partitions, on=tuple(FACT_COLS))
     new = _drop_empty_blocks(new.materialize())
     return new
+
+
+class IncrementalMatches:
+    """Incremental per-atom match maintenance for the store-resident
+    fixpoint: ``M_full(round k) = M_full(k-1) ∪ match(delta_k)``, so
+    each round scans ONLY the delta instead of rescanning the whole
+    store per atom per round (at web scale that turns O(rounds) full
+    scans into one).
+
+    ``advance(delta)`` must be called once per round BEFORE evaluating
+    it, with that round's delta; ``cache()`` then yields a pre-populated
+    match cache for :func:`run_iteration_core` with the delta / old /
+    new sides for every distinct body atom.
+    """
+
+    def __init__(self, plans: Sequence[RulePlan]):
+        self.atoms = {}
+        for plan in plans:
+            for atom in plan.body:
+                self.atoms.setdefault(atom.slots, atom)
+        # per atom: matches over the store BEFORE the current delta
+        # (None = empty)
+        self._m_old = {slots: None for slots in self.atoms}
+        self._m_new = {slots: None for slots in self.atoms}
+
+    def advance(self, delta_ds) -> None:
+        self._delta_m = {}
+        for slots, atom in self.atoms.items():
+            dm = delta_ds.map_batches(
+                _match_batch_fn(atom), batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+            dm = _drop_empty_blocks(dm)
+            self._delta_m[slots] = dm
+            old = self._m_new[slots]
+            self._m_old[slots] = old
+            if dm is None:
+                self._m_new[slots] = old
+            elif old is None:
+                self._m_new[slots] = dm
+            else:
+                self._m_new[slots] = old.union(dm)
+
+    def cache(self) -> dict:
+        out = {}
+        for slots in self.atoms:
+            out[("delta", slots)] = self._delta_m[slots]
+            out[("old", slots)] = self._m_old[slots]
+            out[("new", slots)] = self._m_new[slots]
+        return out
 
 
 def _eval_chain_ds(
