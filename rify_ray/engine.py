@@ -167,7 +167,25 @@ class FixpointResult:
         """
         fact_dtype = self.premises.schema["s"] if "s" in self.premises.schema else pl.Utf8
         frames = []
-        for it, d in enumerate(self.deltas):
+        # Round 0 reproduces the reference's exact output contract
+        # (src/infer.rs:32-50,79-81): claims[initial_len:] where round 0
+        # inserts sorted(premises ∪ unconditional_heads) — so when an
+        # unconditional head sorts before a premise, the head is dropped
+        # and the premise IS emitted.  Term-id tuple order == term tuple
+        # order (ids are sort ranks), so a plain lexicographic sort
+        # matches.  Without unconditional heads this is simply "premises
+        # excluded".
+        if self.deltas and self.deltas[0].height:
+            round0 = (
+                pl.concat([self.premises, self.deltas[0].select(FACT_COLS)])
+                .sort(FACT_COLS)
+                .slice(self.premises.height)
+            )
+            if round0.height:
+                frames.append(
+                    round0.with_columns(pl.lit(0, dtype=pl.Int32).alias("iteration"))
+                )
+        for it, d in enumerate(self.deltas[1:], start=1):
             if d.height:
                 frames.append(
                     d.select(FACT_COLS).with_columns(pl.lit(it, dtype=pl.Int32).alias("iteration"))
@@ -176,9 +194,10 @@ class FixpointResult:
             return pl.DataFrame(
                 schema={**{c: fact_dtype for c in FACT_COLS}, "iteration": pl.Int32}
             )
-        out = pl.concat(frames)
-        out = out.join(self.premises, on=FACT_COLS, how="anti")
-        return out.sort(["iteration", *FACT_COLS])
+        # later rounds were anti-joined against the full store (which
+        # contains the premises) every iteration, so no further exclusion
+        # is needed
+        return pl.concat(frames).sort(["iteration", *FACT_COLS])
 
     def arguments(self) -> Dict[Tuple[str, str, str, str], Tuple[int, Tuple[str, ...]]]:
         """First-derivation-wins lineage map quad -> (rule_index, inst)
@@ -342,6 +361,12 @@ class Fixpoint:
         if start_iter == 0:
             # iteration 0: unconditional heads + premises form the first delta
             uncond = _fire_unconditional(self.plans, with_lineage, fact_dtype)
+            # several unconditional rules may assert the same head: dedup,
+            # first-wins by rule order when tracing lineage
+            if with_lineage:
+                uncond = uncond.sort("lkey").unique(subset=FACT_COLS, keep="first")
+            else:
+                uncond = uncond.unique(subset=FACT_COLS)
             uncond_new = uncond.join(premises, on=FACT_COLS, how="anti")
             delta0 = pl.concat([premises, uncond_new.select(FACT_COLS)])
             res.full = pl.concat([premises, uncond_new.select(FACT_COLS)])

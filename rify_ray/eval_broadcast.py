@@ -151,7 +151,11 @@ def project_heads(
                 exprs.append(pl.col(vcol(v)).alias(SLOTS[j]))
         if with_lineage:
             exprs.append(inst_expr)
-        frames.append(bindings.select(exprs))
+        out_cols = [SLOTS[j] for j in range(4)] + (["lkey"] if with_lineage else [])
+        # with_columns (NOT select): selecting pure literals from an
+        # empty frame would fabricate one phantom row, silently firing
+        # all-constant heads with zero satisfying bindings
+        frames.append(bindings.with_columns(exprs).select(out_cols))
     return pl.concat(frames) if len(frames) > 1 else frames[0]
 
 
