@@ -60,6 +60,38 @@ def test_no_mentions_yields_none():
     assert build_triples(ray.data.from_arrow(junk), alias_index(4), concurrency=1) is None
 
 
+def test_provenance_graphs():
+    """graph=None keeps per-page provenance: g = url, and the engine's
+    graph separation means per-page facts do not join across pages."""
+    n, m = 40, 10
+    quads = build_triples(
+        pages_dataset(n, m, override_num_blocks=2),
+        alias_index(m),
+        concurrency=1,
+        graph=None,
+    )
+    rows = quads.take_all()
+    assert all(r["g"].startswith("https://ex.org/p/") for r in rows)
+    # url graphs are distinct per page for the same (s,p,o)
+    assert len({r["g"] for r in rows}) > 1
+
+
+def test_validate_many():
+    from rify_ray import engine
+
+    facts = pages_table(0)  # unused; keep import noise low
+    rules = ancestry_rules()
+    from rify_ray.model import RuleApplication
+
+    proofs = [
+        [RuleApplication(0, (f"n{i}", f"n{i+1}"))] for i in range(20)
+    ]
+    outs = engine.validate_many(rules, proofs)
+    assert len(outs) == 20
+    for i, v in enumerate(outs):
+        assert (f"n{i}", "ancestor", f"n{i+1}", "default_graph") in v.implied
+
+
 def test_flagship_closure():
     n, m = 150, 30
     res = kg_construct_and_infer(
