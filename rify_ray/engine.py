@@ -563,6 +563,8 @@ def infer_store(
     salt_factor: int = 1,
     max_iterations: int = 10_000,
     resume: bool = True,
+    with_lineage: bool = False,
+    goals: Optional[pa.Table] = None,
 ):
     """Fully Dataset/parquet-resident fixpoint — the 100 TB path.
 
@@ -577,13 +579,19 @@ def infer_store(
     generations 1..k are the per-round deltas, so
     ``store.dataset(first_gen=1)`` is exactly the derived set.
 
+    ``with_lineage`` persists per-generation lineage parquet under
+    ``<store_path>/lineage/gen=K/`` — one (quad, lkey) row per first
+    derivation (``src/prove.rs:142-147``'s arguments map, partitioned).
+    ``goals`` (a 4-column arrow table) activates prove-style early exit:
+    the loop stops once every goal is in the store.
+
     Terms stay strings here (a global dictionary would itself need a
     shuffle; the broadcast path does dictionary encoding instead).
-    Returns the TripleStore.
+    Returns the store; with ``goals``, returns (store, goals_reached).
     """
     import ray.data
 
-    from .eval_shuffle import run_iteration_core
+    from .eval_shuffle import IncrementalMatches, run_iteration_core
     from .state import TripleStore
 
     plans = compile_rules(list(rules))
@@ -592,27 +600,45 @@ def infer_store(
         raise ValueError(f"store at {store_path} is non-empty and resume=False")
     if isinstance(premises_ds, pa.Table):
         premises_ds = ray.data.from_arrow(premises_ds)
+    lineage_dir = os.path.join(store_path, "lineage")
 
     if not store.generations:
         # generation 0: premises + unconditional heads
-        uncond = _fire_unconditional(plans, with_lineage=False)
+        uncond = _fire_unconditional(plans, with_lineage, pl.Utf8)
+        if with_lineage and uncond.height:
+            uncond = uncond.sort("lkey").unique(subset=FACT_COLS, keep="first")
         gen0 = premises_ds.select_columns(FACT_COLS)
         if uncond.height:
             gen0 = gen0.union(
                 ray.data.from_arrow(
-                    uncond.to_arrow().cast(
-                        pa.schema([(c, pa.string()) for c in FACT_COLS])
-                    )
+                    uncond.select(FACT_COLS)
+                    .to_arrow()
+                    .cast(pa.schema([(c, pa.string()) for c in FACT_COLS]))
                 )
             )
+        if with_lineage:
+            os.makedirs(os.path.join(lineage_dir, "gen=00000"), exist_ok=True)
+            uncond.write_parquet(
+                os.path.join(lineage_dir, "gen=00000", "lineage.parquet")
+            )
         store.add(gen0)
+
+    goals_ds = None
+    n_goals = 0
+    if goals is not None:
+        goals_ds = ray.data.from_arrow(goals.select(FACT_COLS)).materialize()
+        n_goals = goals.num_rows
+
+    def goals_met(full_ds) -> bool:
+        if goals_ds is None or n_goals == 0:
+            return goals_ds is not None
+        hit = goals_ds.join(full_ds, "left_semi", 8, on=tuple(FACT_COLS))
+        return hit.count() == n_goals
 
     # cache the store-backed sides across rounds: full_new(k) =
     # full_new(k-1) ∪ delta(k), so only the first round reads parquet;
     # per-atom matches are maintained incrementally (only the delta is
     # ever rescanned — IncrementalMatches)
-    from .eval_shuffle import IncrementalMatches
-
     start_round = len(store.generations)  # resume after last committed delta
     last = len(store.generations) - 1
     delta_ds = store.dataset(first_gen=last).materialize()
@@ -626,28 +652,170 @@ def infer_store(
         # resume mid-fixpoint: seed the incremental matches with one scan
         # of the pre-delta store
         inc.advance(full_old)
-        inc.advance(delta_ds)
-    else:
-        inc.advance(delta_ds)
+    inc.advance(delta_ds)
     for it in range(start_round, max_iterations):
+        if goals_ds is not None and goals_met(full_new):
+            return (store, True)
         new = run_iteration_core(
             delta_ds,
             full_old,
             full_new,
             plans,
+            with_lineage=with_lineage,
             num_partitions=num_partitions,
             salt_factor=salt_factor,
             match_cache=inc.cache(),
         )
         if new is None or new.count() == 0:
             break
+        if with_lineage:
+            gen = len(store.generations)
+            new.write_parquet(os.path.join(lineage_dir, f"gen={gen:05d}"))
         # new already went through dedup + anti-join inside the round
-        store.add(new, precleaned=True)
+        new_facts = new.select_columns(FACT_COLS).materialize()
+        store.add(new_facts, precleaned=True)
         full_old = full_new
-        full_new = full_old.union(new)
-        delta_ds = new
+        full_new = full_old.union(new_facts)
+        delta_ds = new_facts
         inc.advance(delta_ds)
+    if goals_ds is not None:
+        return (store, goals_met(full_new))
     return store
+
+
+def prove_store(
+    premises_ds,
+    to_prove: Sequence[Fact],
+    rules: Sequence[Rule],
+    store_path: str,
+    *,
+    num_partitions: int = 32,
+    salt_factor: int = 1,
+) -> List[RuleApplication]:
+    """Store-resident proof search — prove over data that never lands on
+    the driver.  Lineage lives as per-generation parquet; after the
+    early-exit fixpoint, the proof is extracted by a backward BFS of
+    (tiny) frontier-vs-lineage hash joins, then replayed exactly like
+    :func:`prove` (``recall_proof``, ``src/prove.rs:171-210``).
+
+    Raises :class:`NovelName` / :class:`ExhaustedSearchSpace` like the
+    reference.  Terms must be strings on this path.
+    """
+    import ray.data
+
+    if isinstance(premises_ds, pa.Table):
+        premises_ds = ray.data.from_arrow(premises_ds)
+    rules = list(rules)
+    goals = [tuple(f) for f in to_prove]
+    goal_tbl = pa.table(
+        {c: pa.array([g[j] for g in goals], pa.string()) for j, c in enumerate(FACT_COLS)}
+    )
+
+    # NovelName pre-check (src/prove.rs:68-72): every goal term must
+    # occur in premises ∪ rule constants; one streaming pass over the
+    # premises, no full-term materialization
+    rule_consts = set()
+    for plan in compile_rules(rules):
+        rule_consts.update(plan.bound_constants())
+    need = {t for g in goals for t in g} - rule_consts
+    if need:
+        need_arr = pa.array(sorted(need), pa.string())
+
+        def found_terms(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            hits = []
+            for c in FACT_COLS:
+                col = batch[c]
+                mask = pc.is_in(col, value_set=need_arr)
+                hits.append(col.filter(mask))
+            merged = pa.concat_arrays(
+                [h.combine_chunks() if isinstance(h, pa.ChunkedArray) else h for h in hits]
+            )
+            return pa.table({"term": pc.unique(merged)})
+
+        found = set()
+        for b in (
+            premises_ds.map_batches(found_terms, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        ):
+            found.update(b["term"].to_pylist())
+        missing = need - found
+        if missing:
+            raise NovelName(
+                f"goal term(s) {sorted(missing)[:3]!r} absent from premises and rules"
+            )
+
+    store, reached = infer_store(
+        premises_ds,
+        rules,
+        store_path,
+        num_partitions=num_partitions,
+        salt_factor=salt_factor,
+        with_lineage=True,
+        goals=goal_tbl,
+    )
+    if not reached:
+        raise ExhaustedSearchSpace("goal not derivable from premises under rules")
+
+    # backward lineage extraction: every derived quad appears in exactly
+    # one lineage generation (deltas are anti-joined per round), so each
+    # BFS level is one inner join of the tiny frontier against the
+    # lineage dataset
+    lineage_dir = os.path.join(store_path, "lineage")
+    lineage_files = []
+    for root, _d, names in os.walk(lineage_dir):
+        lineage_files.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
+    arguments: Dict[Tuple[str, str, str, str], Tuple[int, Tuple[str, ...]]] = {}
+    if lineage_files:
+        from .util import drop_empty_blocks
+
+        lineage_ds = drop_empty_blocks(
+            ray.data.read_parquet(sorted(lineage_files)).materialize()
+        )
+    else:
+        lineage_ds = None
+    if lineage_ds is not None:
+        frontier = set(goals)
+        seen: set = set()
+        while frontier:
+            ftab = pa.table(
+                {
+                    c: pa.array([q[j] for q in frontier], pa.string())
+                    for j, c in enumerate(FACT_COLS)
+                }
+            )
+            fds = ray.data.from_arrow(ftab).materialize()
+            hit = lineage_ds.join(fds, "left_semi", 8, on=tuple(FACT_COLS))
+            seen |= frontier
+            next_frontier: set = set()
+            for b in hit.iter_batches(batch_size=None, batch_format="pyarrow"):
+                for s, p, o, g, lkey in zip(
+                    b["s"].to_pylist(),
+                    b["p"].to_pylist(),
+                    b["o"].to_pylist(),
+                    b["g"].to_pylist(),
+                    b["lkey"].to_pylist(),
+                ):
+                    q = (s, p, o, g)
+                    if q in arguments:
+                        continue
+                    ri, inst = decode_lkey(lkey)
+                    arguments[q] = (ri, inst)
+                    rule = rules[ri]
+                    binding = dict(zip(rule.canonical_unbound(), inst))
+                    for atom in rule.if_all:
+                        sub = tuple(
+                            binding[e.value] if e.is_unbound() else e.value for e in atom
+                        )
+                        if sub not in seen:
+                            next_frontier.add(sub)
+            frontier = next_frontier
+
+    out: List[RuleApplication] = []
+    for goal in goals:
+        _recall_proof(tuple(goal), arguments, rules, out)
+    return out
 
 
 def prove(
