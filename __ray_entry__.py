@@ -287,6 +287,12 @@ def _q_events_sessionize(sf_dir: str):
     return _collect(events_sessionize(sf_dir))
 
 
+def _q_events_props_extract(sf_dir: str):
+    from rify_ray.pipelines.relational import events_props_extract
+
+    return _collect(events_props_extract(sf_dir))
+
+
 def _q_kg_pages_store(sf_dir: str):
     """Flagship over the Dataset-resident path: pages → triples →
     infer_store (parquet-generation fixpoint) → derived reach facts."""
@@ -415,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_counts": _q_segment_order_counts,
         "lineitem_pricing_cents": _q_lineitem_pricing_cents,
         "events_sessionize": _q_events_sessionize,
+        "events_props_extract": _q_events_props_extract,
         "kg_pages_store": _q_kg_pages_store,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "knn_lsh_top3": _q_knn_lsh_top3,
@@ -513,6 +520,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_cents, "
             "CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_price_cents "
             "FROM lineitem GROUP BY 1, 2"
+        ),
+        "events_props_extract": (
+            "SELECT CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS k_val FROM events"
         ),
         "events_sessionize": (
             "WITH marked AS ("

@@ -233,6 +233,30 @@ def lineitem_pricing_cents(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def events_props_extract(sf_dir: str, key: str = "k"):
+    """Scalar JSON extraction over the events ``props`` column:
+    (event_id, k_val) — vectorized via polars' JSON path kernel inside
+    ``map_batches`` (no Python-level json.loads loop)."""
+    import polars as plr
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = plr.from_arrow(batch)
+        out = df.select(
+            plr.col("event_id").cast(plr.Int64),
+            plr.col("props")
+            .str.json_path_match(f"$.{key}")
+            .cast(plr.Int64)
+            .alias("k_val"),
+        )
+        tbl = out.to_arrow()
+        return tbl.cast(pa.schema([("event_id", pa.int64()), ("k_val", pa.int64())]))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def events_sessionize(sf_dir: str, *, gap_s: int = 1800):
     """Gap-based sessionization: per user, events sorted by time are cut
     into sessions wherever the inter-event gap exceeds ``gap_s``.

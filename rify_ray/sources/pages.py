@@ -81,6 +81,9 @@ _FILLER_WORDS = (
 ).split()
 
 
+N_FILLER = 26  # constant per page → fully vectorizable generation
+
+
 def _filler_sentence(i: int, j: int) -> str:
     """Deterministic 12-word distractor sentence (no relations)."""
     w = _FILLER_WORDS
@@ -106,9 +109,8 @@ def _page_parts(i: int, m: int) -> Tuple[str, str, str, List[Tuple[str, str, str
     s1 = f"{sa} is the parent of {sb}."
     s2 = f"{sa} works with {sc}."
     distractor = f"The weather on day {i} was mild and the market closed early."
-    n_filler = 24 + (i % 7)
-    fillers = [_filler_sentence(i, j) for j in range(n_filler)]
-    sentences = [s1, *fillers[: n_filler // 2], s2, *fillers[n_filler // 2 :], distractor]
+    fillers = [_filler_sentence(i, j) for j in range(N_FILLER)]
+    sentences = [s1, *fillers[: N_FILLER // 2], s2, *fillers[N_FILLER // 2 :], distractor]
     triples = [
         (entity_iri(a), "parent", entity_iri(b)),
         (entity_iri(a), "works_with", entity_iri(c)),
@@ -147,23 +149,97 @@ def render_page(i: int, m: int) -> Tuple[str, int, bytes, str, str]:
     )
 
 
-def pages_batch(indices, m: int) -> pa.Table:
-    """Vector of pages for a batch of row indices (pure, deterministic)."""
-    urls, tss, htmls, texts, langs = [], [], [], [], []
-    for i in indices:
-        u, ts, h, t, l = render_page(int(i), m)
-        urls.append(u)
-        tss.append(ts)
-        htmls.append(h)
-        texts.append(t)
-        langs.append(l)
+def pages_batch(indices, m: int, include_golden: bool = True) -> pa.Table:
+    """Vector of pages for a batch of row indices — fully vectorized
+    Arrow string assembly (byte-identical to :func:`render_page`, which
+    stays as the scalar reference pinned by tests).
+
+    ``include_golden=False`` skips the golden ``text`` column (emits
+    empty strings) — for benchmark inputs where extraction recomputes it
+    anyway, halving generated bytes."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    i = np.asarray(list(indices), dtype=np.int64)
+    n = i.size
+    if n == 0:
+        return PAGES_SCHEMA.empty_table()
+
+    def nadd(*parts):
+        """Single-pass Arrow concat: parts are pa arrays or str scalars."""
+        return pc.binary_join_element_wise(*parts, "")
+
+    def istr(arr) -> pa.Array:
+        return pc.cast(pa.array(arr), pa.string())
+
+    i_str = istr(i)
+    a = i % m
+    b = (i + 1) % m
+    c = (i * 7 + 3) % m
+
+    def surf(k_arr, variant_flags):
+        ks = istr(k_arr)
+        return pc.if_else(
+            pa.array(variant_flags == 0), nadd("Person ", ks), nadd("P-", ks)
+        )
+
+    sa = surf(a, i % 2)
+    sb = surf(b, (i // 2) % 2)
+    sc = surf(c, (i // 3) % 2)
+    s1 = nadd(sa, " is the parent of ", sb, ".")
+    s2 = nadd(sa, " works with ", sc, ".")
+    distractor = nadd("The weather on day ", i_str, " was mild and the market closed early.")
+
+    # fillers: "On day {i} the w0 ... w11 was noted."
+    w_arr = pa.array(_FILLER_WORDS, pa.string())
+    nw = len(_FILLER_WORDS)
+    fillers = []
+    for j in range(N_FILLER):
+        parts = ["On day ", i_str, " the "]
+        for k in range(12):
+            parts.append(pc.take(w_arr, pa.array((i * 31 + j * 17 + k * 7) % nw)))
+            if k < 11:
+                parts.append(" ")
+        parts.append(" was noted.")
+        fillers.append(nadd(*parts))
+
+    title = nadd("Page ", i_str)
+    sentences = [s1, *fillers[: N_FILLER // 2], s2, *fillers[N_FILLER // 2 :], distractor]
+
+    if include_golden:
+        text_parts = [title, " ", title]
+        for s in sentences:
+            text_parts.extend((" ", s))
+        text_parts.extend((" ", "footer & links"))
+        text = nadd(*text_parts)
+    else:
+        text = pa.array([""] * n, pa.string())
+
+    html_parts = [
+        "<html><head><title>", title, "</title>",
+        "<style>body{color:#000;margin:0}</style>",
+        "<script>var i=", i_str, ";console.log(i&amp;&amp;1);</script></head>",
+        "<body><h1>", title, "</h1>",
+    ]
+    for s in sentences:
+        html_parts.extend(("<p>", s, "</p>"))
+    html_parts.append("<div>footer &amp; links</div></body></html>")
+    html = nadd(*html_parts)
+
+    langs = pc.if_else(
+        pa.array(i % 17 == 0),
+        pa.scalar("de", pa.string()),
+        pc.if_else(pa.array(i % 23 == 0), pa.scalar("fr", pa.string()), pa.scalar("en", pa.string())),
+    )
+    urls = nadd("https://ex.org/p/", i_str)
+
     return pa.table(
         {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(tss, pa.timestamp("us")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(texts, pa.string()),
-            "lang": pa.array(langs, pa.string()),
+            "url": urls,
+            "warc_ts": pa.array(EPOCH_US + i * 1_000_000, pa.timestamp("us")),
+            "html": html.cast(pa.binary()),
+            "text": text,
+            "lang": langs,
         }
     )
 
@@ -174,7 +250,13 @@ def pages_table(n_pages: int, m_entities: int | None = None) -> pa.Table:
     return pages_batch(range(n_pages), m)
 
 
-def pages_dataset(n_pages: int, m_entities: int | None = None, *, override_num_blocks: int | None = None):
+def pages_dataset(
+    n_pages: int,
+    m_entities: int | None = None,
+    *,
+    override_num_blocks: int | None = None,
+    include_golden: bool = True,
+):
     """Distributed pages source: ``ray.data.range`` → ``map_batches`` of
     the pure page renderer.  At real scale this is replaced by
     ``ray.data.read_parquet(..., columns=[...])`` over WARC-derived
@@ -185,7 +267,7 @@ def pages_dataset(n_pages: int, m_entities: int | None = None, *, override_num_b
     ds = ray.data.range(n_pages, override_num_blocks=override_num_blocks)
 
     def build(batch: pa.Table) -> pa.Table:
-        return pages_batch(batch["id"].to_pylist(), m)
+        return pages_batch(batch["id"].to_pylist(), m, include_golden)
 
     return ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -29,8 +29,10 @@ _ENTITIES = [
 def extract_text_array(html: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     """Vectorized extraction over a binary/string column."""
     s = pc.cast(html, pa.string())
-    s = pc.replace_substring_regex(s, r"(?is)<script\b[^>]*>.*?</script>", " ")
-    s = pc.replace_substring_regex(s, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    # one fused pass for both subtree-dropping rules (RE2 alternation)
+    s = pc.replace_substring_regex(
+        s, r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>", " "
+    )
     s = pc.replace_substring_regex(s, r"(?s)<[^>]*>", " ")
     for ent, ch in _ENTITIES:
         s = pc.replace_substring(s, ent, ch)

@@ -18,6 +18,21 @@ from fixtures import ancestry_rules
 pytestmark = pytest.mark.usefixtures("ray_session")
 
 
+def test_vectorized_generation_matches_scalar_reference():
+    """pages_batch (Arrow-kernel assembly) must be byte-identical to the
+    scalar render_page reference."""
+    from rify_ray.sources.pages import pages_batch, render_page
+
+    t = pages_batch(range(0, 97), 13)
+    for k, i in enumerate(range(0, 97)):
+        u, ts, h, txt, lang = render_page(i, 13)
+        assert t["url"][k].as_py() == u
+        assert t["warc_ts"][k].value == ts
+        assert t["html"][k].as_py() == h
+        assert t["text"][k].as_py() == txt
+        assert t["lang"][k].as_py() == lang
+
+
 def test_extraction_matches_golden_text():
     tbl = pages_table(120)
     ext = extract_text_array(tbl["html"])
