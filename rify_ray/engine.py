@@ -392,7 +392,15 @@ class Fixpoint:
             delta = delta0  # premises + uncond heads seed round 1
             start_iter = 1
         else:
-            delta = res.deltas[-1]
+            if start_iter == 1:
+                # resume landed right after iteration 0: the checkpointed
+                # delta holds only the unconditional heads — a fresh run
+                # seeds round 1 with premises ∪ uncond heads, so rebuild
+                # that seed (premises never appear in checkpointed deltas)
+                delta = pl.concat([premises, res.deltas[0].select(FACT_COLS)])
+                full_old = premises.clear()
+            else:
+                delta = res.deltas[-1]
 
         for it in range(start_iter, self.max_iterations):
             if goals is not None and self._goals_met(goals, res.full):
@@ -617,6 +625,10 @@ def infer_store(
                 )
             )
         if with_lineage:
+            import shutil
+
+            # clear a stale partial dir from a crashed attempt first
+            shutil.rmtree(os.path.join(lineage_dir, "gen=00000"), ignore_errors=True)
             os.makedirs(os.path.join(lineage_dir, "gen=00000"), exist_ok=True)
             uncond.write_parquet(
                 os.path.join(lineage_dir, "gen=00000", "lineage.parquet")
@@ -669,8 +681,14 @@ def infer_store(
         if new is None or new.count() == 0:
             break
         if with_lineage:
+            import shutil
+
             gen = len(store.generations)
-            new.write_parquet(os.path.join(lineage_dir, f"gen={gen:05d}"))
+            gen_lineage_dir = os.path.join(lineage_dir, f"gen={gen:05d}")
+            # Ray's write_parquet appends UUID-named files — clear any
+            # partial output from a crashed attempt before rewriting
+            shutil.rmtree(gen_lineage_dir, ignore_errors=True)
+            new.write_parquet(gen_lineage_dir)
         # new already went through dedup + anti-join inside the round
         new_facts = new.select_columns(FACT_COLS).materialize()
         store.add(new_facts, precleaned=True)
@@ -891,17 +909,27 @@ def _recall_proof(
     out: List[RuleApplication],
 ) -> None:
     """Post-order lineage walk; each argument consumed at most once
-    (``src/prove.rs:171-210``)."""
-    app = arguments.pop(goal, None)
-    if app is None:
-        return  # premise — assumed
-    rule_index, inst = app
-    rule = rules[rule_index]
-    binding = dict(zip(rule.canonical_unbound(), inst))
-    for atom in rule.if_all:
-        sub = tuple(binding[e.value] if e.is_unbound() else e.value for e in atom)
-        _recall_proof(sub, arguments, rules, out)
-    out.append(RuleApplication(rule_index, tuple(inst)))
+    (``src/prove.rs:171-210``).  Iterative (explicit stack): proof chains
+    can be deeper than Python's recursion limit — e.g. a transitive
+    closure over a chain of thousands of nodes on the store path."""
+    stack: List[Tuple[Any, bool]] = [(goal, False)]
+    while stack:
+        node, emit = stack.pop()
+        if emit:
+            rule_index, inst = node
+            out.append(RuleApplication(rule_index, tuple(inst)))
+            continue
+        app = arguments.pop(node, None)
+        if app is None:
+            continue  # premise — assumed
+        rule_index, inst = app
+        rule = rules[rule_index]
+        binding = dict(zip(rule.canonical_unbound(), inst))
+        # post-order: children first (in body order), then this application
+        stack.append(((rule_index, inst), True))
+        for atom in reversed(rule.if_all):
+            sub = tuple(binding[e.value] if e.is_unbound() else e.value for e in atom)
+            stack.append((sub, False))
 
 
 def validate(rules: Sequence[Rule], proof: Sequence[RuleApplication]) -> Valid:

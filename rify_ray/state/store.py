@@ -171,6 +171,12 @@ class TripleStore:
 
         gen = len(self.generations)
         gen_dir = os.path.join(self.path, f"gen={gen:05d}")
+        # a crashed previous attempt may have left partial files in this
+        # (uncommitted) generation dir; write_parquet adds new UUID-named
+        # files alongside instead of replacing, so clear it first
+        import shutil
+
+        shutil.rmtree(gen_dir, ignore_errors=True)
         parted = incoming.map_batches(
             _hash_part_fn(self.num_partitions),
             batch_format="pyarrow",
@@ -197,9 +203,12 @@ class TripleStore:
 
         if len(self.generations) <= 1:
             return
+        import shutil
+
         ds = self.dataset().materialize()
         gen = len(self.generations)
         gen_dir = os.path.join(self.path, f"gen={gen:05d}")
+        shutil.rmtree(gen_dir, ignore_errors=True)  # stale uncommitted attempt
         parted = ds.map_batches(
             _hash_part_fn(self.num_partitions),
             batch_format="pyarrow",
@@ -215,7 +224,5 @@ class TripleStore:
         with open(tmp, "w") as f:
             json.dump(self.manifest, f)
         os.replace(tmp, self.manifest_path)
-        import shutil
-
         for d in old_dirs:
             shutil.rmtree(d, ignore_errors=True)

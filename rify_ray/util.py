@@ -85,9 +85,15 @@ def distinct(ds, cols: Sequence[str], *, keep_cols: Optional[Sequence[str]] = No
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
+    prev = ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.1
-    out = pre.groupby(cols, num_partitions=16).count().drop_columns(["count()"])
-    out = out.materialize()
+    try:
+        out = pre.groupby(cols, num_partitions=16).count().drop_columns(["count()"])
+        out = out.materialize()
+    finally:
+        # scope the aggregator-CPU override to this exchange only — it is
+        # a process-wide knob on the shared DataContext
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = prev
     out = drop_empty_blocks(out)
     if out is None:
         return None

@@ -321,3 +321,51 @@ def test_checkpoint_resume_partial(tmp_path):
     r2 = fp2.run(df, resume=True)
     assert set(map(tuple, r2.derived().select(["s", "p", "o", "g"]).iter_rows())) == ancestry_expected(8)
     assert len(r2.metrics) >= 1  # some rounds actually re-ran
+
+
+def test_checkpoint_resume_after_iter0_only(tmp_path):
+    """Crash during round 1 (only iter 0 checkpointed): round 1's seed
+    delta must be rebuilt as premises ∪ uncond heads — the checkpointed
+    iter-0 delta alone holds no premises, so resuming from it naively
+    would silently derive nothing."""
+    import os
+    import shutil
+
+    facts = ancestry_facts(8)
+    rules = ancestry_rules()
+    df = pl.DataFrame(
+        {c: [f[j] for f in facts] for j, c in enumerate(["s", "p", "o", "g"])}
+    )
+    fp = engine.Fixpoint(rules, checkpoint_dir=str(tmp_path))
+    fp.run(df)
+    for d in sorted(os.listdir(tmp_path))[1:]:  # keep ONLY iter=00000
+        shutil.rmtree(tmp_path / d)
+    fp2 = engine.Fixpoint(rules, checkpoint_dir=str(tmp_path))
+    r2 = fp2.run(df, resume=True)
+    assert set(map(tuple, r2.derived().select(["s", "p", "o", "g"]).iter_rows())) == ancestry_expected(8)
+
+
+def test_recall_proof_deep_chain_no_recursion_limit():
+    """_recall_proof must walk proof chains deeper than the Python
+    recursion limit (iterative lineage walk)."""
+    from rify_ray.engine import _recall_proof
+    from rify_ray.model import B, Rule, U
+
+    n = 5000
+    rules = [
+        Rule.create(
+            [[U("a"), B("reach"), U("b"), B(DG)], [U("b"), B("succ"), U("c"), B(DG)]],
+            [[U("a"), B("reach"), U("c"), B(DG)]],
+        )
+    ]
+    # linear lineage: reach(0, k) derived from reach(0, k-1) ∧ succ(k-1, k)
+    arguments = {
+        (f"n{0}", "reach", f"n{k}", DG): (0, (f"n{0}", f"n{k-1}", f"n{k}"))
+        for k in range(2, n)
+    }
+    out = []
+    _recall_proof(("n0", "reach", f"n{n-1}", DG), arguments, rules, out)
+    assert len(out) == n - 2
+    # post-order: shallowest application first
+    assert out[0].instantiations == ("n0", "n1", "n2")
+    assert out[-1].instantiations == ("n0", f"n{n-2}", f"n{n-1}")

@@ -48,6 +48,23 @@ def test_add_dedup_contains_reload(tmp_path):
     assert m3["added"] == 0
 
 
+def test_add_clears_stale_uncommitted_generation(tmp_path):
+    """A crash between write_parquet and the manifest commit leaves
+    partial files in the next generation dir; the retried add must
+    replace them, not write alongside (which would double rows)."""
+    store = TripleStore(str(tmp_path / "kg"), num_partitions=2)
+    store.add(_quads([("a", "p", "b", "g")]))
+    # simulate a crashed add: gen=00001 written but never committed
+    stale_dir = tmp_path / "kg" / "gen=00001" / "part=0"
+    os.makedirs(stale_dir)
+    import pyarrow.parquet as pq
+
+    pq.write_table(_quads([("x", "p", "y", "g"), ("y", "p", "z", "g")]), stale_dir / "stale.parquet")
+    store.add(_quads([("x", "p", "y", "g"), ("y", "p", "z", "g")]))
+    assert store.count() == 3
+    assert store.dataset().count() == 3  # stale files gone, not doubled
+
+
 def test_partition_layout_and_compact(tmp_path):
     store = TripleStore(str(tmp_path / "kg"), num_partitions=4)
     rows = [(f"s{i}", "p", f"o{i}", "g") for i in range(50)]
