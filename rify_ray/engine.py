@@ -573,15 +573,25 @@ def infer_store(
     resume: bool = True,
     with_lineage: bool = False,
     goals: Optional[pa.Table] = None,
+    broadcast_rows: int = 500_000,
 ):
     """Fully Dataset/parquet-resident fixpoint — the 100 TB path.
 
-    Facts NEVER land on the driver: the full store lives in a
+    The full fact store NEVER lands on the driver: it lives in a
     :class:`rify_ray.state.TripleStore` (hash-partitioned parquet
-    generations), each round is a :func:`run_iteration_core` of
-    ``Dataset.join`` exchanges, and each round's delta is committed as a
-    new store generation (atomic manifest commit → crash-resumable:
-    rerunning continues from the last committed generation).
+    generations) and each round's delta is committed as a new store
+    generation (atomic manifest commit → crash-resumable: rerunning
+    continues from the last committed generation).
+
+    Per round the evaluator adapts (:mod:`rify_ray.eval_hybrid`): while
+    the round's WORKING SET (delta + join bindings) stays at or below
+    ``broadcast_rows``, joins run as driver polars / broadcast-map hash
+    joins and insert-if-absent is a single probe scan of the store — no
+    shuffle-actor spin-up; any step that exceeds the bound degrades to
+    the full ``Dataset.join`` hash-shuffle path
+    (:func:`rify_ray.eval_shuffle.run_iteration_core`) with skew
+    salting.  The store-side per-atom matches are maintained
+    incrementally either way (only each delta is ever re-matched).
 
     Generation 0 holds the (deduped) premises + unconditional-rule heads;
     generations 1..k are the per-round deltas, so
@@ -591,16 +601,25 @@ def infer_store(
     ``<store_path>/lineage/gen=K/`` — one (quad, lkey) row per first
     derivation (``src/prove.rs:142-147``'s arguments map, partitioned).
     ``goals`` (a 4-column arrow table) activates prove-style early exit:
-    the loop stops once every goal is in the store.
+    goal hits are tracked per round against each (small) delta, so no
+    extra full-store exchange runs per round.
 
     Terms stay strings here (a global dictionary would itself need a
     shuffle; the broadcast path does dictionary encoding instead).
     Returns the store; with ``goals``, returns (store, goals_reached).
     """
+    import shutil
+
     import ray.data
 
-    from .eval_shuffle import IncrementalMatches, run_iteration_core
+    from .eval_hybrid import anti_probe, run_iteration_hybrid
+    from .eval_shuffle import (
+        IncrementalMatches,
+        collect_to_polars,
+        run_iteration_core,
+    )
     from .state import TripleStore
+    from .util import polars_to_arrow_string
 
     plans = compile_rules(list(rules))
     store = TripleStore(store_path, num_partitions=num_partitions)
@@ -609,6 +628,13 @@ def infer_store(
     if isinstance(premises_ds, pa.Table):
         premises_ds = ray.data.from_arrow(premises_ds)
     lineage_dir = os.path.join(store_path, "lineage")
+
+    def _write_lineage_small(df: pl.DataFrame) -> None:
+        gen = len(store.generations)
+        d = os.path.join(lineage_dir, f"gen={gen:05d}")
+        shutil.rmtree(d, ignore_errors=True)  # stale crashed attempt
+        os.makedirs(d, exist_ok=True)
+        df.select([*FACT_COLS, "lkey"]).write_parquet(os.path.join(d, "lineage.parquet"))
 
     if not store.generations:
         # generation 0: premises + unconditional heads
@@ -625,9 +651,6 @@ def infer_store(
                 )
             )
         if with_lineage:
-            import shutil
-
-            # clear a stale partial dir from a crashed attempt first
             shutil.rmtree(os.path.join(lineage_dir, "gen=00000"), ignore_errors=True)
             os.makedirs(os.path.join(lineage_dir, "gen=00000"), exist_ok=True)
             uncond.write_parquet(
@@ -635,69 +658,109 @@ def infer_store(
             )
         store.add(gen0)
 
-    goals_ds = None
-    n_goals = 0
-    if goals is not None:
-        goals_ds = ray.data.from_arrow(goals.select(FACT_COLS)).materialize()
-        n_goals = goals.num_rows
-
-    def goals_met(full_ds) -> bool:
-        if goals_ds is None or n_goals == 0:
-            return goals_ds is not None
-        hit = goals_ds.join(full_ds, "left_semi", 8, on=tuple(FACT_COLS))
-        return hit.count() == n_goals
-
     # cache the store-backed sides across rounds: full_new(k) =
-    # full_new(k-1) ∪ delta(k), so only the first round reads parquet;
-    # per-atom matches are maintained incrementally (only the delta is
-    # ever rescanned — IncrementalMatches)
+    # full_new(k-1) ∪ delta(k), so only the first round reads parquet
     start_round = len(store.generations)  # resume after last committed delta
     last = len(store.generations) - 1
+    delta_rows = store.generations[last]["rows"]
     delta_ds = store.dataset(first_gen=last).materialize()
     empty_ds = ray.data.from_arrow(
         pa.schema([(c, pa.string()) for c in FACT_COLS]).empty_table()
     )
     full_old = store.dataset(last_gen=last - 1).materialize() if last >= 1 else empty_ds
     full_new = full_old.union(delta_ds) if last >= 1 else delta_ds
-    inc = IncrementalMatches(plans)
+    inc = IncrementalMatches(plans, broadcast_rows)
     if last >= 1:
         # resume mid-fixpoint: seed the incremental matches with one scan
         # of the pre-delta store
         inc.advance(full_old)
-    inc.advance(delta_ds)
-    for it in range(start_round, max_iterations):
-        if goals_ds is not None and goals_met(full_new):
-            return (store, True)
-        new = run_iteration_core(
-            delta_ds,
-            full_old,
-            full_new,
-            plans,
-            with_lineage=with_lineage,
-            num_partitions=num_partitions,
-            salt_factor=salt_factor,
-            match_cache=inc.cache(),
-        )
-        if new is None or new.count() == 0:
-            break
-        if with_lineage:
-            import shutil
-
-            gen = len(store.generations)
-            gen_lineage_dir = os.path.join(lineage_dir, f"gen={gen:05d}")
-            # Ray's write_parquet appends UUID-named files — clear any
-            # partial output from a crashed attempt before rewriting
-            shutil.rmtree(gen_lineage_dir, ignore_errors=True)
-            new.write_parquet(gen_lineage_dir)
-        # new already went through dedup + anti-join inside the round
-        new_facts = new.select_columns(FACT_COLS).materialize()
-        store.add(new_facts, precleaned=True)
-        full_old = full_new
-        full_new = full_old.union(new_facts)
-        delta_ds = new_facts
+    small_delta: Optional[pl.DataFrame] = None
+    if delta_rows <= broadcast_rows:
+        small_delta = collect_to_polars(delta_ds)
+        if small_delta.width == 0:
+            small_delta = pl.DataFrame(schema={c: pl.Utf8 for c in FACT_COLS})
+        inc.advance_small(small_delta)
+    else:
         inc.advance(delta_ds)
-    if goals_ds is not None:
-        return (store, goals_met(full_new))
+
+    # goal tracking: the remaining-goal frame shrinks as deltas land;
+    # one initial probe scan of the store, then per-delta checks only
+    remaining: Optional[pl.DataFrame] = None
+    if goals is not None:
+        remaining = pl.from_arrow(goals.select(FACT_COLS)).unique()
+        if remaining.height:
+            remaining = anti_probe(remaining, full_new)
+
+    for it in range(start_round, max_iterations):
+        if remaining is not None and remaining.height == 0:
+            return (store, True)
+        if small_delta is not None:
+            new = run_iteration_hybrid(
+                small_delta,
+                plans,
+                inc,
+                full_new,
+                with_lineage=with_lineage,
+                broadcast_rows=broadcast_rows,
+                num_partitions=num_partitions,
+                salt_factor=salt_factor,
+            )
+        else:
+            new = run_iteration_core(
+                delta_ds,
+                full_old,
+                full_new,
+                plans,
+                with_lineage=with_lineage,
+                num_partitions=num_partitions,
+                salt_factor=salt_factor,
+                match_cache=inc.cache(),
+            )
+        if new is None:
+            break
+        if isinstance(new, pl.DataFrame):
+            if new.height == 0:
+                break
+            if with_lineage:
+                _write_lineage_small(new)
+            new_facts = ray.data.from_arrow(
+                polars_to_arrow_string(new.select(FACT_COLS))
+            )
+            store.add(new_facts, precleaned=True)
+            full_old = full_new
+            full_new = full_old.union(new_facts)
+            delta_ds = new_facts
+            if remaining is not None and remaining.height:
+                remaining = remaining.join(new.select(FACT_COLS), on=FACT_COLS, how="anti")
+            small_delta = new.select(FACT_COLS)
+            inc.advance_small(small_delta)
+        else:
+            cnt = new.count()
+            if cnt == 0:
+                break
+            if with_lineage:
+                gen = len(store.generations)
+                gen_lineage_dir = os.path.join(lineage_dir, f"gen={gen:05d}")
+                # Ray's write_parquet appends UUID-named files — clear any
+                # partial output from a crashed attempt before rewriting
+                shutil.rmtree(gen_lineage_dir, ignore_errors=True)
+                new.write_parquet(gen_lineage_dir)
+            # new already went through dedup + anti-join inside the round
+            new_facts = new.select_columns(FACT_COLS).materialize()
+            store.add(new_facts, precleaned=True)
+            full_old = full_new
+            full_new = full_old.union(new_facts)
+            delta_ds = new_facts
+            if remaining is not None and remaining.height:
+                remaining = anti_probe(remaining, delta_ds)
+            if cnt <= broadcast_rows:
+                small_delta = collect_to_polars(new_facts).select(FACT_COLS)
+                inc.advance_small(small_delta)
+            else:
+                small_delta = None
+                inc.advance(delta_ds)
+    if remaining is not None:
+        return (store, remaining.height == 0)
     return store
 
 
@@ -794,6 +857,8 @@ def prove_store(
     else:
         lineage_ds = None
     if lineage_ds is not None:
+        import ray
+
         frontier = set(goals)
         seen: set = set()
         while frontier:
@@ -803,11 +868,25 @@ def prove_store(
                     for j, c in enumerate(FACT_COLS)
                 }
             )
-            fds = ray.data.from_arrow(ftab).materialize()
-            hit = lineage_ds.join(fds, "left_semi", 8, on=tuple(FACT_COLS))
+            # broadcast probe scan: each lineage block semi-joins against
+            # the (tiny) frontier — no shuffle-actor spin-up per BFS level
+            fref = ray.put(pl.from_arrow(ftab))
+
+            def probe(batch: pa.Table, _ref=fref) -> pa.Table:
+                blk = pl.from_arrow(batch)
+                hits = blk.join(ray.get(_ref), on=FACT_COLS, how="semi")
+                from .util import polars_to_arrow_string
+
+                return polars_to_arrow_string(hits)
+
+            hit = lineage_ds.map_batches(
+                probe, batch_format="pyarrow", zero_copy_batch=True
+            )
             seen |= frontier
             next_frontier: set = set()
             for b in hit.iter_batches(batch_size=None, batch_format="pyarrow"):
+                if b.num_rows == 0 or b.num_columns == 0:
+                    continue
                 for s, p, o, g, lkey in zip(
                     b["s"].to_pylist(),
                     b["p"].to_pylist(),

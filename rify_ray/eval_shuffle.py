@@ -111,24 +111,11 @@ def _salt_probe_fn(cols: Sequence[str], salt_factor: int):
     """Deterministic per-row salt on the probe (bindings) side: hot join
     keys spread over ``salt_factor`` partitions instead of landing on
     one aggregator (skew mitigation — SURVEY.md §7.3; the canonical hot
-    key is a popular predicate/node like ``ancestor``)."""
-    import zlib
+    key is a popular predicate/node like ``ancestor``).  Vectorized
+    shared kernel — no per-row Python hashing on the shuffle path."""
+    from .util import hash_rows_mod_fn
 
-    cols = list(cols)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("__salt", pa.array([], pa.int32()))
-        joined = pc.binary_join_element_wise(
-            *[pc.cast(batch[c], pa.string()) for c in cols], "\x1f"
-        )
-        salts = pa.array(
-            [zlib.crc32(v.encode("utf-8")) % salt_factor for v in joined.to_pylist()],
-            pa.int32(),
-        )
-        return batch.append_column("__salt", salts)
-
-    return fn
+    return hash_rows_mod_fn(cols, salt_factor, "__salt")
 
 
 def _replicate_build_fn(salt_factor: int):
@@ -205,6 +192,76 @@ def run_iteration_ds(
     return out_df.select(cols).cast(out_schema)
 
 
+def shuffle_join(
+    bindings_ds,
+    m_ds,
+    shared,
+    num_partitions: int,
+    salt_factor: int = 1,
+    probe_salt_cols=None,
+):
+    """One hash-shuffle inner join of a bindings Dataset against a match
+    Dataset on the ``shared`` variable columns, with optional probe-side
+    salting (build side replicated per salt).  ``probe_salt_cols``
+    (default: all probe columns the caller has bound) must include more
+    than the join key so rows sharing a hot key actually spread.
+    Returns the materialized, empty-block-cleaned result or None when
+    empty."""
+    shared = list(shared)
+    if not shared:
+        # cross join: constant key on both sides (degenerate; only for
+        # rules whose atoms share no variables)
+        add_key = lambda b: b.append_column("__ck", pa.array([0] * b.num_rows, pa.int32()))
+        out = bindings_ds.map_batches(add_key, batch_format="pyarrow").join(
+            m_ds.map_batches(add_key, batch_format="pyarrow").materialize(),
+            "inner",
+            num_partitions=num_partitions,
+            on=("__ck",),
+        ).drop_columns(["__ck"]).materialize()
+        return _drop_empty_blocks(out)
+    if salt_factor > 1:
+        bindings_ds = bindings_ds.map_batches(
+            _salt_probe_fn(probe_salt_cols or shared, salt_factor),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        m_ds = m_ds.map_batches(
+            _replicate_build_fn(salt_factor),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        out = bindings_ds.join(
+            m_ds,
+            "inner",
+            num_partitions=num_partitions,
+            on=tuple([*shared, "__salt"]),
+        ).drop_columns(["__salt"]).materialize()
+    else:
+        out = bindings_ds.join(
+            m_ds, "inner", num_partitions=num_partitions, on=tuple(shared)
+        ).materialize()
+    return _drop_empty_blocks(out)
+
+
+def dedup_anti_ds(new, full_new_ds, with_lineage: bool, num_partitions: int, pin_schema):
+    """Distributed tail of a fixpoint round: first-wins dedup
+    (groupby min-lkey) + anti-join against the full store.  Returns the
+    materialized new-facts Dataset or None when empty."""
+    if with_lineage:
+        new = new.groupby(FACT_COLS).min("lkey")
+        new = new.rename_columns({"min(lkey)": "lkey"})
+    else:
+        new = new.groupby(FACT_COLS).count().drop_columns(["count()"])
+    new = _drop_empty_blocks(new.materialize())
+    if new is None:
+        return None
+    new = new.map_batches(
+        _ensure_schema(pin_schema), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    new = new.join(full_new_ds, "left_anti", num_partitions, on=tuple(FACT_COLS))
+    return _drop_empty_blocks(new.materialize())
+
+
 def run_iteration_core(
     delta_ds,
     full_old_ds,
@@ -250,23 +307,23 @@ def run_iteration_core(
     if len(chain_outputs) > 1:
         new = new.union(*chain_outputs[1:])
 
-    # dedup (first-wins on lkey) — hash-partition groupby on the quad
-    if with_lineage:
-        new = new.groupby(FACT_COLS).min("lkey")
-        new = new.rename_columns({"min(lkey)": "lkey"})
-    else:
-        new = new.groupby(FACT_COLS).count().drop_columns(["count()"])
-    new = _drop_empty_blocks(new.materialize())
-    if new is None:
-        return None
-    new = new.map_batches(
-        _ensure_schema(pin_schema), batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    # dedup (first-wins on lkey) — hash-partition groupby on the quad —
+    # then insert-if-absent: anti-join against the full store
+    return dedup_anti_ds(new, full_new_ds, with_lineage, num_partitions, pin_schema)
 
-    # insert-if-absent: anti-join against the full store
-    new = new.join(full_new_ds, "left_anti", num_partitions, on=tuple(FACT_COLS))
-    new = _drop_empty_blocks(new.materialize())
-    return new
+
+class MatchSide:
+    """One side (old/new/delta) of an atom's incremental matches:
+    a (lazy-union-of-materialized) Dataset, its exact row count, and —
+    when the side is small enough to broadcast — a driver-side polars
+    copy (``small``).  ``ds`` is None only when the side is empty."""
+
+    __slots__ = ("ds", "rows", "small")
+
+    def __init__(self, ds, rows: int, small=None):
+        self.ds = ds
+        self.rows = rows
+        self.small = small
 
 
 class IncrementalMatches:
@@ -276,46 +333,111 @@ class IncrementalMatches:
     store per atom per round (at web scale that turns O(rounds) full
     scans into one).
 
-    ``advance(delta)`` must be called once per round BEFORE evaluating
-    it, with that round's delta; ``cache()`` then yields a pre-populated
-    match cache for :func:`run_iteration_core` with the delta / old /
-    new sides for every distinct body atom.
+    ``advance(delta)`` (Dataset) or ``advance_small(delta)`` (driver
+    polars frame — zero Ray executions) must be called once per round
+    BEFORE evaluating it; ``cache()`` yields a pre-populated match cache
+    for :func:`run_iteration_core`, ``side()`` the richer
+    :class:`MatchSide` view for the hybrid evaluator.
+
+    Row counts are maintained incrementally (never a ``count()`` over a
+    lazy union), and sides at or below ``broadcast_rows`` additionally
+    keep a driver polars copy so small-side joins run without any
+    distributed execution at all.
     """
 
-    def __init__(self, plans: Sequence[RulePlan]):
+    def __init__(self, plans: Sequence[RulePlan], broadcast_rows: int = 0):
         self.atoms = {}
         for plan in plans:
             for atom in plan.body:
                 self.atoms.setdefault(atom.slots, atom)
+        self.broadcast_rows = broadcast_rows
         # per atom: matches over the store BEFORE the current delta
-        # (None = empty)
-        self._m_old = {slots: None for slots in self.atoms}
-        self._m_new = {slots: None for slots in self.atoms}
+        self._m_old = {slots: MatchSide(None, 0) for slots in self.atoms}
+        self._m_new = {slots: MatchSide(None, 0) for slots in self.atoms}
+        self._delta_m = {slots: MatchSide(None, 0) for slots in self.atoms}
+
+    def _combine(self, slots, dm: MatchSide) -> None:
+        old = self._m_new[slots]
+        self._delta_m[slots] = dm
+        self._m_old[slots] = old
+        if dm.rows == 0:
+            self._m_new[slots] = old
+        elif old.rows == 0:
+            self._m_new[slots] = dm
+        else:
+            small = None
+            if (
+                old.small is not None
+                and dm.small is not None
+                and old.rows + dm.rows <= self.broadcast_rows
+            ):
+                small = pl.concat([old.small, dm.small])
+            self._m_new[slots] = MatchSide(old.ds.union(dm.ds), old.rows + dm.rows, small)
 
     def advance(self, delta_ds) -> None:
-        self._delta_m = {}
         for slots, atom in self.atoms.items():
             dm = delta_ds.map_batches(
                 _match_batch_fn(atom), batch_format="pyarrow", zero_copy_batch=True
             ).materialize()
             dm = _drop_empty_blocks(dm)
-            self._delta_m[slots] = dm
-            old = self._m_new[slots]
-            self._m_old[slots] = old
             if dm is None:
-                self._m_new[slots] = old
-            elif old is None:
-                self._m_new[slots] = dm
-            else:
-                self._m_new[slots] = old.union(dm)
+                self._combine(slots, MatchSide(None, 0))
+                continue
+            rows = dm.count()
+            small = None
+            if rows <= self.broadcast_rows:
+                small = collect_to_polars(dm)
+            self._combine(slots, MatchSide(dm, rows, small))
+
+    def advance_small(self, delta_pl: "pl.DataFrame") -> None:
+        """Driver-side advance: per-atom matches computed in polars from
+        the (small) delta frame; the Dataset view is created with
+        ``from_arrow`` (object-store blocks, no execution)."""
+        import ray.data
+
+        from .eval_broadcast import match_atom
+
+        for slots, atom in self.atoms.items():
+            if not atom.var_indices:
+                # presence probe: rows matched matter, columns don't
+                m = match_atom(delta_pl, atom)
+                rows = 0 if m is None else int(m.select(pl.len()).collect().item())
+                if rows == 0:
+                    self._combine(slots, MatchSide(None, 0))
+                else:
+                    one = pl.DataFrame({"__one": [1] * 1})
+                    self._combine(
+                        slots,
+                        MatchSide(ray.data.from_arrow(one.to_arrow()), rows, one),
+                    )
+                continue
+            m = match_atom(delta_pl, atom)
+            mdf = m.collect() if m is not None else None
+            if mdf is None or mdf.height == 0:
+                self._combine(slots, MatchSide(None, 0))
+                continue
+            ds = ray.data.from_arrow(_to_arrow_string(mdf))
+            self._combine(slots, MatchSide(ds, mdf.height, mdf))
+
+    def side(self, which: str, slots) -> MatchSide:
+        return {"delta": self._delta_m, "old": self._m_old, "new": self._m_new}[which][slots]
 
     def cache(self) -> dict:
         out = {}
         for slots in self.atoms:
-            out[("delta", slots)] = self._delta_m[slots]
-            out[("old", slots)] = self._m_old[slots]
-            out[("new", slots)] = self._m_new[slots]
+            out[("delta", slots)] = self._delta_m[slots].ds
+            out[("old", slots)] = self._m_old[slots].ds
+            out[("new", slots)] = self._m_new[slots].ds
         return out
+
+
+def collect_to_polars(ds) -> "pl.DataFrame":
+    """Fetch a (materialized, small) Dataset to a driver polars frame."""
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    tabs = [b for b in batches if b.num_rows > 0 and b.num_columns > 0]
+    if not tabs:
+        return pl.DataFrame()
+    return pl.from_arrow(pa.concat_tables(tabs))
 
 
 def _eval_chain_ds(
@@ -374,42 +496,10 @@ def _eval_chain_ds(
             bindings, bound_cols = m, m_cols
             continue
         shared = [c for c in m_cols if c in bound_cols]
-        if shared:
-            if salt_factor > 1:
-                bindings = bindings.map_batches(
-                    _salt_probe_fn(bound_cols, salt_factor),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                )
-                m = m.map_batches(
-                    _replicate_build_fn(salt_factor),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                ).materialize()
-                bindings = bindings.join(
-                    m,
-                    "inner",
-                    num_partitions=num_partitions,
-                    on=tuple([*shared, "__salt"]),
-                ).drop_columns(["__salt"]).materialize()
-            else:
-                bindings = bindings.join(
-                    m, "inner", num_partitions=num_partitions, on=tuple(shared)
-                ).materialize()
-            bindings = _drop_empty_blocks(bindings)
-            if bindings is None:
-                return None
-        else:
-            # cross join: constant key on both sides (degenerate; only for
-            # rules whose atoms share no variables)
-            add_key = lambda b: b.append_column("__ck", pa.array([0] * b.num_rows, pa.int32()))
-            bindings = bindings.map_batches(add_key, batch_format="pyarrow").join(
-                m.map_batches(add_key, batch_format="pyarrow").materialize(),
-                "inner",
-                num_partitions=num_partitions,
-                on=("__ck",),
-            ).drop_columns(["__ck"]).materialize()
-        if bindings.count() == 0:
+        bindings = shuffle_join(
+            bindings, m, shared, num_partitions, salt_factor, probe_salt_cols=bound_cols
+        )
+        if bindings is None or bindings.count() == 0:
             return None
         bound_cols = bound_cols + [c for c in m_cols if c not in bound_cols]
     if bindings is None:

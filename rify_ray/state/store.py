@@ -28,31 +28,17 @@ import os
 from typing import Dict, List, Optional
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 QUAD_COLS = ["s", "p", "o", "g"]
 
 
 def _hash_part_fn(num_partitions: int):
-    def fn(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("part", pa.array([], pa.int32()))
-        key = batch[QUAD_COLS[0]]
-        combined = pc.binary_join_element_wise(
-            *[pc.cast(batch[c], pa.string()) for c in QUAD_COLS], "\x1f"
-        )
-        # 64-bit FNV-1a over the joined key, vectorized via python hash of
-        # bytes is non-deterministic; use xxhash-like via pyarrow? Arrow has
-        # no direct hash kernel — use crc32-of-string via python (C-level)
-        import zlib
+    """Vectorized ``part = hash64(s,p,o,g) % P`` — shared kernel with the
+    salted-join probe (:func:`rify_ray.util.hash_rows_mod_fn`); no Python
+    loop on the per-quad write path."""
+    from ..util import hash_rows_mod_fn
 
-        parts = pa.array(
-            [zlib.crc32(v.encode("utf-8")) % num_partitions for v in combined.to_pylist()],
-            pa.int32(),
-        )
-        return batch.append_column("part", parts)
-
-    return fn
+    return hash_rows_mod_fn(QUAD_COLS, num_partitions, "part")
 
 
 class TripleStore:

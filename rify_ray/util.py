@@ -61,6 +61,27 @@ def polars_to_arrow_string(df) -> pa.Table:
     )
 
 
+def hash_rows_mod_fn(
+    cols: Sequence[str], modulus: int, out_col: str
+) -> Callable[[pa.Table], pa.Table]:
+    """map_batches fn appending ``out_col = hash64(cols) % modulus``
+    (Int32), fully vectorized — polars' seeded row hash (deterministic
+    across processes for a fixed polars version); no ``to_pylist`` row
+    loop.  Shared by the store partitioner and the salted-join probe."""
+    import polars as pl
+
+    cols = list(cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], pa.int32()))
+        h = pl.from_arrow(batch.select(cols)).hash_rows(seed=0)
+        parts = (h % modulus).cast(pl.Int32).rename(out_col)
+        return batch.append_column(out_col, parts.to_arrow())
+
+    return fn
+
+
 def distinct(ds, cols: Sequence[str], *, keep_cols: Optional[Sequence[str]] = None):
     """Distributed distinct over ``cols``: local per-batch dedup first
     (combiner — shrinks the shuffle input before any exchange), then a
