@@ -118,19 +118,24 @@ def _query_vectors(sf_dir: str, n: int = 10):
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 + synthetic pages."""
+    import tempfile
+
     import ray.data
 
     from rify_ray import engine
-    from rify_ray.pipelines.kg import kg_construct_and_infer
+    from rify_ray.pipelines.kg import kg_construct_and_infer_store
     from rify_ray.pipelines.relational import customer_nation_quads, nation_region_quads
     from rify_ray.sources import pages_dataset
 
     sf_dir = "/root/testdata/sf0.001"
-    # 1. KG from synthetic Common-Crawl-style pages → ancestor closure
-    res = kg_construct_and_infer(
-        pages_dataset(200, 40), fixtures_rules.ancestry_rules(), 40, concurrency=2
-    )
-    pages_derived = _derived_to_arrow(res.derived())
+    # 1. KG from synthetic Common-Crawl-style pages → ancestor closure,
+    #    on the store-resident (100 TB) path
+    with tempfile.TemporaryDirectory() as d:
+        store = kg_construct_and_infer_store(
+            pages_dataset(200, 40), fixtures_rules.ancestry_rules(), 40,
+            f"{d}/kg", concurrency=2,
+        )
+        pages_derived = _collect(store.dataset(first_gen=1))
     # 2. relational quads from parquet → in_region inference
     quads = _collect_quads(customer_nation_quads(sf_dir), nation_region_quads(sf_dir))
     rel_derived = engine.infer(quads, _rules_in_region())
@@ -193,13 +198,23 @@ def _q_kg_nation_chain_closure(sf_dir: str):
 
 
 def _q_kg_pages_flagship(sf_dir: str):
-    from rify_ray.pipelines.kg import kg_construct_and_infer
+    """Flagship on the store-resident (100 TB) path: pages → triples
+    stream into TripleStore parquet generations → hybrid fixpoint; the
+    derived closure is generations ≥ 1.  (The driver-resident
+    kg_construct_and_infer remains available for small interactive runs;
+    both produce the identical fact set — asserted in
+    tests/test_kg_pipeline.py.)"""
+    import tempfile
+
+    from rify_ray.pipelines.kg import kg_construct_and_infer_store
     from rify_ray.sources import pages_dataset
 
-    res = kg_construct_and_infer(
-        pages_dataset(500, 50), fixtures_rules.ancestry_rules(), 50, concurrency=2
-    )
-    return _derived_to_arrow(res.derived())
+    with tempfile.TemporaryDirectory() as d:
+        store = kg_construct_and_infer_store(
+            pages_dataset(500, 50), fixtures_rules.ancestry_rules(), 50,
+            f"{d}/kg", concurrency=2,
+        )
+        return _collect(store.dataset(first_gen=1))
 
 
 def _docs_ds(sf_dir: str):

@@ -70,8 +70,11 @@ def _init_ray(num_cpus: int) -> None:
 
 def bench_kg_pages(num_cpus: int) -> dict:
     """Headline: pages → extract → link → canonicalize → dedup →
-    fixpoint ancestor closure."""
-    from rify_ray.pipelines.kg import kg_construct_and_infer
+    store-resident (parquet-generation) fixpoint ancestor closure — the
+    100 TB path end to end; triples never land on the driver."""
+    import tempfile
+
+    from rify_ray.pipelines.kg import kg_construct_and_infer_store
     from rify_ray.sources import pages_dataset
     from rify_ray.model import Rule
     from rify_ray import B, U
@@ -90,19 +93,21 @@ def bench_kg_pages(num_cpus: int) -> dict:
         ),
     ]
     t0 = time.monotonic()
-    res = kg_construct_and_infer(
-        pages_dataset(
-            N_PAGES,
+    with tempfile.TemporaryDirectory() as d:
+        store = kg_construct_and_infer_store(
+            pages_dataset(
+                N_PAGES,
+                M_ENTITIES,
+                override_num_blocks=num_cpus * 8,
+                include_golden=False,  # extraction recomputes it; halves gen bytes
+            ),
+            rules,
             M_ENTITIES,
-            override_num_blocks=num_cpus * 8,
-            include_golden=False,  # extraction recomputes it; halves gen bytes
-        ),
-        rules,
-        M_ENTITIES,
-        concurrency=max(2, num_cpus // 2),
-    )
-    n_derived = int(res.derived().height)
-    dt = time.monotonic() - t0
+            f"{d}/kg",
+            concurrency=max(2, num_cpus // 2),
+        )
+        n_derived = sum(g["rows"] for g in store.generations[1:])
+        dt = time.monotonic() - t0
     return {
         "sec": dt,
         "pages": N_PAGES,

@@ -574,6 +574,7 @@ def infer_store(
     with_lineage: bool = False,
     goals: Optional[pa.Table] = None,
     broadcast_rows: int = 500_000,
+    premises_precleaned: bool = False,
 ):
     """Fully Dataset/parquet-resident fixpoint — the 100 TB path.
 
@@ -656,7 +657,11 @@ def infer_store(
             uncond.write_parquet(
                 os.path.join(lineage_dir, "gen=00000", "lineage.parquet")
             )
-        store.add(gen0)
+        # ``premises_precleaned`` (caller guarantees duplicate-free
+        # premises, e.g. the KG pipeline's canonicalize dedup) skips the
+        # gen-0 distinct exchange; unconditional heads may overlap the
+        # premises, so the fast path needs both
+        store.add(gen0, precleaned=premises_precleaned and not uncond.height)
 
     # cache the store-backed sides across rounds: full_new(k) =
     # full_new(k-1) ∪ delta(k), so only the first round reads parquet
@@ -683,6 +688,19 @@ def infer_store(
     else:
         inc.advance(delta_ds)
 
+    # driver copy of the full store while it fits under broadcast_rows:
+    # turns per-round insert-if-absent into a lazy polars anti-join fused
+    # with the chain queries (dropped permanently once the store outgrows
+    # the bound — then insert-if-absent probe-scans the parquet store)
+    full_small: Optional[pl.DataFrame] = None
+    if store.count() <= broadcast_rows:
+        if last >= 1:
+            full_small = collect_to_polars(full_new)
+        elif small_delta is not None:
+            full_small = small_delta
+        if full_small is not None and full_small.width == 0:
+            full_small = pl.DataFrame(schema={c: pl.Utf8 for c in FACT_COLS})
+
     # goal tracking: the remaining-goal frame shrinks as deltas land;
     # one initial probe scan of the store, then per-delta checks only
     remaining: Optional[pl.DataFrame] = None
@@ -700,6 +718,7 @@ def infer_store(
                 plans,
                 inc,
                 full_new,
+                full_small=full_small,
                 with_lineage=with_lineage,
                 broadcast_rows=broadcast_rows,
                 num_partitions=num_partitions,
@@ -726,13 +745,20 @@ def infer_store(
             new_facts = ray.data.from_arrow(
                 polars_to_arrow_string(new.select(FACT_COLS))
             )
-            store.add(new_facts, precleaned=True)
+            # driver-side generation commit (same layout/manifest as
+            # store.add, no distributed write tasks for a small delta)
+            store.add_small(new.select(FACT_COLS))
             full_old = full_new
             full_new = full_old.union(new_facts)
             delta_ds = new_facts
             if remaining is not None and remaining.height:
                 remaining = remaining.join(new.select(FACT_COLS), on=FACT_COLS, how="anti")
             small_delta = new.select(FACT_COLS)
+            if full_small is not None:
+                if full_small.height + new.height <= broadcast_rows:
+                    full_small = pl.concat([full_small, small_delta])
+                else:
+                    full_small = None
             inc.advance_small(small_delta)
         else:
             cnt = new.count()
@@ -753,6 +779,7 @@ def infer_store(
             delta_ds = new_facts
             if remaining is not None and remaining.height:
                 remaining = anti_probe(remaining, delta_ds)
+            full_small = None  # store outgrew the bound with this delta
             if cnt <= broadcast_rows:
                 small_delta = collect_to_polars(new_facts).select(FACT_COLS)
                 inc.advance_small(small_delta)

@@ -7,19 +7,24 @@ and the per-atom match datasets (:class:`rify_ray.eval_shuffle.IncrementalMatche
 always stay distributed.  What this module adapts is the per-round
 WORKING SET — the delta and the intermediate join bindings:
 
-- both join sides ≤ ``broadcast_rows``  → driver polars hash join
-  (zero distributed executions; the rows are already duplicated in the
-  object store for the big path to take over at any step);
+- both join sides ≤ ``broadcast_rows``  → the whole chain stays ONE
+  fused lazy polars query (join → head projection → anti-join-first →
+  dedup), streamed in a single pass — no distributed execution at all
+  (this mirrors :func:`rify_ray.eval_broadcast.run_iteration`'s
+  anti-before-unique ordering: in late rounds almost everything derived
+  is already known, so dedup touches ~0 rows instead of the O(n·fanout)
+  candidate enumeration);
 - bindings small, matches big           → ONE ``map_batches`` over the
   cached match Dataset with the bindings broadcast via ``ray.put`` —
   a classic broadcast hash join, no shuffle actors;
 - bindings big                          → ``Dataset.join`` hash-shuffle
   exchange with skew salting (:func:`rify_ray.eval_shuffle.shuffle_join`).
 
-The round tail adapts the same way: when every chain output stayed
-small, first-wins dedup runs in polars and insert-if-absent becomes a
-single broadcast PROBE SCAN of the full store (each block semi-joins
-against the candidate set — no aggregator actors); otherwise the
+The round tail adapts the same way: while the full store has a driver
+copy (≤ ``broadcast_rows``), insert-if-absent is a lazy polars
+anti-join; past that it becomes a broadcast PROBE SCAN of the store
+(each block semi-joins against the candidate set — no aggregator
+actors); and once the candidates themselves outgrow the bound, the
 distributed groupby + anti-join tail runs
 (:func:`rify_ray.eval_shuffle.dedup_anti_ds`).
 
@@ -106,7 +111,7 @@ def anti_probe(cand: pl.DataFrame, full_new_ds) -> pl.DataFrame:
     return cand.join(hits.unique(), on=FACT_COLS, how="anti")
 
 
-ChainOut = Tuple[str, Union[pl.DataFrame, "ray.data.Dataset"]]  # noqa: F821
+ChainOut = Tuple[str, Union[pl.LazyFrame, "ray.data.Dataset"]]  # noqa: F821
 
 
 def _eval_chain_hybrid(
@@ -121,15 +126,17 @@ def _eval_chain_hybrid(
     fact_dtype,
 ) -> Optional[ChainOut]:
     """One delta-position join chain with per-step strategy choice.
-    Returns ("small", polars head frame) / ("ds", head Dataset) / None.
+    Returns ("lazy", polars LazyFrame of heads) / ("ds", head Dataset) /
+    None.  The lazy variant carries the UNCOLLECTED fused join+projection
+    query — the round tail fuses it further with anti+dedup so the
+    (potentially huge) pre-anti candidate enumeration never materializes.
     """
-    import ray
+    import ray.data
 
     body = plan.body
-    bindings_small: Optional[pl.DataFrame] = None
+    bindings_lazy: Optional[pl.LazyFrame] = None
     bindings_ds = None
     bound_cols: List[str] = []
-    small_ref = None  # ray.put of bindings_small, invalidated on change
     for step, atom_i in enumerate(chain.order):
         atom = body[atom_i]
         m_cols = [vcol(i) for i in atom.var_indices]
@@ -139,10 +146,7 @@ def _eval_chain_hybrid(
                 return None
             if not m_cols:
                 continue  # satisfied presence probe
-            mdf = m.collect()
-            if mdf.height == 0:
-                return None
-            bindings_small, bound_cols = mdf, m_cols
+            bindings_lazy, bound_cols = m, m_cols
             continue
         side = "old" if atom_i < chain.delta_pos else "new"
         ms = inc.side(side, atom.slots)
@@ -150,31 +154,32 @@ def _eval_chain_hybrid(
             return None
         if not m_cols:
             continue  # satisfied presence probe (ms.rows > 0)
-        if bindings_small is None and bindings_ds is None:
+        if bindings_lazy is None and bindings_ds is None:
             # delta atom was constant-only: seed bindings from this side
             if ms.small is not None:
-                bindings_small = ms.small
+                bindings_lazy = ms.small.lazy()
             else:
                 bindings_ds = ms.ds
             bound_cols = m_cols
             continue
         shared = [c for c in m_cols if c in bound_cols]
-        if bindings_small is not None:
-            if ms.small is not None:
-                # small ⋈ small — pure driver polars
-                if shared:
-                    bindings_small = bindings_small.join(ms.small, on=shared, how="inner")
-                else:
-                    bindings_small = bindings_small.join(ms.small, how="cross")
-                small_ref = None
-                if bindings_small.height == 0:
-                    return None
+        if bindings_lazy is not None and ms.small is not None:
+            # small ⋈ small — stays one fused lazy polars query
+            if shared:
+                bindings_lazy = bindings_lazy.join(ms.small.lazy(), on=shared, how="inner")
             else:
-                # broadcast hash join: map over the big match Dataset
-                if small_ref is None:
-                    small_ref = ray.put(bindings_small)
+                bindings_lazy = bindings_lazy.join(ms.small.lazy(), how="cross")
+        elif bindings_lazy is not None:
+            # matches too big to fetch: collect bindings, pick broadcast
+            # map-join vs shuffle by their size
+            import ray
+
+            bdf = bindings_lazy.collect(engine="streaming")
+            if bdf.height == 0:
+                return None
+            if bdf.height <= broadcast_rows:
                 out = ms.ds.map_batches(
-                    _bcast_join_fn(small_ref, shared),
+                    _bcast_join_fn(ray.put(bdf), shared),
                     batch_format="pyarrow",
                     zero_copy_batch=True,
                 ).materialize()
@@ -185,12 +190,23 @@ def _eval_chain_hybrid(
                 if n == 0:
                     return None
                 if n <= broadcast_rows:
-                    bindings_small, bindings_ds, small_ref = collect_to_polars(out), None, None
+                    bindings_lazy, bindings_ds = collect_to_polars(out).lazy(), None
                 else:
-                    bindings_small, bindings_ds, small_ref = None, out, None
+                    bindings_lazy, bindings_ds = None, out
+            else:
+                bindings_ds = shuffle_join(
+                    ray.data.from_arrow(polars_to_arrow_string(bdf)),
+                    ms.ds, shared, num_partitions, salt_factor,
+                    probe_salt_cols=bound_cols,
+                )
+                bindings_lazy = None
+                if bindings_ds is None or bindings_ds.count() == 0:
+                    return None
         else:
             # big bindings: full hash-shuffle exchange with salting
             m_ds = ms.ds
+            if ms.small is not None:
+                m_ds = ray.data.from_arrow(polars_to_arrow_string(ms.small))
             bindings_ds = shuffle_join(
                 bindings_ds, m_ds, shared, num_partitions, salt_factor,
                 probe_salt_cols=bound_cols,
@@ -199,12 +215,11 @@ def _eval_chain_hybrid(
                 return None
         bound_cols = bound_cols + [c for c in m_cols if c not in bound_cols]
 
-    if bindings_small is None and bindings_ds is None:
+    if bindings_lazy is None and bindings_ds is None:
         # body entirely constant atoms, all satisfied — single empty binding
-        bindings_small = pl.DataFrame({"__one": [1]})
-    if bindings_small is not None:
-        heads = project_heads(plan, bindings_small.lazy(), with_lineage, fact_dtype)
-        return ("small", heads.collect())
+        bindings_lazy = pl.LazyFrame({"__one": [1]})
+    if bindings_lazy is not None:
+        return ("lazy", project_heads(plan, bindings_lazy, with_lineage, fact_dtype))
     return (
         "ds",
         bindings_ds.map_batches(
@@ -219,6 +234,7 @@ def run_iteration_hybrid(
     inc: IncrementalMatches,
     full_new_ds,
     *,
+    full_small: Optional[pl.DataFrame] = None,
     with_lineage: bool = False,
     broadcast_rows: int = 500_000,
     num_partitions: int = 32,
@@ -229,16 +245,20 @@ def run_iteration_hybrid(
     """One semi-naive round with a small (driver-resident) delta.
 
     ``inc.advance_small(delta_pl)`` must have been called already.
+    ``full_small`` is the driver copy of the full store if one is being
+    maintained (store ≤ ``broadcast_rows``) — it turns insert-if-absent
+    into a lazy polars anti-join fused with the chain queries.
+
     Returns a polars frame of new facts (possibly empty) when the round
-    stayed small, or a materialized Dataset when any chain went big
-    (caller re-checks size), or None when statically empty.
+    stayed small, or a materialized Dataset when it went big (caller
+    re-checks size), or None when statically empty.
     """
     if pin_schema is None:
         pin_schema = pa.schema([(c, pa.string()) for c in FACT_COLS])
         if with_lineage:
             pin_schema = pin_schema.append(pa.field("lkey", pa.string()))
 
-    small_heads: List[pl.DataFrame] = []
+    lazy_heads: List[pl.LazyFrame] = []
     ds_heads = []
     for plan in plans:
         if not plan.body:
@@ -251,31 +271,55 @@ def run_iteration_hybrid(
             if out is None:
                 continue
             kind, val = out
-            if kind == "small":
-                if val.height:
-                    small_heads.append(val)
-            else:
-                ds_heads.append(val)
+            (lazy_heads if kind == "lazy" else ds_heads).append(val)
 
     out_cols = [*FACT_COLS, "lkey"] if with_lineage else FACT_COLS
-    if not small_heads and not ds_heads:
+    if not lazy_heads and not ds_heads:
         return pl.DataFrame(
             schema={c: (pl.Utf8 if c == "lkey" else fact_dtype) for c in out_cols}
         )
 
     if not ds_heads:
-        cand = pl.concat(small_heads)
+        cand = pl.concat(lazy_heads)
+        if full_small is not None:
+            # the eval_broadcast ordering: anti-join FIRST (kills the
+            # re-derivation bulk), dedup the tiny remainder — one fused
+            # streaming query end to end
+            new = cand.join(full_small.lazy(), on=FACT_COLS, how="anti")
+            if with_lineage:
+                new = new.group_by(FACT_COLS).agg(pl.col("lkey").min())
+            else:
+                new = new.unique(subset=FACT_COLS)
+            return new.select(out_cols).collect(engine="streaming")
+        # no driver store copy: dedup (streaming), then probe-scan the
+        # distributed store — or hand off to the shuffle tail when even
+        # the deduped candidates are big
         if with_lineage:
             cand = cand.group_by(FACT_COLS).agg(pl.col("lkey").min())
         else:
             cand = cand.unique(subset=FACT_COLS)
-        return anti_probe(cand.select(out_cols), full_new_ds)
+        cand_df = cand.select(out_cols).collect(engine="streaming")
+        if cand_df.height <= broadcast_rows:
+            return anti_probe(cand_df, full_new_ds)
+        import ray.data
 
-    # mixed: lift small parts into Datasets, run the distributed tail
+        ds = ray.data.from_arrow(polars_to_arrow_string(cand_df))
+        ds = ds.join(full_new_ds, "left_anti", num_partitions, on=tuple(FACT_COLS))
+        return drop_empty_blocks(ds.materialize())
+
+    # mixed: lift lazy parts into Datasets, run the distributed tail
     import ray.data
 
-    for df in small_heads:
-        ds_heads.append(ray.data.from_arrow(polars_to_arrow_string(df.select(out_cols))))
+    for lf in lazy_heads:
+        # local pre-dedup (combiner) before the exchange; min-lkey keeps
+        # first-wins lineage exact under the global groupby-min
+        if with_lineage:
+            lf = lf.group_by(FACT_COLS).agg(pl.col("lkey").min())
+        else:
+            lf = lf.unique(subset=FACT_COLS)
+        df = lf.collect(engine="streaming")
+        if df.height:
+            ds_heads.append(ray.data.from_arrow(polars_to_arrow_string(df.select(out_cols))))
     new = ds_heads[0]
     if len(ds_heads) > 1:
         new = new.union(*ds_heads[1:])

@@ -76,6 +76,48 @@ def build_triples(
     return quads
 
 
+def kg_construct_and_infer_store(
+    pages_ds,
+    rules: Sequence[Rule],
+    m_entities: int,
+    store_path: str,
+    *,
+    concurrency: int = 4,
+    num_partitions: int = 32,
+    salt_factor: int = 1,
+    broadcast_rows: int = 500_000,
+    with_lineage: bool = False,
+):
+    """Flagship pipeline on the 100 TB path: pages → triples →
+    store-resident fixpoint.  The constructed quads stream from the
+    linker straight into the :class:`TripleStore`'s generation-0 parquet
+    and every inference round commits its delta as a new generation —
+    triples never materialize on the driver (contrast
+    :func:`kg_construct_and_infer`, the driver-resident variant kept for
+    small interactive runs).  Returns the TripleStore;
+    ``store.dataset(first_gen=1)`` is the derived closure.
+    """
+    import ray.data
+
+    from ..engine import infer_store
+
+    quads = build_triples(pages_ds, alias_index(m_entities), concurrency=concurrency)
+    if quads is None:
+        quads = ray.data.from_arrow(
+            pa.schema([(c, pa.string()) for c in ["s", "p", "o", "g"]]).empty_table()
+        )
+    return infer_store(
+        quads,
+        rules,
+        store_path,
+        num_partitions=num_partitions,
+        salt_factor=salt_factor,
+        broadcast_rows=broadcast_rows,
+        with_lineage=with_lineage,
+        premises_precleaned=True,  # canonicalize_stage already dedups
+    )
+
+
 def kg_construct_and_infer(
     pages_ds,
     rules: Sequence[Rule],

@@ -182,6 +182,49 @@ class TripleStore:
         os.replace(tmp, self.manifest_path)
         return metrics
 
+    def add_small(self, df) -> Dict:
+        """Commit a SMALL, precleaned polars frame of quads as one new
+        generation without any distributed execution: the hash-partition
+        column comes from the same shared kernel as :func:`_hash_part_fn`
+        and per-part files are written driver-side.  Layout and manifest
+        semantics are identical to :meth:`add` — used by the hybrid
+        fixpoint for per-round deltas already known to be duplicate-free
+        and absent from the store."""
+        import shutil
+        import time
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ..util import hash_rows_mod_fn, polars_to_arrow_string
+
+        t0 = time.monotonic()
+        if df.height == 0:
+            return {"added": 0, "sec": 0.0}
+        gen = len(self.generations)
+        gen_dir = os.path.join(self.path, f"gen={gen:05d}")
+        shutil.rmtree(gen_dir, ignore_errors=True)  # stale crashed attempt
+        # stay in arrow `string` (not polars large_string) so every file
+        # in the store reads back with one schema
+        tbl = hash_rows_mod_fn(QUAD_COLS, self.num_partitions, "part")(
+            polars_to_arrow_string(df.select(QUAD_COLS))
+        )
+        parts = tbl["part"]
+        for part in pc.unique(parts).to_pylist():
+            sub = tbl.filter(pc.equal(parts, part)).drop_columns(["part"])
+            d = os.path.join(gen_dir, f"part={part}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub, os.path.join(d, "data.parquet"))
+        metrics = {"added": int(df.height), "sec": round(time.monotonic() - t0, 3)}
+        self.manifest["generations"].append(
+            {"gen": gen, "rows": int(df.height), "metrics": metrics}
+        )
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f)
+        os.replace(tmp, self.manifest_path)
+        return metrics
+
     def compact(self) -> None:
         """Rewrite all generations as one (drops tombstone-free history;
         metrics preserved in the manifest)."""

@@ -119,3 +119,26 @@ def test_flagship_closure():
         if p == "ancestor"
     }
     assert anc == {(f"ent:person_{i}", f"ent:person_{j}") for i in range(m) for j in range(m)}
+
+
+def test_flagship_store_path_matches_driver_path(tmp_path):
+    """The promoted (store-resident) flagship derives the identical fact
+    set as the driver-resident pipeline on the same pages."""
+    from rify_ray.pipelines.kg import kg_construct_and_infer_store
+
+    n, m = 150, 30
+    res = kg_construct_and_infer(
+        pages_dataset(n, m, override_num_blocks=4), ancestry_rules(), m, concurrency=2
+    )
+    driver_set = set(
+        map(tuple, res.derived().select(["s", "p", "o", "g"]).iter_rows())
+    )
+    store = kg_construct_and_infer_store(
+        pages_dataset(n, m, override_num_blocks=4), ancestry_rules(), m,
+        str(tmp_path / "kg"), concurrency=2, num_partitions=4,
+    )
+    store_set = {
+        (r["s"], r["p"], r["o"], r["g"])
+        for r in store.dataset(first_gen=1).take_all()
+    }
+    assert store_set == driver_set
