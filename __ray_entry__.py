@@ -135,7 +135,7 @@ def entry() -> Any:
             pages_dataset(200, 40), fixtures_rules.ancestry_rules(), 40,
             f"{d}/kg", concurrency=2,
         )
-        pages_derived = _collect(store.dataset(first_gen=1))
+        pages_derived = _collect(store.decoded_dataset(first_gen=1))
     # 2. relational quads from parquet → in_region inference
     quads = _collect_quads(customer_nation_quads(sf_dir), nation_region_quads(sf_dir))
     rel_derived = engine.infer(quads, _rules_in_region())
@@ -214,7 +214,7 @@ def _q_kg_pages_flagship(sf_dir: str):
             pages_dataset(500, 50), fixtures_rules.ancestry_rules(), 50,
             f"{d}/kg", concurrency=2,
         )
-        return _collect(store.dataset(first_gen=1))
+        return _collect(store.decoded_dataset(first_gen=1))
 
 
 def _docs_ds(sf_dir: str):
@@ -323,7 +323,7 @@ def _q_kg_pages_store(sf_dir: str):
         store = engine.infer_store(
             quads, fixtures_rules.ancestry_rules(), f"{d}/kg", num_partitions=4
         )
-        return _collect(store.dataset(first_gen=1))
+        return _collect(store.decoded_dataset(first_gen=1))
 
 
 def _q_knn_cosine_top5(sf_dir: str):

@@ -505,6 +505,124 @@ def _encode_rules_ids(rules: Sequence[Rule], terms: pl.DataFrame) -> List[Rule]:
 
 
 # ---------------------------------------------------------------------------
+# hash-based global dictionary for the STORE path.  The broadcast path's
+# Translator assigns sort-rank ids (needs the whole term universe in one
+# place); at store scale that global sort is itself a shuffle, so the
+# store path instead uses ``tid = hash64(term)`` (polars ahash, fixed
+# seed — deterministic across processes for a fixed polars version).
+# Encoding is then a PURE MAP (no exchange anywhere); decoding joins the
+# persisted ``(term, tid)`` table.  Collisions are checked once at
+# dictionary build (64-bit: ~1e-8 even at 1e5 terms, ~1e-4 at 1e7).
+# ---------------------------------------------------------------------------
+
+
+def hash_term_ids(terms: Sequence[str]) -> List[int]:
+    """Driver-side term→tid, same kernel as the distributed encoder."""
+    s = pl.Series("t", list(terms), dtype=pl.Utf8)
+    return s.hash(seed=0).reinterpret(signed=True).to_list()
+
+
+def _hash_encode_quads_fn(cols: Sequence[str] = tuple(FACT_COLS)):
+    """map_batches fn: replace every term column with its 64-bit hash id
+    (Int64) — vectorized, shuffle-free encode."""
+    cols = list(cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        df = df.with_columns(
+            [pl.col(c).hash(seed=0).reinterpret(signed=True).alias(c) for c in cols]
+        )
+        return df.to_arrow()
+
+    return fn
+
+
+def _encode_rules_hash(rules: Sequence[Rule]) -> List[Rule]:
+    """Rules with every bound constant replaced by its hash id."""
+    from .model import B, U
+
+    consts = sorted({e.value for r in rules for e in _iter_rule_entities(r) if e.is_bound()})
+    mapping = dict(zip(consts, hash_term_ids(consts)))
+
+    def enc_atom(atom):
+        return tuple(
+            U(e.value) if e.is_unbound() else B(mapping[e.value]) for e in atom
+        )
+
+    return [
+        Rule(tuple(enc_atom(a) for a in r.if_all), tuple(enc_atom(a) for a in r.then))
+        for r in rules
+    ]
+
+
+def _build_store_terms(premises_ds, rule_consts: Sequence[str], terms_dir: str) -> int:
+    """Distributed distinct over every term occurring in the premises (∪
+    rule constants), hashed to ids and persisted as the store's
+    ``(term, tid)`` parquet.  Returns the term count; raises on a hash
+    collision (two terms → one tid), which would corrupt the encoding."""
+    import shutil
+
+    import ray.data
+
+    from .util import distinct, polars_to_arrow_string
+
+    def to_terms(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = [
+            (batch[c].combine_chunks() if isinstance(batch[c], pa.ChunkedArray) else batch[c])
+            for c in FACT_COLS
+        ]
+        merged = pa.concat_arrays([pc.cast(p, pa.string()) for p in parts])
+        return pa.table({"term": pc.unique(merged)})
+
+    terms_ds = premises_ds.map_batches(
+        to_terms, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if rule_consts:
+        terms_ds = terms_ds.union(
+            ray.data.from_arrow(pa.table({"term": pa.array(sorted(rule_consts), pa.string())}))
+        )
+    terms_ds = distinct(terms_ds, ["term"])
+    if terms_ds is None:
+        n_terms = 0
+        tagged = ray.data.from_arrow(
+            pa.table({"term": pa.array([], pa.string()), "tid": pa.array([], pa.int64())})
+        )
+    else:
+
+        def tag(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch)
+            df = df.with_columns(
+                pl.col("term").hash(seed=0).reinterpret(signed=True).alias("tid")
+            )
+            return polars_to_arrow_string(df)
+
+        tagged = terms_ds.map_batches(
+            tag, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        n_terms = tagged.count()
+    shutil.rmtree(terms_dir, ignore_errors=True)  # stale crashed attempt
+    tagged.write_parquet(terms_dir)
+    # collision check: |distinct tid| must equal |terms|.  Driver-side up
+    # to a bound; beyond it the check would itself need an exchange —
+    # accept the 64-bit odds and note it.
+    if 0 < n_terms <= 5_000_000:
+        tids = [
+            t
+            for b in tagged.select_columns(["tid"]).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+            for t in b["tid"].to_pylist()
+        ]
+        if len(set(tids)) != n_terms:
+            raise RuntimeError(
+                "term-id hash collision in dictionary build; rerun with dict_encode=False"
+            )
+    return n_terms
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -575,6 +693,7 @@ def infer_store(
     goals: Optional[pa.Table] = None,
     broadcast_rows: int = 500_000,
     premises_precleaned: bool = False,
+    dict_encode: bool = True,
 ):
     """Fully Dataset/parquet-resident fixpoint — the 100 TB path.
 
@@ -605,8 +724,13 @@ def infer_store(
     goal hits are tracked per round against each (small) delta, so no
     extra full-store exchange runs per round.
 
-    Terms stay strings here (a global dictionary would itself need a
-    shuffle; the broadcast path does dictionary encoding instead).
+    ``dict_encode`` (default) lowers terms to 64-bit hash ids before
+    generation 0 — a pure map, no exchange (vs the broadcast path's
+    sort-rank Translator) — so every round's joins, probe scans and
+    parquet generations move Int64 columns instead of IRI strings; the
+    ``(term, tid)`` table persists under ``<store_path>/terms/`` and
+    :meth:`TripleStore.decoded_dataset` restores strings on read.
+
     Returns the store; with ``goals``, returns (store, goals_reached).
     """
     import shutil
@@ -622,10 +746,23 @@ def infer_store(
     from .state import TripleStore
     from .util import polars_to_arrow_string
 
-    plans = compile_rules(list(rules))
-    store = TripleStore(store_path, num_partitions=num_partitions)
+    value_type = "int64" if dict_encode else "string"
+    store = TripleStore(store_path, num_partitions=num_partitions, value_type=value_type)
     if store.generations and not resume:
         raise ValueError(f"store at {store_path} is non-empty and resume=False")
+    if store.generations and store.value_type != value_type:
+        raise ValueError(
+            f"store at {store_path} is {store.value_type}-typed; "
+            f"pass dict_encode={store.value_type == 'int64'} to resume it"
+        )
+    rules = list(rules)
+    eng_rules = _encode_rules_hash(rules) if dict_encode else rules
+    plans = compile_rules(eng_rules)
+    fact_dtype = pl.Int64 if dict_encode else pl.Utf8
+    fact_pa = pa.int64() if dict_encode else pa.string()
+    pin_schema = pa.schema([(c, fact_pa) for c in FACT_COLS])
+    if with_lineage:
+        pin_schema = pin_schema.append(pa.field("lkey", pa.string()))
     if isinstance(premises_ds, pa.Table):
         premises_ds = ray.data.from_arrow(premises_ds)
     lineage_dir = os.path.join(store_path, "lineage")
@@ -638,8 +775,20 @@ def infer_store(
         df.select([*FACT_COLS, "lkey"]).write_parquet(os.path.join(d, "lineage.parquet"))
 
     if not store.generations:
+        if dict_encode:
+            # one-time dictionary build (distinct exchange over the input
+            # terms), then the shuffle-free hash encode of the premises
+            rule_consts = {
+                e.value for r in rules for e in _iter_rule_entities(r) if e.is_bound()
+            }
+            _build_store_terms(
+                premises_ds.select_columns(FACT_COLS), rule_consts, store.terms_dir
+            )
+            premises_ds = premises_ds.select_columns(FACT_COLS).map_batches(
+                _hash_encode_quads_fn(), batch_format="pyarrow", zero_copy_batch=True
+            )
         # generation 0: premises + unconditional heads
-        uncond = _fire_unconditional(plans, with_lineage, pl.Utf8)
+        uncond = _fire_unconditional(plans, with_lineage, fact_dtype)
         if with_lineage and uncond.height:
             uncond = uncond.sort("lkey").unique(subset=FACT_COLS, keep="first")
         gen0 = premises_ds.select_columns(FACT_COLS)
@@ -648,7 +797,7 @@ def infer_store(
                 ray.data.from_arrow(
                     uncond.select(FACT_COLS)
                     .to_arrow()
-                    .cast(pa.schema([(c, pa.string()) for c in FACT_COLS]))
+                    .cast(pa.schema([(c, fact_pa) for c in FACT_COLS]))
                 )
             )
         if with_lineage:
@@ -669,9 +818,7 @@ def infer_store(
     last = len(store.generations) - 1
     delta_rows = store.generations[last]["rows"]
     delta_ds = store.dataset(first_gen=last).materialize()
-    empty_ds = ray.data.from_arrow(
-        pa.schema([(c, pa.string()) for c in FACT_COLS]).empty_table()
-    )
+    empty_ds = ray.data.from_arrow(store.quad_schema().empty_table())
     full_old = store.dataset(last_gen=last - 1).materialize() if last >= 1 else empty_ds
     full_new = full_old.union(delta_ds) if last >= 1 else delta_ds
     inc = IncrementalMatches(plans, broadcast_rows)
@@ -683,7 +830,7 @@ def infer_store(
     if delta_rows <= broadcast_rows:
         small_delta = collect_to_polars(delta_ds)
         if small_delta.width == 0:
-            small_delta = pl.DataFrame(schema={c: pl.Utf8 for c in FACT_COLS})
+            small_delta = pl.DataFrame(schema={c: fact_dtype for c in FACT_COLS})
         inc.advance_small(small_delta)
     else:
         inc.advance(delta_ds)
@@ -699,13 +846,20 @@ def infer_store(
         elif small_delta is not None:
             full_small = small_delta
         if full_small is not None and full_small.width == 0:
-            full_small = pl.DataFrame(schema={c: pl.Utf8 for c in FACT_COLS})
+            full_small = pl.DataFrame(schema={c: fact_dtype for c in FACT_COLS})
 
     # goal tracking: the remaining-goal frame shrinks as deltas land;
     # one initial probe scan of the store, then per-delta checks only
     remaining: Optional[pl.DataFrame] = None
     if goals is not None:
         remaining = pl.from_arrow(goals.select(FACT_COLS)).unique()
+        if dict_encode:
+            remaining = remaining.with_columns(
+                [
+                    pl.col(c).hash(seed=0).reinterpret(signed=True).alias(c)
+                    for c in FACT_COLS
+                ]
+            )
         if remaining.height:
             remaining = anti_probe(remaining, full_new)
 
@@ -723,6 +877,8 @@ def infer_store(
                 broadcast_rows=broadcast_rows,
                 num_partitions=num_partitions,
                 salt_factor=salt_factor,
+                pin_schema=pin_schema,
+                fact_dtype=fact_dtype,
             )
         else:
             new = run_iteration_core(
@@ -733,6 +889,7 @@ def infer_store(
                 with_lineage=with_lineage,
                 num_partitions=num_partitions,
                 salt_factor=salt_factor,
+                pin_schema=pin_schema,
                 match_cache=inc.cache(),
             )
         if new is None:
@@ -799,12 +956,18 @@ def prove_store(
     *,
     num_partitions: int = 32,
     salt_factor: int = 1,
+    dict_encode: bool = True,
 ) -> List[RuleApplication]:
     """Store-resident proof search — prove over data that never lands on
     the driver.  Lineage lives as per-generation parquet; after the
     early-exit fixpoint, the proof is extracted by a backward BFS of
-    (tiny) frontier-vs-lineage hash joins, then replayed exactly like
+    broadcast probe scans of the lineage, then replayed exactly like
     :func:`prove` (``recall_proof``, ``src/prove.rs:171-210``).
+
+    ``dict_encode`` (default) runs the fixpoint AND the lineage walk over
+    64-bit term ids — proofs over big premise sets skip the string-join
+    tax — and translates the returned instantiations back to terms via
+    the store's persisted dictionary.
 
     Raises :class:`NovelName` / :class:`ExhaustedSearchSpace` like the
     reference.  Terms must be strings on this path.
@@ -862,9 +1025,24 @@ def prove_store(
         salt_factor=salt_factor,
         with_lineage=True,
         goals=goal_tbl,
+        dict_encode=dict_encode,
     )
     if not reached:
         raise ExhaustedSearchSpace("goal not derivable from premises under rules")
+
+    # the store (and its lineage) speaks term ids when dict-encoded: walk
+    # the lineage in the encoded domain — the hash encoder is
+    # deterministic, so goals/rules re-encode here independently — and
+    # translate instantiations back to terms at the very end
+    if dict_encode:
+        walk_rules = _encode_rules_hash(rules)
+        term_univ = sorted({t for g in goals for t in g})
+        goal_enc = dict(zip(term_univ, hash_term_ids(term_univ)))
+        goals = [tuple(goal_enc[t] for t in g) for g in goals]
+        inst_cast = int  # lkey instantiations parse back to ids
+    else:
+        walk_rules = rules
+        inst_cast = str
 
     # backward lineage extraction: every derived quad appears in exactly
     # one lineage generation (deltas are anti-joined per round), so each
@@ -886,12 +1064,13 @@ def prove_store(
     if lineage_ds is not None:
         import ray
 
+        fact_pa = pa.int64() if dict_encode else pa.string()
         frontier = set(goals)
         seen: set = set()
         while frontier:
             ftab = pa.table(
                 {
-                    c: pa.array([q[j] for q in frontier], pa.string())
+                    c: pa.array([q[j] for q in frontier], fact_pa)
                     for j, c in enumerate(FACT_COLS)
                 }
             )
@@ -925,8 +1104,9 @@ def prove_store(
                     if q in arguments:
                         continue
                     ri, inst = decode_lkey(lkey)
+                    inst = tuple(inst_cast(x) for x in inst)
                     arguments[q] = (ri, inst)
-                    rule = rules[ri]
+                    rule = walk_rules[ri]
                     binding = dict(zip(rule.canonical_unbound(), inst))
                     for atom in rule.if_all:
                         sub = tuple(
@@ -938,7 +1118,26 @@ def prove_store(
 
     out: List[RuleApplication] = []
     for goal in goals:
-        _recall_proof(tuple(goal), arguments, rules, out)
+        _recall_proof(tuple(goal), arguments, walk_rules, out)
+    if dict_encode and out:
+        # translate instantiation ids back to terms via the persisted
+        # dictionary (only the ids the proof actually uses are fetched)
+        import pyarrow.parquet as pq
+
+        need_ids = sorted({t for a in out for t in a.instantiations})
+        files = sorted(
+            os.path.join(store.terms_dir, n)
+            for n in os.listdir(store.terms_dir)
+            if n.endswith(".parquet")
+        )
+        tid_to_term: Dict[int, str] = {}
+        for f in files:
+            t = pq.read_table(f, filters=[("tid", "in", need_ids)])
+            tid_to_term.update(zip(t["tid"].to_pylist(), t["term"].to_pylist()))
+        out = [
+            RuleApplication(a.rule_index, tuple(tid_to_term[t] for t in a.instantiations))
+            for a in out
+        ]
     return out
 
 

@@ -42,9 +42,14 @@ def _hash_part_fn(num_partitions: int):
 
 
 class TripleStore:
-    """Durable distributed quad store with exact insert-if-absent."""
+    """Durable distributed quad store with exact insert-if-absent.
 
-    def __init__(self, path: str, num_partitions: int = 64):
+    ``value_type`` is ``"string"`` (raw IRI terms) or ``"int64"``
+    (dictionary-encoded term ids — see ``engine.infer_store``'s
+    ``dict_encode``; the ``(term, tid)`` table then lives under
+    ``<path>/terms/`` and :meth:`decoded_dataset` joins it back)."""
+
+    def __init__(self, path: str, num_partitions: int = 64, value_type: str = "string"):
         self.path = path
         os.makedirs(path, exist_ok=True)
         self.manifest_path = os.path.join(path, "manifest.json")
@@ -52,12 +57,26 @@ class TripleStore:
             with open(self.manifest_path) as f:
                 self.manifest = json.load(f)
             self.num_partitions = self.manifest["num_partitions"]
+            self.value_type = self.manifest.get("value_type", "string")
         else:
             self.num_partitions = num_partitions
+            self.value_type = value_type
             self.manifest = {
                 "num_partitions": num_partitions,
+                "value_type": value_type,
                 "generations": [],  # [{gen, rows, metrics}]
             }
+
+    @property
+    def _arrow_value_type(self):
+        return pa.int64() if self.value_type == "int64" else pa.string()
+
+    def quad_schema(self) -> pa.Schema:
+        return pa.schema([(c, self._arrow_value_type) for c in QUAD_COLS])
+
+    @property
+    def terms_dir(self) -> str:
+        return os.path.join(self.path, "terms")
 
     # -- reads --------------------------------------------------------------
 
@@ -91,10 +110,49 @@ class TripleStore:
                     os.path.join(root, n) for n in names if n.endswith(".parquet")
                 )
         if not files:
-            return ray.data.from_arrow(
-                pa.schema([(c, pa.string()) for c in QUAD_COLS]).empty_table()
-            )
+            return ray.data.from_arrow(self.quad_schema().empty_table())
         return ray.data.read_parquet(sorted(files), columns=columns or QUAD_COLS)
+
+    def decoded_dataset(self, **kw):
+        """Like :meth:`dataset`, but with dictionary-encoded term ids
+        joined back to term strings.  A no-op for string-typed stores.
+
+        The terms table is broadcast (``ray.put`` once, read per block)
+        — the small-side join pattern; a deployment whose term dictionary
+        outgrows one worker's heap should co-partition facts and terms by
+        ``hash(tid)`` and join per partition instead."""
+        ds = self.dataset(**kw)
+        if self.value_type != "int64" or not os.path.isdir(self.terms_dir):
+            return ds
+        import polars as pl
+        import pyarrow.parquet as pq
+        import ray
+
+        from ..util import polars_to_arrow_string
+
+        files = sorted(
+            os.path.join(self.terms_dir, n)
+            for n in os.listdir(self.terms_dir)
+            if n.endswith(".parquet")
+        )
+        terms = pl.from_arrow(
+            pa.concat_tables([pq.read_table(f) for f in files])
+        )
+        ref = ray.put(terms)
+
+        def decode(batch: pa.Table) -> pa.Table:
+            t: pl.DataFrame = ray.get(ref)
+            df = pl.from_arrow(batch)
+            extra = [c for c in df.columns if c not in QUAD_COLS]
+            for c in QUAD_COLS:
+                df = (
+                    df.join(t, left_on=c, right_on="tid", how="left")
+                    .drop(c)
+                    .rename({"term": c})
+                )
+            return polars_to_arrow_string(df.select([*QUAD_COLS, *extra]))
+
+        return ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
 
     def contains(self, quads: pa.Table) -> pa.Table:
         """Semi-join membership check (``Reasoner::contains``,
@@ -107,11 +165,11 @@ class TripleStore:
         probe = ray.data.from_arrow(quads.select(QUAD_COLS)).materialize()
         store = self.dataset().materialize()
         if store.count() == 0 or probe.count() == 0:
-            return pa.schema([(c, pa.string()) for c in QUAD_COLS]).empty_table()
+            return self.quad_schema().empty_table()
         hit = probe.join(store, "left_semi", 8, on=tuple(QUAD_COLS))
         batches = list(hit.iter_batches(batch_size=None, batch_format="pyarrow"))
         if not batches:
-            return pa.schema([(c, pa.string()) for c in QUAD_COLS]).empty_table()
+            return self.quad_schema().empty_table()
         return pa.concat_tables(batches)
 
     # -- writes -------------------------------------------------------------
@@ -142,7 +200,9 @@ class TripleStore:
             if incoming is None:
                 return {"added": 0, "sec": round(time.monotonic() - t0, 3)}
         else:
-            incoming = distinct(quads_ds.select_columns(QUAD_COLS), QUAD_COLS)
+            incoming = distinct(
+                quads_ds.select_columns(QUAD_COLS), QUAD_COLS, schema=self.quad_schema()
+            )
             if incoming is None:
                 return {"added": 0, "sec": 0.0}
             incoming = incoming.materialize()

@@ -82,12 +82,21 @@ def hash_rows_mod_fn(
     return fn
 
 
-def distinct(ds, cols: Sequence[str], *, keep_cols: Optional[Sequence[str]] = None):
+def distinct(
+    ds,
+    cols: Sequence[str],
+    *,
+    keep_cols: Optional[Sequence[str]] = None,
+    schema: Optional[pa.Schema] = None,
+):
     """Distributed distinct over ``cols``: local per-batch dedup first
     (combiner — shrinks the shuffle input before any exchange), then a
     hash-partition groupby, with empty-block hygiene.  Returns a Dataset
-    with exactly ``cols`` (string-typed) or None when input is empty."""
+    with exactly ``cols`` (string-typed unless ``schema`` overrides) or
+    None when input is empty."""
     cols = list(cols)
+    if schema is None:
+        schema = string_schema(cols)
 
     def local_dedup(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -119,5 +128,5 @@ def distinct(ds, cols: Sequence[str], *, keep_cols: Optional[Sequence[str]] = No
     if out is None:
         return None
     return out.map_batches(
-        ensure_schema_fn(string_schema(cols)), batch_format="pyarrow", zero_copy_batch=True
+        ensure_schema_fn(schema), batch_format="pyarrow", zero_copy_batch=True
     )

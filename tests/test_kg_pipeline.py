@@ -139,6 +139,6 @@ def test_flagship_store_path_matches_driver_path(tmp_path):
     )
     store_set = {
         (r["s"], r["p"], r["o"], r["g"])
-        for r in store.dataset(first_gen=1).take_all()
+        for r in store.decoded_dataset(first_gen=1).take_all()
     }
     assert store_set == driver_set
