@@ -220,7 +220,11 @@ def _q_kg_pages_flagship(sf_dir: str):
 def _docs_ds(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # the documents table is a single parquet file; split the read so
+    # downstream map stages actually parallelize
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], override_num_blocks=32
+    )
 
 
 def _q_dedup_exact_docs(sf_dir: str):
@@ -345,7 +349,7 @@ def _q_knn_lsh_top3(sf_dir: str):
 
     ids, mat = _query_vectors(sf_dir, 5)
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = knn_lsh(emb, ids, mat, k=3)
+    out = knn_lsh(emb, ids, mat, k=3, multiprobe=1)
     tbl = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
     return tbl.select(["query_id", "rank", "neighbor_id"])
 
@@ -360,14 +364,9 @@ def _q_minhash_candidates(sf_dir: str):
 
 
 def _q_minhash_verified(sf_dir: str):
-    from rify_ray.stages.dedup import minhash_lsh_candidates, verify_pairs_jaccard
+    from rify_ray.stages.dedup import minhash_verified_pairs
 
-    cands = minhash_lsh_candidates(_docs_ds(sf_dir))
-    if cands is None:
-        return pa.schema(
-            [("id1", pa.int64()), ("id2", pa.int64()), ("jaccard", pa.float64())]
-        ).empty_table()
-    out = verify_pairs_jaccard(cands, _docs_ds(sf_dir), threshold=0.5)
+    out = minhash_verified_pairs(_docs_ds(sf_dir), threshold=0.5)
     batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
     if not batches:
         return pa.schema(

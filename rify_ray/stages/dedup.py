@@ -113,46 +113,63 @@ def minhash_signature_fn(*, k_shingles: int = 5, num_perm: int = 64, seed: int =
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        sigs = []
-        for t in batch["text"].to_pylist():
-            hs = _shingle_hashes(t or "", k_shingles)
-            if hs.size == 0:
-                sigs.append([0] * len(a))
-                continue
-            # (num_perm, n_shingles) universal hash, min over shingles
-            vals = (a[:, None] * hs[None, :] + b[:, None]) % _MERSENNE
-            sigs.append(vals.min(axis=1).tolist())
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "sig": pa.array(sigs, pa.list_(pa.uint64())),
-            }
+        texts = batch["text"].to_pylist()
+        # batch-wide: concatenate every doc's shingle hashes, ONE
+        # (num_perm, total) universal hash, then a per-doc segmented min
+        # (minimum.reduceat) — no per-doc numpy dispatch
+        shingle_arrays = [_shingle_hashes(t or "", k_shingles) for t in texts]
+        lens = np.array([s.size for s in shingle_arrays], dtype=np.int64)
+        n = len(texts)
+        sig_mat = np.zeros((n, len(a)), dtype=np.uint64)
+        valid = lens > 0
+        if valid.any():
+            hs_all = np.concatenate([s for s in shingle_arrays if s.size])
+            with np.errstate(over="ignore"):
+                vals = (a[:, None] * hs_all[None, :] + b[:, None]) % _MERSENNE
+            offsets = np.zeros(int(valid.sum()), dtype=np.int64)
+            np.cumsum(lens[valid][:-1], out=offsets[1:])
+            sig_mat[valid] = np.minimum.reduceat(vals, offsets, axis=1).T
+        flat = sig_mat.reshape(-1)
+        sig_arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * len(a), len(a), dtype=np.int32)),
+            pa.array(flat, pa.uint64()),
         )
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "sig": sig_arr})
 
     return fn
 
 
 def minhash_band_fn(*, num_perm: int = 64, bands: int = 16):
-    """(doc_id, sig) → (band, bkey, doc_id) rows, one per band."""
+    """(doc_id, sig) → (band, bkey, doc_id) rows, one per band.
+
+    Fully vectorized: the signature matrix reshapes to (n, num_perm) and
+    each band's rows fold into one uint64 bucket key with an FNV-1a-style
+    mix — no per-row hashing loop.  ``bkey`` is Int64 (cheaper groupby
+    key than a hex digest; 64-bit collisions are as unlikely as before)."""
     rows_per_band = num_perm // bands
+    _FNV_OFF = np.uint64(0xCBF29CE484222325)
+    _FNV_PRIME = np.uint64(0x100000001B3)
 
     def fn(batch: pa.Table) -> pa.Table:
-        out_band, out_key, out_id = [], [], []
-        ids = batch["doc_id"].to_pylist()
-        for did, sig in zip(ids, batch["sig"].to_pylist()):
+        n = batch.num_rows
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sig_col = batch["sig"].combine_chunks()
+        flat = np.asarray(
+            sig_col.values.to_numpy(zero_copy_only=False), dtype=np.uint64
+        ).reshape(n, num_perm)
+        keys = np.empty((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
             for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                digest = hashlib.blake2b(
-                    np.asarray(chunk, dtype=np.uint64).tobytes(), digest_size=8
-                ).hexdigest()
-                out_band.append(bi)
-                out_key.append(digest)
-                out_id.append(did)
+                acc = np.full(n, _FNV_OFF, dtype=np.uint64)
+                for j in range(rows_per_band):
+                    acc = (acc ^ flat[:, bi * rows_per_band + j]) * _FNV_PRIME
+                keys[:, bi] = acc
+        band = np.tile(np.arange(bands, dtype=np.int32), n)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "bkey": pa.array(out_key, pa.string()),
-                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(band, pa.int32()),
+                "bkey": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
             }
         )
 
@@ -178,7 +195,28 @@ def _bucket_pairs_fn(id_col: str = "doc_id", max_bucket_size: int = 2000):
     return fn
 
 
-def _distinct_pairs(pairs):
+def _distinct_pairs(pairs, *, broadcast_rows: int = 2_000_000):
+    """Distinct (id1, id2).  Adaptive like the engine's hybrid rounds: a
+    pair set at or below ``broadcast_rows`` dedups on the driver (polars,
+    no aggregator-actor spin-up); above it, the hash-partition groupby
+    runs distributed."""
+    pairs = pairs.materialize()
+    n = pairs.count()
+    if n == 0:
+        return None
+    if n <= broadcast_rows:
+        import polars as pl
+        import ray.data
+
+        tabs = [
+            b
+            for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        df = pl.from_arrow(pa.concat_tables(tabs)).select(["id1", "id2"]).unique()
+        return ray.data.from_arrow(
+            df.to_arrow().cast(pa.schema([("id1", pa.int64()), ("id2", pa.int64())]))
+        )
     out = pairs.groupby(["id1", "id2"]).count().drop_columns(["count()"]).materialize()
     out = drop_empty_blocks(out)
     if out is None:
@@ -200,16 +238,20 @@ def minhash_lsh_candidates(
     k_shingles: int = 5,
     num_perm: int = 64,
     bands: int = 16,
+    _sigs=None,
 ):
     """Candidate near-duplicate pairs (id1 < id2): shingle → minhash →
     band → bucket groupby → per-bucket pairs → distinct.  Buckets are the
     shuffle unit; hot buckets (boilerplate docs) are the skew risk — at
-    scale cap bucket size and salt (documented)."""
-    sigs = docs_ds.map_batches(
-        minhash_signature_fn(k_shingles=k_shingles, num_perm=num_perm),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    scale cap bucket size and salt (documented).  ``_sigs`` lets a caller
+    that already materialized the signatures reuse them."""
+    sigs = _sigs
+    if sigs is None:
+        sigs = docs_ds.map_batches(
+            minhash_signature_fn(k_shingles=k_shingles, num_perm=num_perm),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     banded = sigs.map_batches(
         minhash_band_fn(num_perm=num_perm, bands=bands),
         batch_format="pyarrow",
@@ -219,6 +261,155 @@ def minhash_lsh_candidates(
         _bucket_pairs_fn(), batch_format="pyarrow"
     )
     return _distinct_pairs(pairs)
+
+
+def _sig_binary_fn(num_perm: int):
+    """(doc_id, sig list<uint64>) → (doc_id, sigb binary) — fixed-width
+    signature bytes, joinable as a payload column (Acero rejects lists)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat = np.asarray(
+            batch["sig"].combine_chunks().values.to_numpy(zero_copy_only=False),
+            dtype=np.uint64,
+        ).reshape(n, num_perm)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "sigb": pa.array([row.tobytes() for row in flat], pa.binary()),
+            }
+        )
+
+    return fn
+
+
+def minhash_verified_pairs(
+    docs_ds,
+    *,
+    k_shingles: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    prefilter_margin: float = 0.25,
+    num_partitions: int = 8,
+):
+    """End-to-end MinHash near-dup: signatures (computed ONCE) →
+    LSH candidates → SIGNATURE prefilter → exact n-gram-Jaccard verify.
+
+    The prefilter joins candidate pairs against the fixed-width
+    signatures and estimates Jaccard as the fraction of agreeing minhash
+    slots, dropping pairs with estimate < threshold − ``prefilter_margin``
+    (≈4σ at 64 perms, so true matches survive); only the small remainder
+    pays the exact-shingle-set joins — at web scale the candidate set is
+    orders of magnitude larger than the verified set, so this is where
+    the verify cost goes from O(candidates) to O(matches)."""
+    sigs = docs_ds.map_batches(
+        minhash_signature_fn(k_shingles=k_shingles, num_perm=num_perm),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    cands = minhash_lsh_candidates(
+        docs_ds, k_shingles=k_shingles, num_perm=num_perm, bands=bands, _sigs=sigs
+    )
+    if cands is None:
+        return _empty_verified()
+    sigb = sigs.map_batches(
+        _sig_binary_fn(num_perm), batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = _attach_pair_payload(cands, sigb, "sigb", num_partitions=num_partitions)
+    if joined is None:
+        return _empty_verified()
+    cutoff = threshold - prefilter_margin
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        a = np.frombuffer(b"".join(batch["sigb_id1"].to_pylist()), dtype=np.uint64).reshape(n, num_perm)
+        b_ = np.frombuffer(b"".join(batch["sigb_id2"].to_pylist()), dtype=np.uint64).reshape(n, num_perm)
+        est = (a == b_).mean(axis=1)
+        keep = est >= cutoff
+        return pa.table(
+            {
+                "id1": pc.cast(batch["id1"], pa.int64()).filter(pa.array(keep)),
+                "id2": pc.cast(batch["id2"], pa.int64()).filter(pa.array(keep)),
+            }
+        )
+
+    survivors = joined.map_batches(estimate, batch_format="pyarrow", zero_copy_batch=True)
+    return verify_pairs_jaccard(
+        survivors, docs_ds, k=k_shingles, threshold=threshold, num_partitions=num_partitions
+    )
+
+
+def _attach_pair_payload(
+    pairs_ds,
+    lookup_ds,
+    value_col: str,
+    *,
+    broadcast_rows: int = 2_000_000,
+    num_partitions: int = 8,
+):
+    """Attach a per-doc payload to both sides of a pair stream:
+    (id1, id2) + (doc_id, value) → (id1, id2, value_id1, value_id2).
+
+    Adaptive join strategy (same rationale as the engine's hybrid
+    rounds): a lookup table at or below ``broadcast_rows`` is broadcast
+    once via ``ray.put`` and attached in ONE map over the pairs — no
+    shuffle-actor spin-up; a bigger one goes through two hash-shuffle
+    joins.  Returns a Dataset or None when nothing joins."""
+    import ray
+
+    from ..util import polars_to_arrow_string
+
+    lookup = lookup_ds.materialize()
+    n = lookup.count()
+    if n == 0:
+        return None
+    if n <= broadcast_rows:
+        import polars as pl
+
+        tabs = [
+            b
+            for b in lookup.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        lut = pl.from_arrow(pa.concat_tables(tabs)).select(["doc_id", value_col])
+        ref = ray.put(lut)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            t: pl.DataFrame = ray.get(ref)
+            df = pl.from_arrow(batch)
+            df = df.join(
+                t.rename({"doc_id": "id1", value_col: f"{value_col}_id1"}),
+                on="id1",
+                how="inner",
+            )
+            df = df.join(
+                t.rename({"doc_id": "id2", value_col: f"{value_col}_id2"}),
+                on="id2",
+                how="inner",
+            )
+            return polars_to_arrow_string(df)
+
+        return pairs_ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+    def prep(name):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {name: batch["doc_id"], f"{value_col}_{name}": batch[value_col]}
+            )
+
+        return fn
+
+    d1 = lookup.map_batches(prep("id1"), batch_format="pyarrow", zero_copy_batch=True).materialize()
+    d2 = lookup.map_batches(prep("id2"), batch_format="pyarrow", zero_copy_batch=True).materialize()
+    half = drop_empty_blocks(
+        pairs_ds.join(d1, "inner", num_partitions, on=("id1",)).materialize()
+    )
+    if half is None:
+        return None
+    return drop_empty_blocks(
+        half.join(d2, "inner", num_partitions, on=("id2",)).materialize()
+    )
 
 
 def _empty_verified():
@@ -241,50 +432,64 @@ def ngram_jaccard(text1: str, text2: str, k: int = 5) -> float:
     return inter / (len(s1) + len(s2) - inter)
 
 
+def _shingle_sets_fn(k: int):
+    """(doc_id, text) → (doc_id, sh: binary) — each doc's sorted unique
+    shingle hashes as raw uint64 bytes, computed ONCE per doc (candidate
+    verification used to re-shingle both texts per pair; a doc in p
+    pairs was hashed p times).  Binary, not list<uint64>: Acero joins
+    reject list-typed payload columns."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        sets = [
+            _shingle_hashes(t or "", k).tobytes() for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(ids, pa.int64()),
+                "sh": pa.array(sets, pa.binary()),
+            }
+        )
+
+    return fn
+
+
 def verify_pairs_jaccard(
     pairs_ds, docs_ds, *, k: int = 5, threshold: float = 0.5, num_partitions: int = 8
 ):
-    """Join candidate pairs back to texts and keep pairs with exact
-    n-gram Jaccard >= threshold.  Two hash-join shuffles keyed on doc id
-    (the texts travel once each)."""
+    """Join candidate pairs back to per-doc shingle sets (computed once
+    per doc, not once per pair) and keep pairs with exact n-gram Jaccard
+    >= threshold.  Two hash-join shuffles keyed on doc id; the per-pair
+    predicate is a sorted-array intersection (numpy), not Python sets."""
 
-    def prep(name):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table({name: pc.cast(batch["doc_id"], pa.int64()), f"text_{name}": batch["text"]})
-
-        return fn
-
-    d1 = docs_ds.map_batches(prep("id1"), batch_format="pyarrow", zero_copy_batch=True).materialize()
-    d2 = docs_ds.map_batches(prep("id2"), batch_format="pyarrow", zero_copy_batch=True).materialize()
-    half = drop_empty_blocks(
-        pairs_ds.join(d1, "inner", num_partitions, on=("id1",)).materialize()
+    sh_ds = docs_ds.map_batches(
+        _shingle_sets_fn(k), batch_format="pyarrow", zero_copy_batch=True
     )
-    if half is None:
-        return _empty_verified()
-    joined = drop_empty_blocks(
-        half.join(d2, "inner", num_partitions, on=("id2",)).materialize()
-    )
+    joined = _attach_pair_payload(pairs_ds, sh_ds, "sh", num_partitions=num_partitions)
     if joined is None:
         return _empty_verified()
 
     def verify(batch: pa.Table) -> pa.Table:
-        keep1, keep2, jac = [], [], []
-        for i1, i2, t1, t2 in zip(
-            batch["id1"].to_pylist(),
-            batch["id2"].to_pylist(),
-            batch["text_id1"].to_pylist(),
-            batch["text_id2"].to_pylist(),
-        ):
-            j = ngram_jaccard(t1, t2, k)
-            if j >= threshold:
-                keep1.append(i1)
-                keep2.append(i2)
-                jac.append(j)
+        n = batch.num_rows
+        ids1 = np.asarray(batch["id1"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids2 = np.asarray(batch["id2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sh1 = batch["sh_id1"].to_pylist()
+        sh2 = batch["sh_id2"].to_pylist()
+        jac = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            a = np.frombuffer(sh1[i], dtype=np.uint64)
+            b = np.frombuffer(sh2[i], dtype=np.uint64)
+            if a.size == 0 and b.size == 0:
+                jac[i] = 1.0
+                continue
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            jac[i] = inter / (a.size + b.size - inter)
+        keep = jac >= threshold
         return pa.table(
             {
-                "id1": pa.array(keep1, pa.int64()),
-                "id2": pa.array(keep2, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
+                "id1": pa.array(ids1[keep], pa.int64()),
+                "id2": pa.array(ids2[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
             }
         )
 
@@ -340,22 +545,26 @@ def simhash_fn(batch: pa.Table) -> pa.Table:
 def simhash_candidates(docs_ds, *, max_hamming: int = 3):
     """Near-dup candidates via 4×16-bit chunk bucketing (pigeonhole: any
     pair within Hamming distance 3 agrees on ≥1 chunk), verified by
-    popcount."""
-    sigs = docs_ds.map_batches(simhash_fn, batch_format="pyarrow", zero_copy_batch=True)
+    popcount.  Signatures materialize once — both the banding pipeline
+    and the verify join read the same cached blocks."""
+    sigs = docs_ds.map_batches(
+        simhash_fn, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def chunk_fn(batch: pa.Table) -> pa.Table:
-        cband, ckey, cid = [], [], []
-        for did, sh in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
-            u = sh + (1 << 64) if sh < 0 else sh
-            for ci in range(4):
-                cband.append(ci)
-                ckey.append(str((u >> (16 * ci)) & 0xFFFF))
-                cid.append(did)
+        n = batch.num_rows
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sh = np.asarray(
+            batch["simhash"].to_numpy(zero_copy_only=False), dtype=np.int64
+        ).view(np.uint64)
+        # (n, 4) 16-bit chunks, fully vectorized
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        chunks = ((sh[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table(
             {
-                "band": pa.array(cband, pa.int32()),
-                "bkey": pa.array(ckey, pa.string()),
-                "doc_id": pa.array(cid, pa.int64()),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+                "bkey": pa.array(chunks.reshape(-1), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
             }
         )
 
@@ -366,41 +575,35 @@ def simhash_candidates(docs_ds, *, max_hamming: int = 3):
     pairs = _distinct_pairs(pairs)
     if pairs is None:
         return None
-    sig_small = sigs.materialize()
 
-    def rename(name):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table({name: pc.cast(batch["doc_id"], pa.int64()), f"sh_{name}": batch["simhash"]})
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()), "sh": batch["simhash"]}
+        )
 
-        return fn
-
-    s1 = sig_small.map_batches(rename("id1"), batch_format="pyarrow").materialize()
-    s2 = sig_small.map_batches(rename("id2"), batch_format="pyarrow").materialize()
-    half = drop_empty_blocks(pairs.join(s1, "inner", 8, on=("id1",)).materialize())
-    if half is None:
-        return None
-    joined = drop_empty_blocks(half.join(s2, "inner", 8, on=("id2",)).materialize())
+    sig_lookup = sigs.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    joined = _attach_pair_payload(pairs, sig_lookup, "sh")
     if joined is None:
         return None
 
     def verify(batch: pa.Table) -> pa.Table:
-        k1, k2, hd = [], [], []
-        for i1, i2, a_, b_ in zip(
-            batch["id1"].to_pylist(),
-            batch["id2"].to_pylist(),
-            batch["sh_id1"].to_pylist(),
-            batch["sh_id2"].to_pylist(),
-        ):
-            d = bin((a_ ^ b_) & ((1 << 64) - 1)).count("1")
-            if d <= max_hamming:
-                k1.append(i1)
-                k2.append(i2)
-                hd.append(d)
+        # vectorized popcount of the XOR: unpack the 8 bytes per word
+        ids1 = np.asarray(batch["id1"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids2 = np.asarray(batch["id2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        a = np.asarray(batch["sh_id1"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(batch["sh_id2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        x = (a ^ b).view(np.uint64)
+        d = (
+            np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+            if len(x)
+            else np.zeros(0, dtype=np.int64)
+        )
+        keep = d <= max_hamming
         return pa.table(
             {
-                "id1": pa.array(k1, pa.int64()),
-                "id2": pa.array(k2, pa.int64()),
-                "hamming": pa.array(hd, pa.int64()),
+                "id1": pa.array(ids1[keep], pa.int64()),
+                "id2": pa.array(ids2[keep], pa.int64()),
+                "hamming": pa.array(d[keep].astype(np.int64), pa.int64()),
             }
         )
 
@@ -412,42 +615,183 @@ def simhash_candidates(docs_ds, *, max_hamming: int = 3):
 # ---------------------------------------------------------------------------
 
 
-def embedding_neardup_pairs(emb_ds, *, threshold: float = 0.95):
-    """Pairs (id1 < id2) with cosine >= threshold.  Brute per-batch
-    matmul against the full matrix broadcast once via ``ray.put`` — the
-    baseline; at 100 TB bucket by hyperplane LSH first
-    (stages/similarity.py) so each batch only meets its bucket."""
-    import ray
-
-    tbl = pa.concat_tables(
-        emb_ds.select_columns(["vec_id", "embedding"]).iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    )
-    ids_all = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat_n = mat / norms[:, None]
-    ref = ray.put((ids_all, mat_n))
+def _embed_band_fn(dim: int, bands: int, bits_per_band: int, seed: int = 7):
+    """(vec_id, embedding) → (band, bkey, vec_id) rows: banded
+    random-hyperplane LSH.  A pair at cosine θ agrees on one band with
+    probability (1 − arccos(θ)/π)^bits; over B bands detection is
+    1 − (1 − p)^B — sized so near-threshold pairs are found w.h.p."""
+    rs = np.random.RandomState(seed)
+    planes = rs.normal(size=(bands * bits_per_band, dim))
+    weights = (1 << np.arange(bits_per_band, dtype=np.int64))[None, None, :]
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids_all_, mat_n_ = ray.get(ref)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        n = batch.num_rows
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        nv = np.linalg.norm(vecs, axis=1)
-        nv[nv == 0] = 1.0
-        sims = (vecs / nv[:, None]) @ mat_n_.T
-        bi, bj = np.nonzero(sims >= threshold)
-        id1 = ids[bi]
-        id2 = ids_all_[bj]
-        keep = id1 < id2
+        signs = (vecs @ planes.T) >= 0  # (n, bands*bits)
+        keys = (signs.reshape(n, bands, bits_per_band) * weights).sum(axis=2)  # (n, bands)
         return pa.table(
             {
-                "id1": pa.array(id1[keep], pa.int64()),
-                "id2": pa.array(id2[keep], pa.int64()),
-                "cosine": pa.array(sims[bi, bj][keep], pa.float64()),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+                "bkey": pa.array(keys.reshape(-1).astype(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
             }
         )
 
-    return emb_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=256)
+    return fn
+
+
+def _embed_binary_fn(batch: pa.Table) -> pa.Table:
+    """(vec_id, embedding) → (doc_id, emb: binary float64 bytes) —
+    fixed-width payload joinable/broadcastable for pair verification."""
+    vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["vec_id"], pa.int64()),
+            "emb": pa.array([v.tobytes() for v in vecs], pa.binary()),
+        }
+    )
+
+
+def embedding_neardup_pairs(
+    emb_ds,
+    *,
+    threshold: float = 0.95,
+    bands: int = 48,
+    bits_per_band: int = 4,
+    method: str = "auto",
+):
+    """Pairs (id1 < id2) with cosine >= threshold.
+
+    Two physical plans, picked by the threshold (``method="auto"``):
+
+    - ``"lsh"`` (threshold ≥ 0.8): banded random-hyperplane LSH — bucket
+      both sides, pair WITHIN buckets (same shuffle shape as MinHash
+      LSH), verify candidates by exact cosine.  A hyperplane band only
+      discriminates when the target angle is small; at 48×4 bands,
+      detection at cos 0.8 is ≥ 1−(1−0.59)^48 ≈ 1.
+    - ``"brute_blocks"`` (lower thresholds): hyperplane buckets stop
+      separating (p_bit ≈ 0.65 ⇒ bucket sizes ≈ n/2^bits and the
+      within-bucket pair expansion approaches all-pairs anyway), so run
+      the honest all-pairs scan as block × block matmuls — every worker
+      streams the OTHER blocks from the object store; the embedding
+      matrix never materializes on the driver.
+
+    Recall vs brute force is asserted in
+    tests/test_stages.py::test_embed_neardup_recall_vs_brute."""
+    if method == "auto":
+        method = "lsh" if threshold >= 0.8 else "brute_blocks"
+    if method == "brute_blocks":
+        return _embedding_neardup_brute_blocks(emb_ds, threshold)
+    dim = len(emb_ds.take(1)[0]["embedding"])
+    banded = emb_ds.map_batches(
+        _embed_band_fn(dim, bands, bits_per_band),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = banded.groupby(["band", "bkey"]).map_groups(
+        _bucket_pairs_fn(), batch_format="pyarrow"
+    )
+    pairs = _distinct_pairs(pairs)
+    if pairs is None:
+        return _empty_embed_pairs()
+    emb_lookup = emb_ds.map_batches(
+        _embed_binary_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = _attach_pair_payload(pairs, emb_lookup, "emb")
+    if joined is None:
+        return _empty_embed_pairs()
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids1 = np.asarray(batch["id1"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids2 = np.asarray(batch["id2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        a = np.frombuffer(b"".join(batch["emb_id1"].to_pylist()), dtype=np.float64).reshape(n, -1)
+        b = np.frombuffer(b"".join(batch["emb_id2"].to_pylist()), dtype=np.float64).reshape(n, -1)
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = np.einsum("ij,ij->i", a, b) / (na * nb)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "id1": pa.array(ids1[keep], pa.int64()),
+                "id2": pa.array(ids2[keep], pa.int64()),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _decode_emb_binary(batch: pa.Table):
+    ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    n = len(ids)
+    mat = np.frombuffer(b"".join(batch["emb"].to_pylist()), dtype=np.float64).reshape(n, -1)
+    return ids, mat
+
+
+def _embedding_neardup_brute_blocks(emb_ds, threshold: float):
+    """All-pairs cosine scan with NO driver-resident matrix: the
+    normalized embeddings materialize once as object-store blocks; each
+    map task matmuls its batch against every block (fetched ref-by-ref
+    from the store) and emits pairs with batch-id < block-id, so every
+    unordered pair is computed exactly once across the job."""
+    import ray
+
+    def norm_fn(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["vec_id"], pa.int64())
+        vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        nv = np.linalg.norm(vecs, axis=1)
+        nv[nv == 0] = 1.0
+        vecs = vecs / nv[:, None]
+        return pa.table(
+            {"doc_id": ids, "emb": pa.array([v.tobytes() for v in vecs], pa.binary())}
+        )
+
+    nds = emb_ds.map_batches(
+        norm_fn, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    block_refs = [
+        ref
+        for bundle in nds.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    refs_ref = ray.put(block_refs)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, mat = _decode_emb_binary(batch)
+        out1, out2, outc = [], [], []
+        for blk_ref in ray.get(refs_ref):
+            blk = ray.get(blk_ref)
+            bids, bmat = _decode_emb_binary(blk)
+            sims = mat @ bmat.T
+            bi, bj = np.nonzero(sims >= threshold)
+            keep = ids[bi] < bids[bj]
+            out1.append(ids[bi][keep])
+            out2.append(bids[bj][keep])
+            outc.append(sims[bi, bj][keep])
+        id1 = np.concatenate(out1) if out1 else np.zeros(0, dtype=np.int64)
+        id2 = np.concatenate(out2) if out2 else np.zeros(0, dtype=np.int64)
+        cos = np.concatenate(outc) if outc else np.zeros(0, dtype=np.float64)
+        return pa.table(
+            {
+                "id1": pa.array(id1, pa.int64()),
+                "id2": pa.array(id2, pa.int64()),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+
+    return nds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024)
+
+
+def _empty_embed_pairs():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.schema(
+            [("id1", pa.int64()), ("id2", pa.int64()), ("cosine", pa.float64())]
+        ).empty_table()
+    )

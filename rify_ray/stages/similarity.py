@@ -71,11 +71,21 @@ def knn_brute(
     cands = emb_ds.map_batches(
         local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
+    return cands.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
+
+
+def _merge_topk(k: int):
+    """Per-query global merge of batch-local candidates: (cosine desc,
+    neighbor_id asc), rank 1..k — deterministic tie-break shared by the
+    brute and LSH paths (and mirrored by the SQL oracle)."""
 
     def merge(group: pa.Table) -> pa.Table:
         qid = group["query_id"][0].as_py()
         nid = np.asarray(group["neighbor_id"].to_pylist(), dtype=np.int64)
         sim = np.asarray(group["cosine"].to_pylist(), dtype=np.float64)
+        # a neighbor can arrive via several probes — dedup before ranking
+        _, uniq_idx = np.unique(nid, return_index=True)
+        nid, sim = nid[uniq_idx], sim[uniq_idx]
         order = np.lexsort((nid, -sim))[:k]
         return pa.table(
             {
@@ -86,7 +96,7 @@ def knn_brute(
             }
         )
 
-    return cands.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return merge
 
 
 def hyperplane_bucket_fn(dim: int, nbits: int = 8, seed: int = 7):
@@ -112,36 +122,73 @@ def knn_lsh(
     k: int = 5,
     nbits: int = 8,
     exclude_self: bool = True,
+    multiprobe: int = 1,
+    batch_size: int = 1024,
 ):
-    """Approximate top-k: only vectors in the query's hyperplane bucket
-    are scanned.  Same output schema as :func:`knn_brute`; recall < 1 by
-    construction (measured in tests)."""
+    """Approximate top-k in ONE pass over the input: every vector batch
+    computes its own buckets and is compared only against the queries
+    probing those buckets (queries broadcast once via ``ray.put``), then
+    per-query candidates merge through one groupby.  No per-bucket
+    re-scan of the input, regardless of query count.
+
+    ``multiprobe`` widens each query to buckets within that Hamming
+    distance of its own sign pattern (0 hops = exact bucket only; 1 =
+    also flip each bit), trading compute for recall — measured vs
+    :func:`knn_brute` in tests/test_stages.py."""
+    import ray
+
     dim = query_mat.shape[1]
-    bf = hyperplane_bucket_fn(dim, nbits)
-    bucketed = emb_ds.map_batches(bf, batch_format="pyarrow", zero_copy_batch=True)
+    rs = np.random.RandomState(7)
+    planes = rs.normal(size=(nbits, dim))
+    weights = (1 << np.arange(nbits)).astype(np.int64)
 
-    qtbl = pa.table(
-        {
-            "vec_id": pa.array(np.asarray(query_ids, dtype=np.int64)),
-            "embedding": pa.array([list(map(float, r)) for r in query_mat], pa.list_(pa.float64())),
-        }
-    )
-    qbuckets = bf(qtbl)["bucket"].to_pylist()
-
-    out_parts = []
+    qids = np.asarray(query_ids, dtype=np.int64)
     qn = _normalize(np.asarray(query_mat, dtype=np.float64))
-    by_bucket = {}
-    for qi, bkt in enumerate(qbuckets):
-        by_bucket.setdefault(bkt, []).append(qi)
-    for bkt, qidx in by_bucket.items():
-        sub = bucketed.filter(expr=f"bucket == {bkt}")
-        part = knn_brute(
-            sub,
-            np.asarray(query_ids)[qidx],
-            np.asarray(query_mat)[qidx],
-            k=k,
-            exclude_self=exclude_self,
+    qbuckets = (((qn @ planes.T) >= 0) * weights[None, :]).sum(axis=1)
+    # bucket -> indices of queries probing it (multi-probe: flip bits)
+    probe_map: dict = {}
+    for qi, b in enumerate(qbuckets):
+        buckets = {int(b)}
+        frontier = {int(b)}
+        for _hop in range(multiprobe):
+            frontier = {fb ^ (1 << bit) for fb in frontier for bit in range(nbits)}
+            buckets |= frontier
+        for bb in buckets:
+            probe_map.setdefault(bb, []).append(qi)
+    probe_map = {b: np.asarray(v, dtype=np.int64) for b, v in probe_map.items()}
+    ref = ray.put((qids, qn, probe_map))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qn_, probes = ray.get(ref)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        vecs = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        vbuckets = (((vecs @ planes.T) >= 0) * weights[None, :]).sum(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for b in np.unique(vbuckets):
+            qidx = probes.get(int(b))
+            if qidx is None:
+                continue
+            rows = np.nonzero(vbuckets == b)[0]
+            sims = qn_[qidx] @ vecs[rows].T  # (nq_probing, n_rows)
+            kk = min(k + 1, rows.size)
+            for r, qi in enumerate(qidx):
+                row = sims[r]
+                order = np.lexsort((ids[rows], -row))[:kk]
+                for j in order:
+                    if exclude_self and ids[rows[j]] == qids_[qi]:
+                        continue
+                    out_q.append(qids_[qi])
+                    out_n.append(ids[rows[j]])
+                    out_s.append(row[j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
         )
-        out_parts.append(part)
-    first = out_parts[0]
-    return first.union(*out_parts[1:]) if len(out_parts) > 1 else first
+
+    cands = emb_ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+    return cands.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")

@@ -48,17 +48,19 @@ def string_schema(cols: Sequence[str]) -> pa.Schema:
 
 
 def polars_to_arrow_string(df) -> pa.Table:
-    """polars emits ``large_string``; Arrow join keys / kernels here use
-    ``string`` — cast once at the boundary."""
+    """polars emits ``large_string`` / ``large_binary``; Arrow join keys
+    and kernels here use ``string`` / ``binary`` — cast once at the
+    boundary."""
     tbl = df.to_arrow()
-    return tbl.cast(
-        pa.schema(
-            [
-                (f.name, pa.string()) if f.type in (pa.large_string(), pa.utf8()) else f
-                for f in tbl.schema
-            ]
-        )
-    )
+
+    def norm(f):
+        if f.type in (pa.large_string(), pa.utf8()):
+            return (f.name, pa.string())
+        if f.type == pa.large_binary():
+            return (f.name, pa.binary())
+        return f
+
+    return tbl.cast(pa.schema([norm(f) for f in tbl.schema]))
 
 
 def hash_rows_mod_fn(

@@ -195,21 +195,71 @@ def test_knn_brute_matches_numpy():
     assert rows == sorted(exp)
 
 
-def test_knn_lsh_recall_reasonable():
+def test_knn_lsh_recall_vs_brute():
+    """Single-pass LSH with multi-probe: recall against brute force is
+    measured, not just 'returns something'."""
     from rify_ray.stages.similarity import knn_brute, knn_lsh
 
     ds, mat = _embeddings_ds(n=200, dim=16)
     fmat = np.asarray(mat, dtype=np.float32).astype(np.float64)
-    qids = np.array([5], dtype=np.int64)
+    qids = np.arange(5, dtype=np.int64)
     brute = {
         (r["query_id"], r["neighbor_id"])
-        for r in knn_brute(ds, qids, fmat[5:6], k=5).take_all()
+        for r in knn_brute(ds, qids, fmat[:5], k=5).take_all()
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in knn_lsh(ds, qids, fmat[5:6], k=5, nbits=4).take_all()
+        for r in knn_lsh(ds, qids, fmat[:5], k=5, nbits=4, multiprobe=1).take_all()
     }
-    assert len(approx) >= 1  # bucket non-empty, returns neighbors
+    recall = len(approx & brute) / len(brute)
+    assert recall >= 0.5, recall  # random gaussian vectors: LSH floor
+    # ranks are deterministic and 1-based per query
+    got = knn_lsh(ds, qids, fmat[:5], k=5, nbits=4, multiprobe=1).take_all()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_embed_neardup_recall_vs_brute():
+    """Banded-hyperplane near-dup finds exactly the brute-force pair set
+    on a mixed cluster/noise instance (recall test from VERDICT.md)."""
+    import ray.data
+
+    from rify_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(6, 16))
+    vecs = []
+    for b in base:
+        vecs.append(b)
+        vecs.append(b + rng.normal(scale=0.05, size=16))  # near-dup partner
+    vecs.extend(rng.normal(size=(30, 16)))
+    vecs = np.asarray(vecs)
+    n = len(vecs)
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float64())),
+            }
+        )
+    )
+    threshold = 0.9
+    norm = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = norm @ norm.T
+    brute = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if sims[i, j] >= threshold
+    }
+    got = {
+        (r["id1"], r["id2"])
+        for r in embedding_neardup_pairs(emb, threshold=threshold).take_all()
+    }
+    assert got == brute
 
 
 # ---------------------------------------------------------------------------
