@@ -2,10 +2,14 @@
 (``/root/reference/bindings/js_wasm/src/lib.rs:38-50,122-135,162-173``).
 
 All inputs/outputs are JSON-compatible values; errors are returned as
-tagged dicts matching the binding error enum
+serde-shaped values matching the binding error enum
 (``bindings/js_wasm/src/lib.rs:190-196``):
 
-    {"InvalidRule": ...} | {"CantProve": ...} | {"InvalidProof": ...}
+    "InputTypo" | {"InvalidRule": ...} | {"CantProve": ...} | {"InvalidProof": ...}
+
+(``InputTypo`` is the unit variant for malformed input shape — serde
+deserialization failure, lib.rs:210-214 — and serializes as a bare
+string, exactly like serde does for a unit variant.)
 
 Terms may be any JSON value (plain strings or RDF-term objects like
 ``{"Iri": "..."}``) — exactly the reference's generic ``Bound`` with a
@@ -22,6 +26,7 @@ from .engine import decode_term, encode_term
 from .model import (
     B,
     CantProve,
+    InputTypo,
     InvalidProof,
     InvalidRule,
     Rule,
@@ -33,13 +38,19 @@ from .model import (
 def _parse_rules(rules: Sequence[dict]) -> List[Rule]:
     out = []
     for obj in rules:
-        def ent(d: dict):
+        def ent(d):
+            # malformed shape is a deserialization failure (InputTypo),
+            # not a semantically invalid rule
+            if not isinstance(d, dict) or len(d) != 1:
+                raise InputTypo(f"bad entity JSON: {d!r}")
             if set(d) == {"Unbound"}:
                 return U(d["Unbound"])
             if set(d) == {"Bound"}:
                 return B(encode_term(d["Bound"]))
-            raise InvalidRule(f"bad entity JSON: {d!r}")
+            raise InputTypo(f"bad entity JSON: {d!r}")
 
+        if not isinstance(obj, dict):
+            raise InputTypo(f"a rule must be an object, got {type(obj).__name__}")
         out.append(
             Rule.create(
                 [[ent(e) for e in atom] for atom in obj.get("if_all", [])],
@@ -51,7 +62,7 @@ def _parse_rules(rules: Sequence[dict]) -> List[Rule]:
 
 def _fact(f: Sequence[Any]):
     if len(f) != 4:
-        raise InvalidRule(f"a fact must have exactly 4 terms, got {len(f)}")
+        raise InputTypo(f"a fact must have exactly 4 terms, got {len(f)}")
     return tuple(encode_term(t) for t in f)
 
 
@@ -63,6 +74,8 @@ def infer(premises: Sequence[Sequence[Any]], rules: Sequence[dict]) -> Any:
         facts = [_fact(f) for f in premises]
         out = engine.infer(facts, rs)
         return [[decode_term(t) for t in f] for f in out]
+    except InputTypo:
+        return "InputTypo"
     except InvalidRule as e:
         return {"InvalidRule": str(e)}
 
@@ -86,6 +99,8 @@ def prove(
             }
             for a in proof
         ]
+    except InputTypo:
+        return "InputTypo"
     except InvalidRule as e:
         return {"InvalidRule": str(e)}
     except CantProve as e:
@@ -110,6 +125,8 @@ def validate(rules: Sequence[dict], proof: Sequence[dict]) -> Any:
             "assumed": [[decode_term(t) for t in f] for f in sorted(v.assumed)],
             "implied": [[decode_term(t) for t in f] for f in sorted(v.implied)],
         }
+    except InputTypo:
+        return "InputTypo"
     except InvalidRule as e:
         return {"InvalidRule": str(e)}
     except InvalidProof as e:

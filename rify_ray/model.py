@@ -46,6 +46,13 @@ class RifyError(Exception):
     """Base class for all engine errors."""
 
 
+class InputTypo(RifyError):
+    """Malformed input shape at the JSON boundary — the binding-level
+    deserialization failure, distinct from a semantically invalid rule
+    (reference error enum, ``bindings/js_wasm/src/lib.rs:190-196``;
+    serde errors map to ``Error::InputTypo``, :210-214)."""
+
+
 class InvalidRule(RifyError):
     """Rule construction failed."""
 

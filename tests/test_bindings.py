@@ -109,3 +109,21 @@ def test_error_paths():
     assert "InvalidProof" in r
     r = bindings.validate(RULES, [{"rule_index": 0, "instantiations": ["too", "few"]}])
     assert "InvalidProof" in r
+
+
+def test_input_typo_paths():
+    """Malformed input SHAPE is the binding-level InputTypo unit variant
+    (serde deserialization error → Error::InputTypo,
+    bindings/js_wasm/src/lib.rs:190-196,210-214), distinct from a
+    semantically invalid rule."""
+    # entity that is neither {"Unbound": ...} nor {"Bound": ...}
+    r = bindings.infer([], [{"if_all": [], "then": [[{"Wat": 1}, e("p"), e("o"), e(DG)]]}])
+    assert r == "InputTypo"
+    # a fact with the wrong arity
+    r = bindings.infer([["only", "three", "terms"]], [])
+    assert r == "InputTypo"
+    r = bindings.prove([["s", "p", "o", DG, "extra"]], [], [])
+    assert r == "InputTypo"
+    # a rule that is not an object at all
+    r = bindings.validate(["not-a-rule"], [])
+    assert r == "InputTypo"

@@ -169,6 +169,10 @@ def test_prove_multi_step_validates():
     for g in goals:
         assert g in v.implied
     assert v.assumed <= set(FRIENDSWITH_FACTS)
+    # proof minimality guard: the reference pins an 11-step golden proof
+    # for this fixture and asserts generated proofs never get longer
+    # (src/prove.rs:582-611); hold our distributed prover to the same bar
+    assert len(proof) <= 11, f"proof regressed to {len(proof)} steps (golden: 11)"
 
 
 def test_prove_already_stated_is_empty():

@@ -37,6 +37,10 @@ def test_prove_store_multi_step(tmp_path):
     v = engine.validate(rules, proof)
     assert goals[0] in v.implied
     assert v.assumed <= set(FRIENDSWITH_FACTS)
+    # minimality guard mirrors the reference's 11-step golden ceiling
+    # (src/prove.rs:582-611): goal "soyoung is awesome" needs the whole
+    # 5-hop friendship chain (5 × rules 2+1) plus rule 0 = 11 steps
+    assert len(proof) <= 11, f"proof regressed to {len(proof)} steps"
 
 
 def test_prove_store_already_stated(tmp_path):
