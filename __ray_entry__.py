@@ -354,6 +354,18 @@ def _q_knn_lsh_top3(sf_dir: str):
     return tbl.select(["query_id", "rank", "neighbor_id"])
 
 
+def _q_knn_ivf_top3(sf_dir: str):
+    import ray.data
+
+    from rify_ray.stages.similarity import knn_ivf
+
+    ids, mat = _query_vectors(sf_dir, 5)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_ivf(emb, ids, mat, k=3, nlist=16, nprobe=4)
+    tbl = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return tbl.select(["query_id", "rank", "neighbor_id"])
+
+
 def _q_minhash_candidates(sf_dir: str):
     from rify_ray.stages.dedup import minhash_lsh_candidates
 
@@ -400,12 +412,16 @@ def _q_embed_neardup(sf_dir: str):
     # the synthetic embeddings have no true near-dups (max pair cosine
     # ~0.51); 0.45 keeps the op's output non-trivial and deterministic
     out = embedding_neardup_pairs(emb, threshold=0.45)
-    batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    batches = [
+        b
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    ]
     if not batches:
-        return pa.schema(
-            [("id1", pa.int64()), ("id2", pa.int64()), ("cosine", pa.float64())]
-        ).empty_table()
-    return pa.concat_tables(batches)
+        return pa.schema([("id1", pa.int64()), ("id2", pa.int64())]).empty_table()
+    # (id1, id2) only: the cosine value is float and would make the
+    # oracle hash-compare sensitive to summation order
+    return pa.concat_tables(batches).select(["id1", "id2"])
 
 
 def _q_multimodal_decode(sf_dir: str):
@@ -439,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pages_store": _q_kg_pages_store,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "knn_lsh_top3": _q_knn_lsh_top3,
+        "knn_ivf_top3": _q_knn_ivf_top3,
         "minhash_candidates": _q_minhash_candidates,
         "minhash_verified": _q_minhash_verified,
         "simhash_neardup": _q_simhash_neardup,
@@ -555,6 +572,12 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(count(*) AS BIGINT) AS n_events, "
             "  CAST(min(tus) AS BIGINT) AS start_us "
             "FROM sess GROUP BY user_id, session_id"
+        ),
+        "embed_neardup": (
+            "SELECT a.vec_id AS id1, b.vec_id AS id2 "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.45"
         ),
         "knn_cosine_top5": (
             "WITH q AS (SELECT vec_id AS query_id, "

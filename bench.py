@@ -37,8 +37,11 @@ SF = _sf_from_dir(SF_DIR)
 N_PAGES = max(200, int(200_000 * SF))
 if os.environ.get("GRAFT_SCALING_CHILD"):
     # scaling children need enough parallel compute (minutes single-core)
-    # to dominate Ray's fixed per-stage overheads (~5 s)
-    N_PAGES *= 144
+    # to dominate the job's fixed components: Ray per-stage overheads
+    # (~5 s) AND the entity-bound fixpoint tail (~8 s — the 500-entity
+    # closure is the same size whatever the page count, exactly like a
+    # fixed-size ontology against a growing crawl)
+    N_PAGES *= 288
 if os.environ.get("GRAFT_PAGES_OVERRIDE"):
     N_PAGES = int(os.environ["GRAFT_PAGES_OVERRIDE"])
 M_ENTITIES = 500
@@ -66,6 +69,12 @@ def _init_ray(num_cpus: int) -> None:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # explicit session tuning (was an accidental process-wide side effect
+    # of util.distinct before round 2): shuffle/aggregate/join aggregator
+    # actors reserve CPU/2 by default and starve concurrent map stages
+    from rify_ray.util import tune_data_context
+
+    tune_data_context()
 
 
 def bench_kg_pages(num_cpus: int) -> dict:
@@ -136,8 +145,11 @@ def run_queries() -> dict:
         "segment_order_counts",
         "lineitem_pricing_cents",
         "knn_cosine_top5",
+        "knn_lsh_top3",
         "minhash_candidates",
+        "minhash_verified",
         "simhash_neardup",
+        "embed_neardup",
         "multimodal_decode",
     ]
     out = {}
@@ -209,36 +221,39 @@ def _run_child(n: int) -> dict:
 def scaling(repeat: int = 3) -> None:
     """Median-of-``repeat`` fresh-process runs per CPU level: single runs
     on this shared host vary ±20%, so one sample under- or over-states
-    the software's scaling."""
+    the software's scaling.  With more than two levels, every adjacent
+    pair's efficiency is reported (e.g. levels 2,8,32 → 2→8 AND 8→32,
+    full transparency on the SMT/bandwidth-confounded upper pair); the
+    headline `value` is the first pair — the N→4N criterion measured on
+    distinct, unsaturated physical cores."""
     import statistics
 
     runs: dict = {n: [] for n in SCALING_LEVELS}
     for _ in range(repeat):
         for n in SCALING_LEVELS:
             runs[n].append(_run_child(n))
-    lo, hi = SCALING_LEVELS
-    t_lo = statistics.median(r["sec"] for r in runs[lo])
-    t_hi = statistics.median(r["sec"] for r in runs[hi])
-    speedup = t_lo / t_hi
-    efficiency = speedup / (hi / lo)
-    print(
-        json.dumps(
-            {
-                "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, fresh processes, median of {repeat})",
-                "value": round(efficiency, 3),
-                "unit": "efficiency",
-                "sf": SF,
-                "pages": runs[lo][0]["pages"],
-                f"sec_at_{lo}": round(t_lo, 3),
-                f"sec_at_{hi}": round(t_hi, 3),
-                f"all_sec_at_{lo}": [round(r["sec"], 2) for r in runs[lo]],
-                f"all_sec_at_{hi}": [round(r["sec"], 2) for r in runs[hi]],
-                f"pages_per_sec_at_{lo}": round(runs[lo][0]["pages"] / t_lo, 1),
-                f"pages_per_sec_at_{hi}": round(runs[hi][0]["pages"] / t_hi, 1),
-                "speedup": round(speedup, 3),
-            }
-        )
-    )
+    med = {n: statistics.median(r["sec"] for r in runs[n]) for n in SCALING_LEVELS}
+    pairs = {}
+    for lo, hi in zip(SCALING_LEVELS, SCALING_LEVELS[1:]):
+        speedup = med[lo] / med[hi]
+        pairs[f"{lo}->{hi}"] = {
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (hi / lo), 3),
+        }
+    lo, hi = SCALING_LEVELS[0], SCALING_LEVELS[1]
+    out = {
+        "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, fresh processes, median of {repeat})",
+        "value": pairs[f"{lo}->{hi}"]["efficiency"],
+        "unit": "efficiency",
+        "sf": SF,
+        "pages": runs[lo][0]["pages"],
+        "pairs": pairs,
+    }
+    for n in SCALING_LEVELS:
+        out[f"sec_at_{n}"] = round(med[n], 3)
+        out[f"all_sec_at_{n}"] = [round(r["sec"], 2) for r in runs[n]]
+        out[f"pages_per_sec_at_{n}"] = round(runs[n][0]["pages"] / med[n], 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -776,15 +776,16 @@ def infer_store(
 
     if not store.generations:
         if dict_encode:
+            # consume the (possibly expensive, lazy) input pipeline ONCE:
+            # both the dictionary build and generation 0 read these blocks
+            premises_ds = premises_ds.select_columns(FACT_COLS).materialize()
             # one-time dictionary build (distinct exchange over the input
             # terms), then the shuffle-free hash encode of the premises
             rule_consts = {
                 e.value for r in rules for e in _iter_rule_entities(r) if e.is_bound()
             }
-            _build_store_terms(
-                premises_ds.select_columns(FACT_COLS), rule_consts, store.terms_dir
-            )
-            premises_ds = premises_ds.select_columns(FACT_COLS).map_batches(
+            _build_store_terms(premises_ds, rule_consts, store.terms_dir)
+            premises_ds = premises_ds.map_batches(
                 _hash_encode_quads_fn(), batch_format="pyarrow", zero_copy_batch=True
             )
         # generation 0: premises + unconditional heads
@@ -1149,10 +1150,16 @@ def prove(
     mode: str = "auto",
     broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
     num_partitions: int = 32,
+    dict_encode: bool = True,
 ) -> List[RuleApplication]:
     """Distributed proof search (``src/prove.rs:58-165``): fixpoint with
     first-wins lineage and early exit once all goals are derived, then a
     driver-side lineage walk (``recall_proof``, ``src/prove.rs:171-210``).
+
+    ``dict_encode`` (default) lowers terms to Translator int ids for the
+    fixpoint and lineage — proofs over big premise sets pay int-join
+    costs, not string-join costs, exactly like :func:`infer`; the
+    returned instantiations are translated back to user terms.
 
     Raises :class:`NovelName` / :class:`ExhaustedSearchSpace` like the
     reference.  Proofs are returned in user terms and always re-checkable
@@ -1176,9 +1183,20 @@ def prove(
             if t not in universe:
                 raise NovelName(f"goal {orig!r} uses a term absent from premises and rules")
 
+    terms = None
+    if dict_encode:
+        terms = _build_terms_df(df, eng_rules)
+        df = _encode_quads_df(df, terms)
+        eng_rules = _encode_rules_ids(eng_rules, terms)
+        term_to_tid = dict(zip(terms["term"].to_list(), terms["tid"].to_list()))
+        goals = [tuple(term_to_tid[t] for t in f) for f in goals]
+        fact_dtype = pl.Int64
+    else:
+        fact_dtype = pl.Utf8
+
     goals_df = pl.DataFrame(
         {c: [f[j] for f in goals] for j, c in enumerate(FACT_COLS)},
-        schema={c: pl.Utf8 for c in FACT_COLS},
+        schema={c: fact_dtype for c in FACT_COLS},
     )
     fp = Fixpoint(
         eng_rules,
@@ -1191,6 +1209,12 @@ def prove(
         raise ExhaustedSearchSpace("goal not derivable from premises under rules")
 
     arguments = res.arguments()
+    if dict_encode:
+        # lkey instantiations are stringified ids — back to Int64 so they
+        # key against the encoded fact quads
+        arguments = {
+            q: (ri, tuple(int(x) for x in inst)) for q, (ri, inst) in arguments.items()
+        }
     # premises never carry lineage (they are assumed, src/prove.rs:171-210)
     premise_set = set(map(tuple, df.select(FACT_COLS).iter_rows()))
     for q in premise_set:
@@ -1199,6 +1223,12 @@ def prove(
     out: List[RuleApplication] = []
     for goal in goals:
         _recall_proof(tuple(goal), arguments, eng_rules, out)
+    if dict_encode:
+        tid_to_term = dict(zip(terms["tid"].to_list(), terms["term"].to_list()))
+        out = [
+            RuleApplication(a.rule_index, tuple(tid_to_term[t] for t in a.instantiations))
+            for a in out
+        ]
     if encoded:
         out = [
             RuleApplication(a.rule_index, tuple(decode_term(t) for t in a.instantiations))

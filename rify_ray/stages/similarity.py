@@ -74,6 +74,99 @@ def knn_brute(
     return cands.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
 
 
+def train_ivf_centroids(
+    emb_ds, nlist: int, *, sample_rows: int = 65_536, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """Coarse-quantizer training: Lloyd k-means on a bounded sample
+    (deterministic — seeded init over the first ``sample_rows`` vectors).
+    The sample is the ONLY thing fetched to the driver; at 100 TB train
+    on a sample, never the full set (standard IVF practice)."""
+    sample = pa.concat_tables(
+        emb_ds.limit(sample_rows).select_columns(["embedding"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    mat = _normalize(np.asarray(sample["embedding"].to_pylist(), dtype=np.float64))
+    rs = np.random.RandomState(seed)
+    centroids = mat[rs.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def knn_ivf(
+    emb_ds,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    *,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+    batch_size: int = 1024,
+):
+    """IVF (inverted-file) approximate top-k — the coarse-quantization
+    scale path next to :func:`knn_lsh`: vectors partition by nearest
+    k-means centroid; each query scans only its ``nprobe`` nearest
+    lists.  Single pass over the input (queries + centroids broadcast
+    once), one groupby merge; same output schema / tie-break as
+    :func:`knn_brute`."""
+    import ray
+
+    centroids = train_ivf_centroids(emb_ds, nlist)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qn = _normalize(np.asarray(query_mat, dtype=np.float64))
+    # per query: the nprobe nearest lists
+    qsims = qn @ centroids.T
+    probe_lists = np.argsort(-qsims, axis=1)[:, : min(nprobe, len(centroids))]
+    probe_map: dict = {}
+    for qi, lists in enumerate(probe_lists):
+        for li in lists:
+            probe_map.setdefault(int(li), []).append(qi)
+    probe_map = {b: np.asarray(v, dtype=np.int64) for b, v in probe_map.items()}
+    ref = ray.put((qids, qn, centroids, probe_map))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qn_, cents, probes = ray.get(ref)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        vecs = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        assign = np.argmax(vecs @ cents.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for li in np.unique(assign):
+            qidx = probes.get(int(li))
+            if qidx is None:
+                continue
+            rows = np.nonzero(assign == li)[0]
+            sims = qn_[qidx] @ vecs[rows].T
+            kk = min(k + 1, rows.size)
+            for r, qi in enumerate(qidx):
+                row = sims[r]
+                order = np.lexsort((ids[rows], -row))[:kk]
+                for j in order:
+                    if exclude_self and ids[rows[j]] == qids_[qi]:
+                        continue
+                    out_q.append(qids_[qi])
+                    out_n.append(ids[rows[j]])
+                    out_s.append(row[j])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cands = emb_ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+    return cands.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
+
+
 def _merge_topk(k: int):
     """Per-query global merge of batch-local candidates: (cosine desc,
     neighbor_id asc), rank 1..k — deterministic tie-break shared by the

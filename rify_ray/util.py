@@ -14,6 +14,27 @@ from typing import Callable, Optional, Sequence
 import pyarrow as pa
 
 
+def tune_data_context(aggregator_cpus_per_partition: float = 0.1) -> None:
+    """Explicit, one-shot session tuning: hash-shuffle / aggregate / join
+    aggregator actors default to reserving CPU/2 of the cluster, which
+    starves concurrently-running map stages (measured 3× pipeline
+    slowdown at small CPU counts).  Call once after ``ray.init`` — e.g.
+    from ``bench.py`` or a job entry point — instead of relying on any
+    operator to mutate the shared DataContext as a side effect."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = (
+        aggregator_cpus_per_partition
+    )
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
+        aggregator_cpus_per_partition
+    )
+    ctx.join_operator_actor_num_cpus_per_partition_override = (
+        aggregator_cpus_per_partition
+    )
+
+
 def drop_empty_blocks(ds):
     """Rebuild a materialized Dataset from its non-empty block refs (no
     data movement — refs stay in the object store).  Returns None when
