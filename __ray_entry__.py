@@ -264,6 +264,13 @@ def _q_text_fingerprint(sf_dir: str):
     return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 
 
+def _q_text_quality(sf_dir: str):
+    from rify_ray.stages.text import quality_score_fn, text_stage
+
+    out = text_stage(_docs_ds(sf_dir), quality_score_fn)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
 def _q_events_window_counts(sf_dir: str):
     from rify_ray.pipelines.relational import events_window_counts
 
@@ -445,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_char_stats": _q_text_char_stats,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
+        "text_quality": _q_text_quality,
         "events_window_counts": _q_events_window_counts,
         "top_users_by_events": _q_top_users_by_events,
         "orders_by_status_priority": _q_orders_by_status_priority,
@@ -491,6 +499,24 @@ def _lang_id_sql() -> str:
     )
 
 
+def _quality_sql() -> str:
+    from rify_ray.stages.text import QUALITY_STOPWORDS
+
+    sw = " + ".join(
+        f"(length(text) - length(replace(text, '{w}', ''))) // {len(w)}"
+        for w in QUALITY_STOPWORDS
+    )
+    return (
+        "SELECT doc_id, "
+        f"CAST(({sw}) * 10000 // GREATEST(length(regexp_extract_all(text, '\\S+')), 1) AS BIGINT) AS stopword_bp, "
+        "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10000 "
+        "// GREATEST(length(text), 1) AS BIGINT) AS punct_bp, "
+        "CAST(length(replace(text, ' ', '')) * 100 "
+        "// GREATEST(length(regexp_extract_all(text, '\\S+')), 1) AS BIGINT) AS token_len_c "
+        "FROM documents"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_customer_region": (
@@ -526,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "text_lang_id": _lang_id_sql(),
+        "text_quality": _quality_sql(),
         "text_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "events_window_counts": (
             "SELECT CAST(user_id AS BIGINT) AS user_id, "

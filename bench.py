@@ -139,6 +139,7 @@ def run_queries() -> dict:
         "text_token_counts",
         "text_lang_id",
         "text_fingerprint",
+        "text_quality",
         "events_window_counts",
         "events_sessionize",
         "top_users_by_events",

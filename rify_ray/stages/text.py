@@ -79,6 +79,47 @@ def lang_id_fn(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "lang_pred": pred})
 
 
+# stopword list for the quality score (English function words — a tiny,
+# fixed list so the SQL twin can enumerate it)
+QUALITY_STOPWORDS: List[str] = [" the ", " and ", " of ", " to ", " in ", " a "]
+
+
+def quality_score_fn(batch: pa.Table) -> pa.Table:
+    """Heuristic document-quality features in integer basis points
+    (wilson-free, SQL-twin-exact): stopword density, punctuation density
+    and mean token length — the classic cheap web-text quality signals.
+
+    - ``stopword_bp``  = 10000 * stopword occurrences / tokens
+    - ``punct_bp``     = 10000 * [.,;:!?] chars / total chars
+    - ``token_len_c``  = 100 * non-space chars / tokens
+
+    Integer outputs (floor division) so the DuckDB oracle matches
+    value-for-value with no float-hash instability."""
+    text = batch["text"]
+    tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    tokens_nz = pc.max_element_wise(tokens, pa.scalar(1, pa.int64()))
+    sw = None
+    for w in QUALITY_STOPWORDS:
+        c = pc.count_substring(text, w)
+        sw = c if sw is None else pc.add(sw, c)
+    sw = pc.cast(sw, pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    chars_nz = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    punct = pc.cast(pc.count_substring_regex(text, r"[.,;:!?]"), pa.int64())
+    nonspace = pc.subtract(n_chars, pc.cast(pc.count_substring(text, " "), pa.int64()))
+    ten_k = pa.scalar(10_000, pa.int64())
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "stopword_bp": pc.divide(pc.multiply(sw, ten_k), tokens_nz),
+            "punct_bp": pc.divide(pc.multiply(punct, ten_k), chars_nz),
+            "token_len_c": pc.divide(
+                pc.multiply(nonspace, pa.scalar(100, pa.int64())), tokens_nz
+            ),
+        }
+    )
+
+
 def fingerprint_fn(batch: pa.Table) -> pa.Table:
     """Document fingerprint = md5 hex digest of the text bytes (exactly
     DuckDB's ``md5(text)``)."""

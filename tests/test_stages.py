@@ -30,6 +30,26 @@ def _docs(rows):
 # ---------------------------------------------------------------------------
 
 
+def test_quality_score_fn():
+    from rify_ray.stages.text import quality_score_fn
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["x the cat and a dog, fine!", ""], pa.string()),
+        }
+    )
+    q = quality_score_fn(batch)
+    # 6 tokens... tokens = x,the,cat,and,a,dog,,fine! -> 7? count \S+ runs
+    # "x the cat and a dog, fine!" -> ['x','the','cat','and','a','dog,','fine!'] = 7
+    # stopwords (padded): " the "=1, " and "=1, " a "=1 -> 3 -> 3*10000//7 = 4285
+    assert q["stopword_bp"].to_pylist() == [4285, 0]
+    # punct: ',' + '!' = 2 of 26 chars -> 20000//26 = 769
+    assert q["punct_bp"].to_pylist() == [769, 0]
+    # nonspace = 26-6=20 -> 2000//7 = 285
+    assert q["token_len_c"].to_pylist() == [285, 0]
+
+
 def test_token_count_and_char_stats():
     from rify_ray.stages.text import char_stats_fn, token_count_fn
 
