@@ -958,6 +958,7 @@ def prove_store(
     num_partitions: int = 32,
     salt_factor: int = 1,
     dict_encode: bool = True,
+    broadcast_rows: int = 500_000,
 ) -> List[RuleApplication]:
     """Store-resident proof search — prove over data that never lands on
     the driver.  Lineage lives as per-generation parquet; after the
@@ -1027,6 +1028,7 @@ def prove_store(
         with_lineage=True,
         goals=goal_tbl,
         dict_encode=dict_encode,
+        broadcast_rows=broadcast_rows,
     )
     if not reached:
         raise ExhaustedSearchSpace("goal not derivable from premises under rules")

@@ -55,6 +55,103 @@ def test_infer_store_string_typed(tmp_path):
     assert store.decoded_dataset(first_gen=1).count() == len(derived)
 
 
+@pytest.mark.parametrize("broadcast_rows", [0, 20])
+def test_infer_store_forced_shuffle_paths(tmp_path, broadcast_rows):
+    """Drive the hybrid evaluator's non-small branches explicitly:
+    broadcast_rows=0 keeps every round on the Dataset shuffle path;
+    broadcast_rows=20 flips rounds between the fused-polars and shuffle
+    regimes mid-fixpoint as the deltas grow.  Same closure either way."""
+    facts = ancestry_facts(8)
+    store = engine.infer_store(
+        _premises_table(facts), ancestry_rules(), str(tmp_path / "kg"),
+        num_partitions=4, broadcast_rows=broadcast_rows,
+    )
+    derived = {
+        (r["s"], r["p"], r["o"], r["g"])
+        for r in store.decoded_dataset(first_gen=1).take_all()
+    }
+    assert derived == ancestry_expected(8)
+
+
+def test_prove_store_forced_shuffle_path(tmp_path):
+    """prove_store with a tiny broadcast bound: lineage written by the
+    distributed tail, walked and validated end-to-end."""
+    from fixtures import DG
+
+    facts = ancestry_facts(5)
+    goal = ("node_0", "ancestor", "node_3", DG)
+    proof = engine.prove_store(
+        _premises_table(facts), [goal], ancestry_rules(), str(tmp_path / "kg"),
+        num_partitions=4, broadcast_rows=0,
+    )
+    v = engine.validate(ancestry_rules(), proof)
+    assert goal in v.implied
+
+
+def test_infer_store_matches_local_oracle_random(tmp_path):
+    """Seeded random instances (shapes mirroring the hypothesis
+    conformance strategy: variables in any slot, multi-atom bodies,
+    multi-head rules): the store-resident hybrid fixpoint must derive
+    exactly the local rify-semantics oracle's set."""
+    import random
+
+    from rify_ray import local
+    from rify_ray.model import B, Rule, U, UnboundImplied
+
+    TERMS = ["t0", "t1", "t2", "t3"]
+    PREDS = ["p0", "p1"]
+    GRAPHS = ["g0"]
+    VARS = ["x", "y", "z"]
+
+    def rand_atom(rng, allowed_vars):
+        atom, used = [], set()
+        for _ in range(4):
+            if rng.random() < 0.5:
+                v = rng.choice(allowed_vars)
+                if v not in used:
+                    used.add(v)
+                    atom.append(U(v))
+                    continue
+            atom.append(B(rng.choice(TERMS + PREDS + GRAPHS)))
+        return atom, used
+
+    for seed in (1, 2, 7):
+        rng = random.Random(seed)
+        facts = [
+            (
+                rng.choice(TERMS),
+                rng.choice(PREDS),
+                rng.choice(TERMS),
+                rng.choice(GRAPHS),
+            )
+            for _ in range(rng.randint(2, 8))
+        ]
+        rules = []
+        while len(rules) < 2:
+            body_atoms, used = [], set()
+            for _ in range(rng.randint(1, 2)):
+                a, u = rand_atom(rng, VARS)
+                body_atoms.append(a)
+                used |= u
+            head, hu = rand_atom(rng, sorted(used) or VARS)
+            try:
+                rules.append(Rule.create(body_atoms, [head]))
+            except UnboundImplied:
+                continue
+        expected = set(map(tuple, local.infer(facts, rules)))
+        store = engine.infer_store(
+            _premises_table(sorted(set(facts))),
+            rules,
+            str(tmp_path / f"kg{seed}"),
+            num_partitions=4,
+        )
+        got = {
+            (r["s"], r["p"], r["o"], r["g"])
+            for r in store.decoded_dataset(first_gen=1).take_all()
+        }
+        assert got == expected, (seed, got ^ expected)
+
+
 def test_infer_store_resume_idempotent(tmp_path):
     facts = ancestry_facts(4)
     path = str(tmp_path / "kg")
