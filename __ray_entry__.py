@@ -197,6 +197,30 @@ def _q_kg_nation_chain_closure(sf_dir: str):
     return _derived_to_arrow(engine.infer(quads, _rules_reach()))
 
 
+def _q_kg_customer_region_store(sf_dir: str):
+    """The in_region inference on the STORE-RESIDENT path (dict-encoded
+    parquet generations, hybrid rounds) — oracle-checked against the
+    same SQL as the broadcast-path kg_customer_region, so the driver's
+    DuckDB gate covers infer_store end to end."""
+    import tempfile
+
+    import ray.data
+
+    from rify_ray import engine
+    from rify_ray.pipelines.relational import customer_nation_quads, nation_region_quads
+    from rify_ray.util import polars_to_arrow_string
+
+    quads = _collect_quads(customer_nation_quads(sf_dir), nation_region_quads(sf_dir))
+    with tempfile.TemporaryDirectory() as d:
+        store = engine.infer_store(
+            ray.data.from_arrow(polars_to_arrow_string(quads)),
+            _rules_in_region(),
+            f"{d}/kg",
+            num_partitions=8,
+        )
+        return _collect(store.decoded_dataset(first_gen=1))
+
+
 def _q_kg_pages_flagship(sf_dir: str):
     """Flagship on the store-resident (100 TB) path: pages → triples
     stream into TripleStore parquet generations → hybrid fixpoint; the
@@ -444,6 +468,7 @@ def _q_multimodal_decode(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_customer_region": _q_kg_customer_region,
+        "kg_customer_region_store": _q_kg_customer_region_store,
         "kg_conational": _q_kg_conational,
         "kg_nation_chain_closure": _q_kg_nation_chain_closure,
         "kg_pages_flagship": _q_kg_pages_flagship,
@@ -520,6 +545,12 @@ def _quality_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_customer_region": (
+            "SELECT 'c:' || c_custkey AS s, 'in_region' AS p, "
+            "'r:' || r_regionkey AS o, 'default_graph' AS g "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "kg_customer_region_store": (
             "SELECT 'c:' || c_custkey AS s, 'in_region' AS p, "
             "'r:' || r_regionkey AS o, 'default_graph' AS g "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "

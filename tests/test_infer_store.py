@@ -152,6 +152,29 @@ def test_infer_store_matches_local_oracle_random(tmp_path):
         assert got == expected, (seed, got ^ expected)
 
 
+def test_infer_store_resume_mid_fixpoint(tmp_path):
+    """Stop after 3 committed rounds (simulated crash), rerun: the
+    resumed fixpoint seeds its incremental matches from the committed
+    generations and converges to the same closure."""
+    facts = ancestry_facts(8)
+    path = str(tmp_path / "kg")
+    s1 = engine.infer_store(
+        _premises_table(facts), ancestry_rules(), path, num_partitions=4,
+        max_iterations=3,
+    )
+    gens_partial = len(s1.generations)
+    assert gens_partial >= 2  # gen0 + at least one round committed
+    s2 = engine.infer_store(
+        _premises_table(facts), ancestry_rules(), path, num_partitions=4
+    )
+    assert len(s2.generations) > gens_partial
+    derived = {
+        (r["s"], r["p"], r["o"], r["g"])
+        for r in s2.decoded_dataset(first_gen=1).take_all()
+    }
+    assert derived == ancestry_expected(8)
+
+
 def test_infer_store_resume_idempotent(tmp_path):
     facts = ancestry_facts(4)
     path = str(tmp_path / "kg")
