@@ -905,7 +905,7 @@ def infer_store(
             )
             # driver-side generation commit (same layout/manifest as
             # store.add, no distributed write tasks for a small delta)
-            store.add_small(new.select(FACT_COLS))
+            store.add_small(new.select(FACT_COLS), extra={"round": it, "evaluator": "hybrid-small"})
             full_old = full_new
             full_new = full_old.union(new_facts)
             delta_ds = new_facts
@@ -931,7 +931,11 @@ def infer_store(
                 new.write_parquet(gen_lineage_dir)
             # new already went through dedup + anti-join inside the round
             new_facts = new.select_columns(FACT_COLS).materialize()
-            store.add(new_facts, precleaned=True)
+            store.add(
+                new_facts,
+                precleaned=True,
+                extra={"round": it, "evaluator": "shuffle" if small_delta is None else "hybrid-mixed"},
+            )
             full_old = full_new
             full_new = full_old.union(new_facts)
             delta_ds = new_facts

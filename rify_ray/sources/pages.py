@@ -272,6 +272,51 @@ def pages_dataset(
     return ds.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def write_pages_parquet(
+    path: str,
+    n_pages: int,
+    m_entities: int | None = None,
+    *,
+    override_num_blocks: int | None = None,
+    include_golden: bool = True,
+) -> None:
+    """Persist a synthetic page corpus as the canonical input layout: a
+    partitioned Parquet directory with the Common-Crawl-style schema
+    ``(url, warc_ts, html, [text,] lang)``."""
+    pages_dataset(
+        n_pages,
+        m_entities,
+        override_num_blocks=override_num_blocks,
+        include_golden=include_golden,
+    ).write_parquet(path)
+
+
+def read_pages(path: str, *, columns: List[str] | None = None):
+    """Streaming source over a Parquet pages table — the real-input
+    entry point (BASELINE.json ``input_hint``).  Validates the schema
+    before any compute so a malformed corpus fails fast; pass
+    ``columns`` to prune at the read (only needed columns leave
+    storage).  The result feeds :func:`rify_ray.pipelines.kg.build_triples`
+    exactly like the synthetic source."""
+    import ray.data
+
+    ds = ray.data.read_parquet(path, columns=columns)
+    schema = ds.schema()
+    required = {"url": pa.string(), "warc_ts": pa.timestamp("us"), "html": pa.binary()}
+    names = set(schema.names)
+    for col, typ in required.items():
+        if columns is not None and col not in columns:
+            continue
+        if col not in names:
+            raise ValueError(f"pages parquet at {path!r} lacks required column {col!r}")
+        got = schema.base_schema.field(col).type
+        if got != typ:
+            raise ValueError(
+                f"pages column {col!r} must be {typ}, found {got} at {path!r}"
+            )
+    return ds
+
+
 def expected_page_triples(n_pages: int, m_entities: int | None = None) -> Set[Tuple[str, str, str]]:
     """Closed-form union of per-page known triples (dedup'd)."""
     m = m_entities or max(4, min(1000, n_pages))

@@ -174,7 +174,7 @@ class TripleStore:
 
     # -- writes -------------------------------------------------------------
 
-    def add(self, quads_ds, *, precleaned: bool = False) -> Dict:
+    def add(self, quads_ds, *, precleaned: bool = False, extra: Optional[Dict] = None) -> Dict:
         """Insert-if-absent a Dataset (or arrow Table) of quads as one
         new generation; returns per-add metrics.  Idempotent on retry:
         an uncommitted generation directory is ignored and overwritten.
@@ -233,6 +233,7 @@ class TripleStore:
         metrics = {
             "added": int(added),
             "sec": round(time.monotonic() - t0, 3),
+            **(extra or {}),
         }
         # commit: manifest write is the atomic commit point
         self.manifest["generations"].append({"gen": gen, "rows": int(added), "metrics": metrics})
@@ -242,7 +243,7 @@ class TripleStore:
         os.replace(tmp, self.manifest_path)
         return metrics
 
-    def add_small(self, df) -> Dict:
+    def add_small(self, df, *, extra: Optional[Dict] = None) -> Dict:
         """Commit a SMALL, precleaned polars frame of quads as one new
         generation without any distributed execution: the hash-partition
         column comes from the same shared kernel as :func:`_hash_part_fn`
@@ -275,7 +276,11 @@ class TripleStore:
             d = os.path.join(gen_dir, f"part={part}")
             os.makedirs(d, exist_ok=True)
             pq.write_table(sub, os.path.join(d, "data.parquet"))
-        metrics = {"added": int(df.height), "sec": round(time.monotonic() - t0, 3)}
+        metrics = {
+            "added": int(df.height),
+            "sec": round(time.monotonic() - t0, 3),
+            **(extra or {}),
+        }
         self.manifest["generations"].append(
             {"gen": gen, "rows": int(df.height), "metrics": metrics}
         )

@@ -121,6 +121,33 @@ def test_flagship_closure():
     assert anc == {(f"ent:person_{i}", f"ent:person_{j}") for i in range(m) for j in range(m)}
 
 
+def test_parquet_pages_roundtrip(tmp_path):
+    """The canonical input contract: pages persisted as a Parquet table
+    (url, warc_ts, html, text, lang) and re-read through read_pages
+    yield the identical triples as the in-memory source."""
+    from rify_ray.sources.pages import alias_index, read_pages, write_pages_parquet
+
+    n, m = 120, 20
+    write_pages_parquet(str(tmp_path / "pages"), n, m, override_num_blocks=4)
+    direct = build_triples(
+        pages_dataset(n, m, override_num_blocks=4), alias_index(m), concurrency=2
+    )
+    reread = build_triples(
+        read_pages(str(tmp_path / "pages")), alias_index(m), concurrency=2
+    )
+    a = {tuple(r.values()) for r in direct.take_all()}
+    b = {tuple(r.values()) for r in reread.take_all()}
+    assert a == b and len(a) > 0
+    # schema validation fails fast on a malformed corpus
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"url": pa.array(["x"])}), tmp_path / "bad.parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_pages(str(tmp_path / "bad.parquet"))
+
+
 def test_flagship_store_path_matches_driver_path(tmp_path):
     """The promoted (store-resident) flagship derives the identical fact
     set as the driver-resident pipeline on the same pages."""
