@@ -895,6 +895,18 @@ def infer_store(
             )
         if new is None:
             break
+        if isinstance(new, pl.DataFrame) and new.height > broadcast_rows:
+            # a small-regime round whose OUTPUT outgrew the bound: commit
+            # it distributed (chunked blocks, hash-partitioned parquet
+            # write) and let the next round run the shuffle path — the
+            # driver holds the frame only transiently
+            tbl = polars_to_arrow_string(
+                new.select([*FACT_COLS, "lkey"] if with_lineage else FACT_COLS)
+            )
+            chunk = 1_000_000
+            new = ray.data.from_arrow(
+                [tbl.slice(o, chunk) for o in range(0, tbl.num_rows, chunk)]
+            ).materialize()
         if isinstance(new, pl.DataFrame):
             if new.height == 0:
                 break
