@@ -19,9 +19,14 @@ Architecture (SURVEY.md §3.4):
   position, a join chain seeded with the delta set, then first-wins
   dedup and an anti-join against the full store (``apply_related``,
   ``src/reasoner.rs:131-155``; ``low_infer``, ``src/infer.rs:29-101``).
-* Two physical evaluators, chosen per-iteration by store size:
+* Three physical evaluators:
   - **broadcast** (:mod:`rify_ray.eval_broadcast`) — vectorized polars
-    hash joins on an in-memory table; the small-side path.
+    hash joins on an in-memory table; the small-side path for
+    driver-resident fixpoints (chosen per-iteration by store size).
+  - **hybrid** (:mod:`rify_ray.eval_hybrid`) — the store-resident
+    (:func:`infer_store`) round: per-operation strategy choice between
+    fused lazy polars, broadcast-map joins and shuffle exchanges,
+    bounded by ``broadcast_rows``.
   - **shuffle** (:mod:`rify_ray.eval_shuffle`) — real
     ``ray.data.Dataset.join`` hash-shuffle exchanges; the 100 TB path.
 * Optional per-iteration Parquet checkpointing with a manifest, making
