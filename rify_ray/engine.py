@@ -51,6 +51,7 @@ import polars as pl
 import pyarrow as pa
 
 from . import local as _local
+from .state import store as _state_store
 from .eval_broadcast import FACT_COLS, LKEY_SEP, run_iteration
 from .model import (
     ExhaustedSearchSpace,
@@ -91,6 +92,40 @@ def decode_lkey(lkey: str) -> Tuple[int, Tuple[str, ...]]:
     parts = lkey.split(LKEY_SEP)
     rule_index = int(parts[0])
     return rule_index, tuple(parts[1:])
+
+
+def _encode_terms_batch_fn():
+    """map_batches fn applying :func:`encode_term` column-wise to quad
+    batches — vectorized for the common column types (string passthrough
+    with a prefix-collision guard, integers via cast + prefix join, the
+    JSON encodings coincide), per-value JSON fallback otherwise."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arrays = {}
+        for c in FACT_COLS:
+            col = batch[c]
+            t = col.type
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                col = pc.cast(col, pa.string())
+                clash = pc.starts_with(col, pattern=_JSON_PREFIX)
+                if pc.any(clash).as_py():
+                    col = pa.array([encode_term(v.as_py()) for v in col], pa.string())
+                arrays[c] = col
+            elif pa.types.is_integer(t):
+                # encode_term(int) == _JSON_PREFIX + json.dumps(int) ==
+                # _JSON_PREFIX + str(int): a pure vectorized string build
+                arrays[c] = pc.binary_join_element_wise(
+                    _JSON_PREFIX, pc.cast(col, pa.string()), ""
+                )
+            else:
+                arrays[c] = pa.array(
+                    [encode_term(v.as_py()) for v in col], pa.string()
+                )
+        return pa.table(arrays)
+
+    return fn
 
 
 def _encode_rule(rule: Rule) -> Rule:
@@ -560,11 +595,16 @@ def _encode_rules_hash(rules: Sequence[Rule]) -> List[Rule]:
     ]
 
 
-def _build_store_terms(premises_ds, rule_consts: Sequence[str], terms_dir: str) -> int:
+def _build_store_terms(
+    premises_ds, rule_consts: Sequence[str], terms_dir: str
+) -> Dict[str, Any]:
     """Distributed distinct over every term occurring in the premises (∪
     rule constants), hashed to ids and persisted as the store's
-    ``(term, tid)`` parquet.  Returns the term count; raises on a hash
-    collision (two terms → one tid), which would corrupt the encoding."""
+    ``(term, tid)`` parquet.  Returns provenance meta for the store
+    manifest (term count, collision-check mode, polars hash pin); raises
+    on a hash collision (two terms → one tid), which would corrupt the
+    encoding.  The check ALWAYS runs: driver-side (concat of tid chunks)
+    up to a bound, a distributed distinct-count above it."""
     import shutil
 
     import ray.data
@@ -609,22 +649,46 @@ def _build_store_terms(premises_ds, rule_consts: Sequence[str], terms_dir: str) 
         n_terms = tagged.count()
     shutil.rmtree(terms_dir, ignore_errors=True)  # stale crashed attempt
     tagged.write_parquet(terms_dir)
-    # collision check: |distinct tid| must equal |terms|.  Driver-side up
-    # to a bound; beyond it the check would itself need an exchange —
-    # accept the 64-bit odds and note it.
-    if 0 < n_terms <= 5_000_000:
-        tids = [
-            t
+    # collision check: |distinct tid| must equal |terms|.  Driver-side
+    # (one count_distinct over streamed tid chunks, O(n) driver memory of
+    # Int64s) up to a bound; above it a distributed distinct-count — the
+    # check never silently skips (a 64-bit collision at web scale would
+    # silently merge two IRIs and corrupt every downstream join).
+    check_mode = "none"
+    if 0 < n_terms <= 20_000_000:
+        import pyarrow.compute as pc
+
+        chunks = [
+            b["tid"]
             for b in tagged.select_columns(["tid"]).iter_batches(
                 batch_size=None, batch_format="pyarrow"
             )
-            for t in b["tid"].to_pylist()
+            if b.num_rows
         ]
-        if len(set(tids)) != n_terms:
-            raise RuntimeError(
-                "term-id hash collision in dictionary build; rerun with dict_encode=False"
-            )
-    return n_terms
+        n_distinct = pc.count_distinct(
+            pa.concat_arrays([c.combine_chunks() for c in chunks])
+        ).as_py()
+        check_mode = "driver"
+    elif n_terms > 0:
+        tid_schema = pa.schema([("tid", pa.int64())])
+        distinct_tids = distinct(
+            tagged.select_columns(["tid"]), ["tid"], schema=tid_schema
+        )
+        n_distinct = distinct_tids.count() if distinct_tids is not None else 0
+        check_mode = "distributed"
+    else:
+        n_distinct = 0
+    if n_distinct != n_terms:
+        raise RuntimeError(
+            f"term-id hash collision in dictionary build ({n_terms} terms, "
+            f"{n_distinct} distinct ids); rerun with dict_encode=False"
+        )
+    return {
+        "n_terms": int(n_terms),
+        "collision_check": check_mode,
+        "polars_version": pl.__version__,
+        "probe_hash": hash_term_ids([_state_store._HASH_PROBE])[0],
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -699,6 +763,7 @@ def infer_store(
     broadcast_rows: int = 500_000,
     premises_precleaned: bool = False,
     dict_encode: bool = True,
+    compact_every: Optional[int] = 64,
 ):
     """Fully Dataset/parquet-resident fixpoint — the 100 TB path.
 
@@ -736,6 +801,16 @@ def infer_store(
     ``(term, tid)`` table persists under ``<store_path>/terms/`` and
     :meth:`TripleStore.decoded_dataset` restores strings on read.
 
+    ``compact_every`` bounds the store's file count on long fixpoints:
+    once the store holds that many DERIVED generations, they are
+    compacted into one (:meth:`TripleStore.compact` with ``first_gen=1``
+    — the premise generation and the derived/premise boundary survive).
+    Resume across a compaction is exact: the merged generation keeps its
+    last ``round`` and a resumed run seeds its delta with the merged
+    derived set — a superset of the true delta, so semi-naive
+    re-derivations are anti-joined away (extra work once, never wrong).
+    ``None`` disables compaction.
+
     Returns the store; with ``goals``, returns (store, goals_reached).
     """
     import shutil
@@ -760,6 +835,10 @@ def infer_store(
             f"store at {store_path} is {store.value_type}-typed; "
             f"pass dict_encode={store.value_type == 'int64'} to resume it"
         )
+    if store.generations:
+        # resuming a dict-encoded store under a polars whose hash(seed=0)
+        # differs would re-encode rules/goals into ids that match nothing
+        store.check_hash_pin()
     rules = list(rules)
     eng_rules = _encode_rules_hash(rules) if dict_encode else rules
     plans = compile_rules(eng_rules)
@@ -773,7 +852,7 @@ def infer_store(
     lineage_dir = os.path.join(store_path, "lineage")
 
     def _write_lineage_small(df: pl.DataFrame) -> None:
-        gen = len(store.generations)
+        gen = store.next_gen  # matches the fact generation add_small commits next
         d = os.path.join(lineage_dir, f"gen={gen:05d}")
         shutil.rmtree(d, ignore_errors=True)  # stale crashed attempt
         os.makedirs(d, exist_ok=True)
@@ -789,7 +868,9 @@ def infer_store(
             rule_consts = {
                 e.value for r in rules for e in _iter_rule_entities(r) if e.is_bound()
             }
-            _build_store_terms(premises_ds, rule_consts, store.terms_dir)
+            store.set_terms_meta(
+                _build_store_terms(premises_ds, rule_consts, store.terms_dir)
+            )
             premises_ds = premises_ds.map_batches(
                 _hash_encode_quads_fn(), batch_format="pyarrow", zero_copy_batch=True
             )
@@ -819,8 +900,11 @@ def infer_store(
         store.add(gen0, precleaned=premises_precleaned and not uncond.height)
 
     # cache the store-backed sides across rounds: full_new(k) =
-    # full_new(k-1) ∪ delta(k), so only the first round reads parquet
-    start_round = len(store.generations)  # resume after last committed delta
+    # full_new(k-1) ∪ delta(k), so only the first round reads parquet.
+    # Resume round numbering comes from the last generation's committed
+    # ``round`` metric (list positions shift under compaction).
+    last_meta = store.generations[-1].get("metrics", {})
+    start_round = last_meta.get("round", len(store.generations) - 1) + 1
     last = len(store.generations) - 1
     delta_rows = store.generations[last]["rows"]
     delta_ds = store.dataset(first_gen=last).materialize()
@@ -940,7 +1024,7 @@ def infer_store(
             if cnt == 0:
                 break
             if with_lineage:
-                gen = len(store.generations)
+                gen = store.next_gen
                 gen_lineage_dir = os.path.join(lineage_dir, f"gen={gen:05d}")
                 # Ray's write_parquet appends UUID-named files — clear any
                 # partial output from a crashed attempt before rewriting
@@ -965,9 +1049,103 @@ def infer_store(
             else:
                 small_delta = None
                 inc.advance(delta_ds)
+        # bound on-disk file count for long fixpoints: fold the derived
+        # generations into one (premise gen=list position 0 untouched).
+        # Disk-only — the in-memory delta/full datasets keep streaming.
+        if compact_every and len(store.generations) - 1 >= compact_every:
+            store.compact(first_gen=1)
     if remaining is not None:
         return (store, remaining.height == 0)
     return store
+
+
+def _walk_lineage_generations(
+    lineage_dir: str,
+    goals: set,
+    walk_rules: Sequence[Rule],
+    inst_cast,
+    dict_encode: bool,
+) -> Tuple[Dict[Tuple, Tuple[int, Tuple]], List[Tuple[int, int]]]:
+    """Backward lineage walk over per-generation lineage parquet, one
+    newest→oldest pass (``recall_proof``'s arguments map,
+    ``src/prove.rs:142-147``; generation pruning is ours — rounds are
+    monotone, so a quad's parents always live in an earlier generation).
+
+    Returns (arguments, scan_log) where scan_log records
+    ``(generation, files_scanned)`` for each generation actually probed
+    — generations skipped by early exit never appear."""
+    import ray
+    import ray.data
+
+    from .util import polars_to_arrow_string
+
+    arguments: Dict[Tuple, Tuple[int, Tuple]] = {}
+    scan_log: List[Tuple[int, int]] = []
+    if not os.path.isdir(lineage_dir):
+        return arguments, scan_log
+    gen_dirs = sorted(
+        (d for d in os.listdir(lineage_dir) if d.startswith("gen=")), reverse=True
+    )
+    frontier = set(goals)
+    seen = set(goals)
+    for gd in gen_dirs:
+        if not frontier:
+            break
+        gen_no = int(gd.split("=")[1])
+        d = os.path.join(lineage_dir, gd)
+        files = sorted(
+            os.path.join(root, n)
+            for root, _dirs, names in os.walk(d)
+            for n in names
+            if n.endswith(".parquet")
+        )
+        if not files:
+            continue
+        scan_log.append((gen_no, len(files)))
+        fact_pa = pa.int64() if dict_encode else pa.string()
+        ftab = pa.table(
+            {
+                c: pa.array([q[j] for q in frontier], fact_pa)
+                for j, c in enumerate(FACT_COLS)
+            }
+        )
+        fref = ray.put(pl.from_arrow(ftab))
+
+        def probe(batch: pa.Table, _ref=fref) -> pa.Table:
+            blk = pl.from_arrow(batch)
+            hits = blk.join(ray.get(_ref), on=FACT_COLS, how="semi")
+            return polars_to_arrow_string(hits)
+
+        hit = ray.data.read_parquet(files).map_batches(
+            probe, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for b in hit.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_rows == 0 or b.num_columns == 0:
+                continue
+            for s, p, o, g, lkey in zip(
+                b["s"].to_pylist(),
+                b["p"].to_pylist(),
+                b["o"].to_pylist(),
+                b["g"].to_pylist(),
+                b["lkey"].to_pylist(),
+            ):
+                q = (s, p, o, g)
+                if q in arguments:
+                    continue
+                frontier.discard(q)
+                ri, inst = decode_lkey(lkey)
+                inst = tuple(inst_cast(x) for x in inst)
+                arguments[q] = (ri, inst)
+                rule = walk_rules[ri]
+                binding = dict(zip(rule.canonical_unbound(), inst))
+                for atom in rule.if_all:
+                    sub = tuple(
+                        binding[e.value] if e.is_unbound() else e.value for e in atom
+                    )
+                    if sub not in seen:
+                        seen.add(sub)
+                        frontier.add(sub)
+    return arguments, scan_log
 
 
 def prove_store(
@@ -993,14 +1171,32 @@ def prove_store(
     the store's persisted dictionary.
 
     Raises :class:`NovelName` / :class:`ExhaustedSearchSpace` like the
-    reference.  Terms must be strings on this path.
+    reference.  Non-string terms (the reference is generic over ``Ord``,
+    ``src/infer.rs:9`` — e.g. its u32-term tests) go through the same
+    JSON term boundary as :func:`infer`/:func:`prove`: premises are
+    encoded by a vectorized ``map_batches`` pass, goals/rules on the
+    driver, and returned instantiations are decoded back.
     """
     import ray.data
 
     if isinstance(premises_ds, pa.Table):
         premises_ds = ray.data.from_arrow(premises_ds)
     rules = list(rules)
-    goals = [tuple(f) for f in to_prove]
+    needs_term_encode = any(
+        not (pa.types.is_string(f.type) or pa.types.is_large_string(f.type))
+        for f in premises_ds.schema().base_schema
+        if f.name in FACT_COLS
+    ) or any(
+        isinstance(t, str) and t.startswith(_JSON_PREFIX) for f in to_prove for t in f
+    )
+    if needs_term_encode:
+        premises_ds = premises_ds.map_batches(
+            _encode_terms_batch_fn(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        rules = [_encode_rule(r) for r in rules]
+        goals = [tuple(encode_term(t) for t in f) for f in to_prove]
+    else:
+        goals = [tuple(f) for f in to_prove]
     goal_tbl = pa.table(
         {c: pa.array([g[j] for g in goals], pa.string()) for j, c in enumerate(FACT_COLS)}
     )
@@ -1069,76 +1265,20 @@ def prove_store(
         inst_cast = str
 
     # backward lineage extraction: every derived quad appears in exactly
-    # one lineage generation (deltas are anti-joined per round), so each
-    # BFS level is one inner join of the tiny frontier against the
-    # lineage dataset
-    lineage_dir = os.path.join(store_path, "lineage")
-    lineage_files = []
-    for root, _d, names in os.walk(lineage_dir):
-        lineage_files.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
-    arguments: Dict[Tuple[str, str, str, str], Tuple[int, Tuple[str, ...]]] = {}
-    if lineage_files:
-        from .util import drop_empty_blocks
-
-        lineage_ds = drop_empty_blocks(
-            ray.data.read_parquet(sorted(lineage_files)).materialize()
-        )
-    else:
-        lineage_ds = None
-    if lineage_ds is not None:
-        import ray
-
-        fact_pa = pa.int64() if dict_encode else pa.string()
-        frontier = set(goals)
-        seen: set = set()
-        while frontier:
-            ftab = pa.table(
-                {
-                    c: pa.array([q[j] for q in frontier], fact_pa)
-                    for j, c in enumerate(FACT_COLS)
-                }
-            )
-            # broadcast probe scan: each lineage block semi-joins against
-            # the (tiny) frontier — no shuffle-actor spin-up per BFS level
-            fref = ray.put(pl.from_arrow(ftab))
-
-            def probe(batch: pa.Table, _ref=fref) -> pa.Table:
-                blk = pl.from_arrow(batch)
-                hits = blk.join(ray.get(_ref), on=FACT_COLS, how="semi")
-                from .util import polars_to_arrow_string
-
-                return polars_to_arrow_string(hits)
-
-            hit = lineage_ds.map_batches(
-                probe, batch_format="pyarrow", zero_copy_batch=True
-            )
-            seen |= frontier
-            next_frontier: set = set()
-            for b in hit.iter_batches(batch_size=None, batch_format="pyarrow"):
-                if b.num_rows == 0 or b.num_columns == 0:
-                    continue
-                for s, p, o, g, lkey in zip(
-                    b["s"].to_pylist(),
-                    b["p"].to_pylist(),
-                    b["o"].to_pylist(),
-                    b["g"].to_pylist(),
-                    b["lkey"].to_pylist(),
-                ):
-                    q = (s, p, o, g)
-                    if q in arguments:
-                        continue
-                    ri, inst = decode_lkey(lkey)
-                    inst = tuple(inst_cast(x) for x in inst)
-                    arguments[q] = (ri, inst)
-                    rule = walk_rules[ri]
-                    binding = dict(zip(rule.canonical_unbound(), inst))
-                    for atom in rule.if_all:
-                        sub = tuple(
-                            binding[e.value] if e.is_unbound() else e.value for e in atom
-                        )
-                        if sub not in seen:
-                            next_frontier.add(sub)
-            frontier = next_frontier
+    # one lineage generation and its rule-body parents were derived in
+    # strictly EARLIER generations (semi-naive rounds), so one
+    # newest→oldest sweep resolves everything — each generation is
+    # scanned at most once (vs a per-BFS-level scan of ALL generations),
+    # with early exit once the frontier is fully resolved (remaining
+    # frontier quads are premises, which carry no lineage).
+    arguments, scan_log = _walk_lineage_generations(
+        os.path.join(store_path, "lineage"),
+        set(goals),
+        walk_rules,
+        inst_cast,
+        dict_encode,
+    )
+    store.last_lineage_scan = scan_log  # per-gen (gen, n_files) diagnostics
 
     out: List[RuleApplication] = []
     for goal in goals:
@@ -1160,6 +1300,11 @@ def prove_store(
             tid_to_term.update(zip(t["tid"].to_pylist(), t["term"].to_pylist()))
         out = [
             RuleApplication(a.rule_index, tuple(tid_to_term[t] for t in a.instantiations))
+            for a in out
+        ]
+    if needs_term_encode:
+        out = [
+            RuleApplication(a.rule_index, tuple(decode_term(t) for t in a.instantiations))
             for a in out
         ]
     return out

@@ -31,6 +31,11 @@ import pyarrow as pa
 
 QUAD_COLS = ["s", "p", "o", "g"]
 
+# fixed probe string whose hash pins the dictionary's hash function in
+# the manifest (polars hash(seed=0) is stable across processes but only
+# per polars version)
+_HASH_PROBE = "rify-ray-hash-pin-v1"
+
 
 def _hash_part_fn(num_partitions: int):
     """Vectorized ``part = hash64(s,p,o,g) % P`` — shared kernel with the
@@ -78,11 +83,55 @@ class TripleStore:
     def terms_dir(self) -> str:
         return os.path.join(self.path, "terms")
 
+    def set_terms_meta(self, meta: Dict) -> None:
+        """Record dictionary-build provenance (term count, collision-check
+        mode, polars version + probe hash pinning the hash function) in
+        the manifest — the dictionary is only valid under the exact hash
+        kernel that built it."""
+        self.manifest["terms"] = meta
+        self._write_manifest()
+
+    def check_hash_pin(self) -> None:
+        """Raise when the currently-installed polars hashes differently
+        from the polars that built this store's term dictionary (term ids
+        are ``polars.hash(seed=0)``, stable only per polars version):
+        resuming/decoding under a different kernel would silently yield
+        empty joins instead of wrong-but-plausible results."""
+        meta = self.manifest.get("terms")
+        if not meta or self.value_type != "int64":
+            return
+        import polars as pl
+
+        probe = pl.Series("t", [_HASH_PROBE]).hash(seed=0).reinterpret(signed=True)[0]
+        if meta.get("probe_hash") is not None and meta["probe_hash"] != probe:
+            raise RuntimeError(
+                f"store at {self.path} was dictionary-encoded by polars "
+                f"{meta.get('polars_version')} whose hash(seed=0) differs from the "
+                f"installed polars {pl.__version__}: term ids cannot be re-derived. "
+                "Re-encode the store (rebuild from premises) or pin polars."
+            )
+
+    def _write_manifest(self) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f)
+        os.replace(tmp, self.manifest_path)
+
     # -- reads --------------------------------------------------------------
 
     @property
     def generations(self) -> List[Dict]:
         return self.manifest["generations"]
+
+    @property
+    def next_gen(self) -> int:
+        """Monotonic generation-directory number — never reused, even
+        after :meth:`compact` shrinks the generations list (lineage
+        directories are keyed by it, and resume logic reads per-gen
+        ``round`` metrics rather than list positions)."""
+        if "next_gen" in self.manifest:
+            return self.manifest["next_gen"]
+        return (self.generations[-1]["gen"] + 1) if self.generations else 0
 
     def count(self) -> int:
         return sum(g["rows"] for g in self.generations)
@@ -113,19 +162,21 @@ class TripleStore:
             return ray.data.from_arrow(self.quad_schema().empty_table())
         return ray.data.read_parquet(sorted(files), columns=columns or QUAD_COLS)
 
-    def decoded_dataset(self, **kw):
+    def decoded_dataset(self, *, broadcast_terms_rows: int = 20_000_000, **kw):
         """Like :meth:`dataset`, but with dictionary-encoded term ids
         joined back to term strings.  A no-op for string-typed stores.
 
-        The terms table is broadcast (``ray.put`` once, read per block)
-        — the small-side join pattern; a deployment whose term dictionary
-        outgrows one worker's heap should co-partition facts and terms by
-        ``hash(tid)`` and join per partition instead."""
+        While the dictionary has at most ``broadcast_terms_rows`` rows it
+        is broadcast (``ray.put`` once, read per block — the small-side
+        join pattern, no exchange); above the bound the decode runs as
+        four distributed hash joins of the fact stream against the terms
+        Dataset (one per quad column) so driver/worker memory stays
+        bounded at any dictionary size."""
+        self.check_hash_pin()
         ds = self.dataset(**kw)
         if self.value_type != "int64" or not os.path.isdir(self.terms_dir):
             return ds
         import polars as pl
-        import pyarrow.parquet as pq
         import ray
 
         from ..util import polars_to_arrow_string
@@ -135,6 +186,11 @@ class TripleStore:
             for n in os.listdir(self.terms_dir)
             if n.endswith(".parquet")
         )
+        n_terms = self.manifest.get("terms", {}).get("n_terms")
+        if n_terms is not None and n_terms > broadcast_terms_rows:
+            return self._decoded_dataset_joins(ds, files)
+        import pyarrow.parquet as pq
+
         terms = pl.from_arrow(
             pa.concat_tables([pq.read_table(f) for f in files])
         )
@@ -153,6 +209,52 @@ class TripleStore:
             return polars_to_arrow_string(df.select([*QUAD_COLS, *extra]))
 
         return ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _decoded_dataset_joins(self, ds, term_files: List[str]):
+        """Decode via distributed hash joins — the big-dictionary path.
+        Each quad column joins against the (term, tid) Dataset; blocks
+        are materialized + empty-stripped between joins (Ray 2.49 chained
+        lazy joins break on empty-schema blocks)."""
+        import ray.data
+
+        from ..util import drop_empty_blocks, ensure_schema_fn
+
+        out = ds.materialize()
+        extra = [c for c in out.schema().names if c not in QUAD_COLS]
+        for c in QUAD_COLS:
+            terms_ds = ray.data.read_parquet(term_files)
+            stripped = drop_empty_blocks(out)
+            if stripped is None:
+                return ray.data.from_arrow(
+                    pa.schema(
+                        [(q, pa.string()) for q in QUAD_COLS]
+                        + [(e, out.schema().field(e).type) for e in extra]
+                    ).empty_table()
+                )
+            out = (
+                stripped.join(
+                    terms_ds,
+                    "inner",
+                    max(8, self.num_partitions // 8),
+                    on=(c,),
+                    right_on=("tid",),
+                )
+                .drop_columns([c])
+                .rename_columns({"term": c})
+                .materialize()
+            )
+        stripped = drop_empty_blocks(out)
+        if stripped is None:
+            return ray.data.from_arrow(
+                pa.schema([(q, pa.string()) for q in QUAD_COLS]).empty_table()
+            )
+        schema = pa.schema(
+            [(q, pa.string()) for q in QUAD_COLS]
+            + [(e, stripped.schema().field(e).type) for e in extra]
+        )
+        return stripped.map_batches(
+            ensure_schema_fn(schema), batch_format="pyarrow", zero_copy_batch=True
+        )
 
     def contains(self, quads: pa.Table) -> pa.Table:
         """Semi-join membership check (``Reasoner::contains``,
@@ -215,7 +317,7 @@ class TripleStore:
                 if incoming is None:
                     return {"added": 0, "sec": round(time.monotonic() - t0, 3)}
 
-        gen = len(self.generations)
+        gen = self.next_gen
         gen_dir = os.path.join(self.path, f"gen={gen:05d}")
         # a crashed previous attempt may have left partial files in this
         # (uncommitted) generation dir; write_parquet adds new UUID-named
@@ -237,10 +339,8 @@ class TripleStore:
         }
         # commit: manifest write is the atomic commit point
         self.manifest["generations"].append({"gen": gen, "rows": int(added), "metrics": metrics})
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f)
-        os.replace(tmp, self.manifest_path)
+        self.manifest["next_gen"] = gen + 1
+        self._write_manifest()
         return metrics
 
     def add_small(self, df, *, extra: Optional[Dict] = None) -> Dict:
@@ -262,7 +362,7 @@ class TripleStore:
         t0 = time.monotonic()
         if df.height == 0:
             return {"added": 0, "sec": 0.0}
-        gen = len(self.generations)
+        gen = self.next_gen
         gen_dir = os.path.join(self.path, f"gen={gen:05d}")
         shutil.rmtree(gen_dir, ignore_errors=True)  # stale crashed attempt
         # stay in arrow `string` (not polars large_string) so every file
@@ -284,23 +384,33 @@ class TripleStore:
         self.manifest["generations"].append(
             {"gen": gen, "rows": int(df.height), "metrics": metrics}
         )
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f)
-        os.replace(tmp, self.manifest_path)
+        self.manifest["next_gen"] = gen + 1
+        self._write_manifest()
         return metrics
 
-    def compact(self) -> None:
-        """Rewrite all generations as one (drops tombstone-free history;
-        metrics preserved in the manifest)."""
-        import ray.data
+    def compact(self, first_gen: int = 0) -> None:
+        """Rewrite generations ``[first_gen:]`` (list positions) as ONE
+        new generation — bounds the store's file count on long fixpoints
+        without losing the premise/derived boundary: a fixpoint compacts
+        with ``first_gen=1`` so list position 0 stays the premise
+        generation and ``dataset(first_gen=1)`` remains exactly the
+        derived set.
 
-        if len(self.generations) <= 1:
-            return
+        Generations are disjoint (every ``add`` is anti-joined), so the
+        merged row count is the sum.  The merged entry keeps the LAST
+        compacted generation's ``round`` metric, preserving resume round
+        numbering; generation-directory numbers are monotonic
+        (:attr:`next_gen`), so lineage directories keyed by them never
+        collide.  Crash-safe: the manifest rewrite is the commit point —
+        a crash before it leaves the old generations intact (plus one
+        stale uncommitted dir that the next attempt clears)."""
         import shutil
 
-        ds = self.dataset().materialize()
-        gen = len(self.generations)
+        victims = self.generations[first_gen:]
+        if len(victims) <= 1:
+            return
+        ds = self.dataset(first_gen=first_gen).materialize()
+        gen = self.next_gen
         gen_dir = os.path.join(self.path, f"gen={gen:05d}")
         shutil.rmtree(gen_dir, ignore_errors=True)  # stale uncommitted attempt
         parted = ds.map_batches(
@@ -309,14 +419,25 @@ class TripleStore:
             zero_copy_batch=True,
         )
         parted.write_parquet(gen_dir, partition_cols=["part"])
-        total = ds.count()
-        old_dirs = [os.path.join(self.path, f"gen={g['gen']:05d}") for g in self.generations]
-        self.manifest["generations"] = [
-            {"gen": gen, "rows": int(total), "metrics": {"compacted_from": len(old_dirs)}}
+        total = sum(g["rows"] for g in victims)
+        old_dirs = [os.path.join(self.path, f"gen={g['gen']:05d}") for g in victims]
+        merged_metrics = {"compacted_from": len(victims)}
+        last_round = victims[-1].get("metrics", {}).get("round")
+        if last_round is not None:
+            merged_metrics["round"] = last_round
+        self.manifest["generations"] = self.generations[:first_gen] + [
+            {"gen": gen, "rows": int(total), "metrics": merged_metrics}
         ]
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f)
-        os.replace(tmp, self.manifest_path)
+        self.manifest["next_gen"] = gen + 1
+        self._write_manifest()
         for d in old_dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+    def file_count(self) -> int:
+        """Number of committed parquet files (compaction trigger input)."""
+        n = 0
+        for g in self.generations:
+            gen_dir = os.path.join(self.path, f"gen={g['gen']:05d}")
+            for _root, _dirs, names in os.walk(gen_dir):
+                n += sum(1 for x in names if x.endswith(".parquet"))
+        return n

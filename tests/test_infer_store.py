@@ -187,3 +187,145 @@ def test_infer_store_resume_idempotent(tmp_path):
     assert {
         (r["s"], r["p"], r["o"], r["g"]) for r in s2.decoded_dataset(first_gen=1).take_all()
     } == ancestry_expected(4)
+
+
+# ---------------------------------------------------------------------------
+# round 3: compaction, dictionary provenance, decoded big-dict path
+# ---------------------------------------------------------------------------
+
+
+def _chain_table(n):
+    """n-1 succ facts over a line graph — a linear-depth fixpoint."""
+    return pa.table(
+        {
+            "s": [f"n{i}" for i in range(n - 1)],
+            "p": ["succ"] * (n - 1),
+            "o": [f"n{i+1}" for i in range(n - 1)],
+            "g": ["default_graph"] * (n - 1),
+        }
+    )
+
+
+def _reach_rules():
+    from rify_ray import B, Rule, U
+
+    DG = "default_graph"
+    return [
+        Rule.create(
+            [[U("a"), B("succ"), U("b"), B(DG)]],
+            [[U("a"), B("reach"), U("b"), B(DG)]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("reach"), U("b"), B(DG)],
+                [U("b"), B("succ"), U("c"), B(DG)],
+            ],
+            [[U("a"), B("reach"), U("c"), B(DG)]],
+        ),
+    ]
+
+
+def test_infer_store_compaction_bounds_generations(tmp_path):
+    """A long (linear-depth) fixpoint with compact_every keeps the
+    generation (and file) count bounded while the derived set stays
+    exact, and the premise/derived boundary survives compaction."""
+    n = 40  # 39 rounds with the linear reach rule
+    store = engine.infer_store(
+        _chain_table(n), _reach_rules(), str(tmp_path / "kg"),
+        num_partitions=2, compact_every=8,
+    )
+    # bounded: at most premise gen + compact_every derived gens + merged
+    assert len(store.generations) <= 10, len(store.generations)
+    assert store.file_count() <= 10 * store.num_partitions
+    derived = {
+        (r["s"], r["p"], r["o"], r["g"])
+        for r in store.decoded_dataset(first_gen=1).take_all()
+    }
+    expected = {
+        (f"n{i}", "reach", f"n{j}", "default_graph")
+        for i in range(n)
+        for j in range(i + 1, n)
+    }
+    assert derived == expected
+    # boundary: list position 0 is still exactly the premises
+    gen0 = {
+        (r["s"], r["p"], r["o"], r["g"])
+        for r in store.decoded_dataset(last_gen=0).take_all()
+    }
+    assert gen0 == {
+        (f"n{i}", "succ", f"n{i+1}", "default_graph") for i in range(n - 1)
+    }
+
+
+def test_infer_store_resume_across_compaction(tmp_path):
+    """Kill the fixpoint mid-run (max_iterations cap) after compactions
+    have folded generations, then resume: the final derived set is
+    identical to an uninterrupted run."""
+    n = 20
+    store = engine.infer_store(
+        _chain_table(n), _reach_rules(), str(tmp_path / "kg"),
+        num_partitions=2, compact_every=4, max_iterations=9,
+    )
+    assert any(
+        g.get("metrics", {}).get("compacted_from") for g in store.generations
+    ), "test premise: at least one compaction must have happened mid-run"
+    partial = store.count()
+    store = engine.infer_store(
+        _chain_table(n), _reach_rules(), str(tmp_path / "kg"),
+        num_partitions=2, compact_every=4,
+    )
+    assert store.count() > partial
+    derived = {
+        (r["s"], r["p"], r["o"], r["g"])
+        for r in store.decoded_dataset(first_gen=1).take_all()
+    }
+    assert derived == {
+        (f"n{i}", "reach", f"n{j}", "default_graph")
+        for i in range(n)
+        for j in range(i + 1, n)
+    }
+
+
+def test_terms_meta_records_provenance_and_pins_hash(tmp_path):
+    """ADVICE r2: the manifest records the dictionary build (term count,
+    collision-check mode, polars version + probe hash); a store built
+    under a DIFFERENT hash kernel refuses to resume or decode."""
+    facts = ancestry_facts(5)
+    store = engine.infer_store(
+        _premises_table(facts), ancestry_rules(), str(tmp_path / "kg"), num_partitions=2
+    )
+    meta = store.manifest["terms"]
+    assert meta["n_terms"] > 0
+    assert meta["collision_check"] == "driver"
+    assert "polars_version" in meta and "probe_hash" in meta
+    # simulate a polars upgrade that changed hash(seed=0)
+    store.manifest["terms"]["probe_hash"] = meta["probe_hash"] + 1
+    store._write_manifest()
+    reopened = TripleStore(str(tmp_path / "kg"))
+    with pytest.raises(RuntimeError, match="hash"):
+        reopened.check_hash_pin()
+    with pytest.raises(RuntimeError, match="hash"):
+        reopened.decoded_dataset(first_gen=1)
+    with pytest.raises(RuntimeError, match="hash"):
+        engine.infer_store(
+            _premises_table(facts), ancestry_rules(), str(tmp_path / "kg"),
+            num_partitions=2,
+        )
+
+
+def test_decoded_dataset_distributed_join_fallback(tmp_path):
+    """Above broadcast_terms_rows the decode runs as distributed hash
+    joins; output must match the broadcast decode exactly."""
+    facts = ancestry_facts(6)
+    store = engine.infer_store(
+        _premises_table(facts), ancestry_rules(), str(tmp_path / "kg"), num_partitions=2
+    )
+    via_broadcast = {
+        (r["s"], r["p"], r["o"], r["g"])
+        for r in store.decoded_dataset(first_gen=1).take_all()
+    }
+    via_joins = {
+        (r["s"], r["p"], r["o"], r["g"])
+        for r in store.decoded_dataset(first_gen=1, broadcast_terms_rows=1).take_all()
+    }
+    assert via_broadcast == via_joins == ancestry_expected(6)

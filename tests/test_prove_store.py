@@ -69,3 +69,108 @@ def test_prove_store_errors(tmp_path):
             str(tmp_path / "kg2"),
             num_partitions=4,
         )
+
+
+# ---------------------------------------------------------------------------
+# round 3: non-string terms + generation-pruned lineage sweep
+# ---------------------------------------------------------------------------
+
+
+def test_prove_store_u32_terms(tmp_path):
+    """The reference is generic over Ord terms and proves over u32 facts
+    (src/prove.rs:629-678); prove_store now routes non-string premises
+    through the JSON term boundary and returns native-typed
+    instantiations."""
+    import pyarrow as pa
+
+    from rify_ray import B, Rule, U, engine
+
+    prem = pa.table(
+        {
+            "s": pa.array([1, 2, 3], pa.uint32()),
+            "p": pa.array([10, 10, 10], pa.uint32()),
+            "o": pa.array([2, 3, 4], pa.uint32()),
+            "g": pa.array([0, 0, 0], pa.uint32()),
+        }
+    )
+    rules = [
+        Rule.create([[U("a"), B(10), U("b"), B(0)]], [[U("a"), B(20), U("b"), B(0)]]),
+        Rule.create(
+            [[U("a"), B(20), U("b"), B(0)], [U("b"), B(20), U("c"), B(0)]],
+            [[U("a"), B(20), U("c"), B(0)]],
+        ),
+    ]
+    proof = engine.prove_store(prem, [(1, 20, 4, 0)], rules, str(tmp_path / "kg"),
+                               num_partitions=2)
+    assert proof, "expected a non-empty proof"
+    assert all(
+        isinstance(t, int) for a in proof for t in a.instantiations
+    ), "instantiations must decode back to ints"
+    v = engine.validate(rules, proof)
+    assert (1, 20, 4, 0) in [tuple(f) for f in v.implied]
+
+
+def test_prove_store_lineage_sweep_scans_each_generation_once(tmp_path):
+    """The backward lineage walk is one newest→oldest sweep: every
+    lineage generation is probed at most once (strictly decreasing gen
+    numbers in the scan log), instead of per-BFS-level scans of ALL
+    generations — a deep chain would otherwise pay O(depth²) scans."""
+    import os
+
+    import pyarrow as pa
+
+    from rify_ray import engine
+    from rify_ray.state import TripleStore
+
+    n = 12
+    prem = pa.table(
+        {
+            "s": [f"n{i}" for i in range(n - 1)],
+            "p": ["succ"] * (n - 1),
+            "o": [f"n{i+1}" for i in range(n - 1)],
+            "g": ["default_graph"] * (n - 1),
+        }
+    )
+    from rify_ray import B, Rule, U
+
+    DG = "default_graph"
+    rules = [
+        Rule.create(
+            [[U("a"), B("succ"), U("b"), B(DG)]],
+            [[U("a"), B("reach"), U("b"), B(DG)]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("reach"), U("b"), B(DG)],
+                [U("b"), B("succ"), U("c"), B(DG)],
+            ],
+            [[U("a"), B("reach"), U("c"), B(DG)]],
+        ),
+    ]
+    store_path = str(tmp_path / "kg")
+    proof = engine.prove_store(
+        prem, [("n0", "reach", f"n{n-1}", DG)], rules, store_path, num_partitions=2
+    )
+    v = engine.validate(rules, proof)
+    assert ("n0", "reach", f"n{n-1}", DG) in [tuple(f) for f in v.implied]
+    # the walk left its per-generation scan log on the store handle
+    store = TripleStore(store_path)
+    lineage_gens = [
+        d for d in os.listdir(os.path.join(store_path, "lineage")) if d.startswith("gen=")
+    ]
+    # scan_log is attached by prove_store to ITS store instance — re-walk
+    # here to inspect it directly
+    from rify_ray.engine import _encode_rules_hash, _walk_lineage_generations, hash_term_ids
+
+    walk_rules = _encode_rules_hash(rules)
+    univ = sorted({"n0", "reach", f"n{n-1}", DG})
+    enc = dict(zip(univ, hash_term_ids(univ)))
+    goal = (enc["n0"], enc["reach"], enc[f"n{n-1}"], enc[DG])
+    arguments, scan_log = _walk_lineage_generations(
+        os.path.join(store_path, "lineage"), {goal}, walk_rules, int, True
+    )
+    assert arguments, "walk must resolve the goal"
+    gens_scanned = [g for g, _files in scan_log]
+    assert gens_scanned == sorted(gens_scanned, reverse=True)
+    assert len(gens_scanned) == len(set(gens_scanned)), "each gen scanned at most once"
+    assert len(gens_scanned) <= len(lineage_gens)
