@@ -221,6 +221,28 @@ def _q_kg_customer_region_store(sf_dir: str):
         return _collect(store.decoded_dataset(first_gen=1))
 
 
+def _q_kg_conational_store(sf_dir: str):
+    """The conational closure — the biggest derived set in the suite
+    (10.26 M facts at sf0.1) — on the STORE-RESIDENT path: premises
+    stream straight from parquet (no driver collect), the round output
+    exceeds ``broadcast_rows`` so it exercises the chunked distributed
+    commit, and the result decodes through the persisted dictionary.
+    Oracle-checked against the same SQL as ``kg_conational``, so the
+    scale-safe path is value-checked at its biggest output
+    (``low_infer`` semantics, src/infer.rs:29-101)."""
+    import tempfile
+
+    from rify_ray import engine
+    from rify_ray.pipelines.relational import customer_nation_quads, supplier_nation_quads
+
+    quads = customer_nation_quads(sf_dir).union(supplier_nation_quads(sf_dir))
+    with tempfile.TemporaryDirectory() as d:
+        store = engine.infer_store(
+            quads, _rules_conational(), f"{d}/kg", num_partitions=16,
+        )
+        return _collect(store.decoded_dataset(first_gen=1))
+
+
 def _q_kg_pages_flagship(sf_dir: str):
     """Flagship on the store-resident (100 TB) path: pages → triples
     stream into TripleStore parquet generations → hybrid fixpoint; the
@@ -470,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_customer_region": _q_kg_customer_region,
         "kg_customer_region_store": _q_kg_customer_region_store,
         "kg_conational": _q_kg_conational,
+        "kg_conational_store": _q_kg_conational_store,
         "kg_nation_chain_closure": _q_kg_nation_chain_closure,
         "kg_pages_flagship": _q_kg_pages_flagship,
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -557,6 +580,13 @@ def oracle_sql() -> dict[str, str]:
             "JOIN region ON n_regionkey = r_regionkey"
         ),
         "kg_conational": (
+            "WITH ents AS ("
+            "SELECT 'c:' || c_custkey AS e, c_nationkey AS nk FROM customer "
+            "UNION ALL SELECT 's:' || s_suppkey, s_nationkey FROM supplier) "
+            "SELECT a.e AS s, 'conational' AS p, b.e AS o, 'default_graph' AS g "
+            "FROM ents a JOIN ents b ON a.nk = b.nk"
+        ),
+        "kg_conational_store": (
             "WITH ents AS ("
             "SELECT 'c:' || c_custkey AS e, c_nationkey AS nk FROM customer "
             "UNION ALL SELECT 's:' || s_suppkey, s_nationkey FROM supplier) "

@@ -134,6 +134,7 @@ def run_queries() -> dict:
     picks = [
         "kg_customer_region",
         "kg_conational",
+        "kg_conational_store",
         "kg_nation_chain_closure",
         "dedup_exact_docs",
         "text_token_counts",

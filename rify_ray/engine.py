@@ -859,45 +859,113 @@ def infer_store(
         df.select([*FACT_COLS, "lkey"]).write_parquet(os.path.join(d, "lineage.parquet"))
 
     if not store.generations:
-        if dict_encode:
-            # consume the (possibly expensive, lazy) input pipeline ONCE:
-            # both the dictionary build and generation 0 read these blocks
-            premises_ds = premises_ds.select_columns(FACT_COLS).materialize()
-            # one-time dictionary build (distinct exchange over the input
-            # terms), then the shuffle-free hash encode of the premises
-            rule_consts = {
-                e.value for r in rules for e in _iter_rule_entities(r) if e.is_bound()
-            }
-            store.set_terms_meta(
-                _build_store_terms(premises_ds, rule_consts, store.terms_dir)
-            )
-            premises_ds = premises_ds.map_batches(
-                _hash_encode_quads_fn(), batch_format="pyarrow", zero_copy_batch=True
-            )
-        # generation 0: premises + unconditional heads
+        # consume the (possibly expensive, lazy) input pipeline ONCE:
+        # the dictionary build and generation 0 both read these blocks
+        premises_ds = premises_ds.select_columns(FACT_COLS).materialize()
         uncond = _fire_unconditional(plans, with_lineage, fact_dtype)
         if with_lineage and uncond.height:
             uncond = uncond.sort("lkey").unique(subset=FACT_COLS, keep="first")
-        gen0 = premises_ds.select_columns(FACT_COLS)
-        if uncond.height:
-            gen0 = gen0.union(
-                ray.data.from_arrow(
-                    uncond.select(FACT_COLS)
-                    .to_arrow()
-                    .cast(pa.schema([(c, fact_pa) for c in FACT_COLS]))
-                )
-            )
         if with_lineage:
             shutil.rmtree(os.path.join(lineage_dir, "gen=00000"), ignore_errors=True)
             os.makedirs(os.path.join(lineage_dir, "gen=00000"), exist_ok=True)
             uncond.write_parquet(
                 os.path.join(lineage_dir, "gen=00000", "lineage.parquet")
             )
-        # ``premises_precleaned`` (caller guarantees duplicate-free
-        # premises, e.g. the KG pipeline's canonicalize dedup) skips the
-        # gen-0 distinct exchange; unconditional heads may overlap the
-        # premises, so the fast path needs both
-        store.add(gen0, precleaned=premises_precleaned and not uncond.height)
+        if premises_ds.count() <= broadcast_rows:
+            # driver gen-0 fast path: the premises fit the hybrid
+            # broadcast regime, so the dictionary build, encode, dedup
+            # and commit all run as driver polars — ZERO exchanges (the
+            # distributed branch below pays two hash-shuffle spin-ups:
+            # terms distinct + gen-0 distinct, ~7 s of fixed cost at any
+            # input size).  Identical outputs: same hash kernel, same
+            # manifest provenance.
+            prem_df = collect_to_polars(premises_ds)
+            if prem_df.width == 0:
+                prem_df = pl.DataFrame(schema={c: pl.Utf8 for c in FACT_COLS})
+            prem_df = prem_df.select(FACT_COLS)
+            if dict_encode:
+                from .util import polars_to_arrow_string
+
+                rule_consts = {
+                    e.value for r in rules for e in _iter_rule_entities(r) if e.is_bound()
+                }
+                terms = pl.concat(
+                    [
+                        prem_df.select(pl.col(c).cast(pl.Utf8).alias("term"))
+                        for c in FACT_COLS
+                    ]
+                    + (
+                        [pl.DataFrame({"term": sorted(rule_consts)})]
+                        if rule_consts
+                        else []
+                    )
+                ).unique()
+                terms = terms.with_columns(
+                    pl.col("term").hash(seed=0).reinterpret(signed=True).alias("tid")
+                )
+                if terms["tid"].n_unique() != terms.height:
+                    raise RuntimeError(
+                        "term-id hash collision in dictionary build; "
+                        "rerun with dict_encode=False"
+                    )
+                import pyarrow.parquet as pq
+
+                shutil.rmtree(store.terms_dir, ignore_errors=True)
+                os.makedirs(store.terms_dir, exist_ok=True)
+                pq.write_table(
+                    polars_to_arrow_string(terms),
+                    os.path.join(store.terms_dir, "terms.parquet"),
+                )
+                store.set_terms_meta(
+                    {
+                        "n_terms": int(terms.height),
+                        "collision_check": "driver",
+                        "polars_version": pl.__version__,
+                        "probe_hash": hash_term_ids([_state_store._HASH_PROBE])[0],
+                    }
+                )
+                prem_df = prem_df.with_columns(
+                    [
+                        pl.col(c).cast(pl.Utf8).hash(seed=0).reinterpret(signed=True).alias(c)
+                        for c in FACT_COLS
+                    ]
+                )
+            gen0_df = (
+                pl.concat([prem_df, uncond.select(FACT_COLS)])
+                if uncond.height
+                else prem_df
+            )
+            if not (premises_precleaned and not uncond.height):
+                gen0_df = gen0_df.unique(subset=FACT_COLS)
+            store.add_small(gen0_df.select(FACT_COLS), extra={"round": 0})
+        else:
+            if dict_encode:
+                # one-time dictionary build (distinct exchange over the
+                # input terms), then the shuffle-free hash encode
+                rule_consts = {
+                    e.value for r in rules for e in _iter_rule_entities(r) if e.is_bound()
+                }
+                store.set_terms_meta(
+                    _build_store_terms(premises_ds, rule_consts, store.terms_dir)
+                )
+                premises_ds = premises_ds.map_batches(
+                    _hash_encode_quads_fn(), batch_format="pyarrow", zero_copy_batch=True
+                )
+            # generation 0: premises + unconditional heads
+            gen0 = premises_ds.select_columns(FACT_COLS)
+            if uncond.height:
+                gen0 = gen0.union(
+                    ray.data.from_arrow(
+                        uncond.select(FACT_COLS)
+                        .to_arrow()
+                        .cast(pa.schema([(c, fact_pa) for c in FACT_COLS]))
+                    )
+                )
+            # ``premises_precleaned`` (caller guarantees duplicate-free
+            # premises, e.g. the KG pipeline's canonicalize dedup) skips
+            # the gen-0 distinct exchange; unconditional heads may overlap
+            # the premises, so the fast path needs both
+            store.add(gen0, precleaned=premises_precleaned and not uncond.height)
 
     # cache the store-backed sides across rounds: full_new(k) =
     # full_new(k-1) ∪ delta(k), so only the first round reads parquet.
