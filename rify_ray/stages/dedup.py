@@ -176,23 +176,211 @@ def minhash_band_fn(*, num_perm: int = 64, bands: int = 16):
     return fn
 
 
-def _bucket_pairs_fn(id_col: str = "doc_id", max_bucket_size: int = 2000):
-    """Per-bucket candidate pairs (id1 < id2), vectorized via triu
-    indices.  Buckets above ``max_bucket_size`` are boilerplate clusters
-    whose O(n²) pair expansion would dominate the job — they are capped
-    to their first ``max_bucket_size`` members by id (standard LSH
-    hot-bucket mitigation; the cap is logged via the pair counts)."""
+def _salted_bucket_pairs(
+    band: np.ndarray, bkey: np.ndarray, ids: np.ndarray, max_bucket_size: int
+) -> Tuple[np.ndarray, np.ndarray, dict]:
+    """Vectorized pair expansion over MANY buckets at once.
 
-    def fn(group: pa.Table) -> pa.Table:
-        ids = np.sort(np.asarray(group[id_col].to_pylist(), dtype=np.int64))
-        if ids.size > max_bucket_size:
-            ids = ids[:max_bucket_size]
-        x, y = np.triu_indices(ids.size, k=1)
-        return pa.table(
-            {"id1": pa.array(ids[x], pa.int64()), "id2": pa.array(ids[y], pa.int64())}
+    Input: parallel arrays of (band, bkey, doc_id) rows (any order).
+    Buckets above ``max_bucket_size`` (boilerplate clusters whose O(n²)
+    expansion would dominate the job) are SALTED into id-sorted
+    subgroups of at most ``max_bucket_size`` members; pairs are emitted
+    within each subgroup plus one BRIDGE pair linking consecutive
+    subgroups — so a hot bucket still forms one connected component
+    (transitive dedup/clustering loses nothing), while the pairwise
+    expansion stays O(bucket · max_bucket_size) instead of O(bucket²).
+    Cross-subgroup pairs are the only ones skipped, and they are
+    COUNTED: the returned stats record
+    ``{n_buckets, oversized_buckets, emitted_pairs, dropped_pairs}``.
+
+    No per-bucket Python dispatch: groups are delimited with one
+    lexsort, and pair generation batches all subgroups of equal size
+    through a single ``triu_indices`` gather per size class."""
+    n = ids.size
+    empty = np.zeros(0, dtype=np.int64)
+    if n == 0:
+        return empty, empty, {
+            "n_buckets": 0, "oversized_buckets": 0,
+            "emitted_pairs": 0, "dropped_pairs": 0,
+        }
+    order = np.lexsort((ids, bkey, band))
+    b2, k2, v = band[order], bkey[order], ids[order]
+    new_bucket = np.ones(n, dtype=bool)
+    new_bucket[1:] = (b2[1:] != b2[:-1]) | (k2[1:] != k2[:-1])
+    starts = np.flatnonzero(new_bucket)
+    sizes = np.diff(np.append(starts, n))
+    # position within bucket; subgroup boundaries every max_bucket_size
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    new_sub = new_bucket | (pos % max_bucket_size == 0)
+    substarts = np.flatnonzero(new_sub)
+    subsizes = np.diff(np.append(substarts, n))
+    out1, out2 = [], []
+    for s in np.unique(subsizes):
+        if s < 2:
+            continue
+        st = substarts[subsizes == s]
+        mat = v[st[:, None] + np.arange(s)[None, :]]  # (groups, s)
+        iu, ju = np.triu_indices(int(s), k=1)
+        out1.append(mat[:, iu].ravel())
+        out2.append(mat[:, ju].ravel())
+    # bridges: subgroup starts that are NOT bucket starts pair with the
+    # preceding member (ids are sorted and unique within a bucket, so
+    # v[q-1] < v[q] holds)
+    bridge_at = np.flatnonzero(new_sub & ~new_bucket)
+    if bridge_at.size:
+        out1.append(v[bridge_at - 1])
+        out2.append(v[bridge_at])
+    id1 = np.concatenate(out1) if out1 else empty
+    id2 = np.concatenate(out2) if out2 else empty
+    possible = int((sizes.astype(np.int64) * (sizes - 1) // 2).sum())
+    stats = {
+        "n_buckets": int(starts.size),
+        "oversized_buckets": int((sizes > max_bucket_size).sum()),
+        "emitted_pairs": int(id1.size),
+        "dropped_pairs": possible - int(id1.size),
+    }
+    return id1, id2, stats
+
+
+def _expand_bucket_pairs(
+    banded,
+    *,
+    max_bucket_size: int = 2000,
+    broadcast_rows: int = 2_000_000,
+    driver_pair_bound: int = 20_000_000,
+    num_parts: int = 64,
+    stats_out: Optional[dict] = None,
+):
+    """(band, bkey, doc_id) rows → distinct candidate pairs (id1 < id2).
+
+    Adaptive like the engine's hybrid rounds: a banded set at or below
+    ``broadcast_rows`` collects to the driver and runs ONE vectorized
+    pass (bucket delimit → salted pair gen → polars distinct) with zero
+    exchanges — the whole groupby+map_groups+distinct cascade that used
+    to cost two aggregator-actor spin-ups disappears.  Above the bound
+    (the 100 TB regime) the rows pre-partition by ``hash(band, bkey) %
+    num_parts`` and ONE ``groupby(part).map_groups`` runs the same
+    vectorized kernel once per partition (not once per bucket — Ray's
+    per-group dispatch over millions of tiny buckets is the other
+    constant this kills), then a distributed distinct.
+
+    Hot-bucket salting is observable: per-partition stats (oversized
+    buckets, dropped cross-subgroup pairs) are logged, and the driver
+    path also returns them via ``stats_out`` — a silent cap would lose
+    exactly the boilerplate-cluster pairs web dedup cares about, so no
+    pair inside a salt subgroup is lost and every dropped pair is
+    counted (bridge pairs keep hot buckets connected for transitive
+    clustering)."""
+    import logging
+
+    import ray.data
+
+    from ..util import hash_rows_mod_fn
+
+    log = logging.getLogger("rify_ray.dedup")
+    banded = banded.materialize()
+    n = banded.count()
+    if n == 0:
+        return None
+    if n <= broadcast_rows:
+        tabs = [
+            b
+            for b in banded.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        t = pa.concat_tables(tabs).combine_chunks()
+        band = np.asarray(t["band"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        bkey = np.asarray(t["bkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        # pre-check the emitted-pair count so a pathological bucket
+        # distribution can't blow up the driver: fall through to the
+        # distributed path instead
+        order = np.lexsort((bkey, band))
+        bb, kk = band[order], bkey[order]
+        nb = np.ones(n, dtype=bool)
+        nb[1:] = (bb[1:] != bb[:-1]) | (kk[1:] != kk[:-1])
+        sizes = np.diff(np.append(np.flatnonzero(nb), n)).astype(np.int64)
+        n_sub = -(-sizes // max_bucket_size)  # ceil — salt subgroups per bucket
+        rem = sizes - (n_sub - 1) * max_bucket_size
+        est = int(
+            (
+                (n_sub - 1) * (max_bucket_size * (max_bucket_size - 1) // 2)
+                + rem * (rem - 1) // 2
+                + (n_sub - 1)  # bridge pairs
+            ).sum()
+        )
+        if est <= driver_pair_bound:
+            id1, id2, stats = _salted_bucket_pairs(band, bkey, ids, max_bucket_size)
+            if stats_out is not None:
+                stats_out.update(stats)
+            if stats["dropped_pairs"]:
+                log.warning(
+                    "LSH hot-bucket salting: %d oversized bucket(s), %d cross-subgroup "
+                    "pair(s) skipped (bridged for connectivity)",
+                    stats["oversized_buckets"], stats["dropped_pairs"],
+                )
+            if id1.size == 0:
+                return None
+            import polars as pl
+
+            df = pl.DataFrame({"id1": id1, "id2": id2}).unique()
+            return _from_arrow_blocks(
+                df.to_arrow().cast(pa.schema([("id1", pa.int64()), ("id2", pa.int64())]))
+            )
+
+    def part_pairs(group: pa.Table) -> pa.Table:
+        band = np.asarray(group["band"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        bkey = np.asarray(group["bkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        id1, id2, stats = _salted_bucket_pairs(band, bkey, ids, max_bucket_size)
+        if stats["dropped_pairs"]:
+            logging.getLogger("rify_ray.dedup").warning(
+                "LSH hot-bucket salting (partition): %d oversized bucket(s), "
+                "%d cross-subgroup pair(s) skipped",
+                stats["oversized_buckets"], stats["dropped_pairs"],
+            )
+        # local distinct before the exchange (combiner)
+        import polars as pl
+
+        df = pl.DataFrame({"id1": id1, "id2": id2}).unique()
+        return df.to_arrow().cast(
+            pa.schema([("id1", pa.int64()), ("id2", pa.int64())])
         )
 
-    return fn
+    parted = banded.map_batches(
+        hash_rows_mod_fn(["band", "bkey"], num_parts, "part"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = parted.groupby("part").map_groups(part_pairs, batch_format="pyarrow")
+    return _distinct_pairs(pairs)
+
+
+def _from_arrow_blocks(tbl: pa.Table, rows_per_block: int = 8192):
+    """Driver table → Dataset SPLIT INTO BLOCKS: ``from_arrow`` of one
+    table yields one block, which serializes every downstream
+    ``map_batches`` onto a single core — the driver fast paths here feed
+    distributed verify stages, so they must re-enter Ray parallel."""
+    import ray.data
+
+    if tbl.num_rows <= rows_per_block:
+        return ray.data.from_arrow(tbl)
+    return ray.data.from_arrow(
+        [tbl.slice(o, rows_per_block) for o in range(0, tbl.num_rows, rows_per_block)]
+    )
+
+
+def _collect_tbl(ds) -> Optional[pa.Table]:
+    """Driver-side collect of a (small, bound-checked by the caller)
+    Dataset into one Arrow table; None when empty."""
+    tabs = [
+        b
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    ]
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs).combine_chunks()
 
 
 def _distinct_pairs(pairs, *, broadcast_rows: int = 2_000_000):
@@ -214,7 +402,7 @@ def _distinct_pairs(pairs, *, broadcast_rows: int = 2_000_000):
             if b.num_rows and b.num_columns
         ]
         df = pl.from_arrow(pa.concat_tables(tabs)).select(["id1", "id2"]).unique()
-        return ray.data.from_arrow(
+        return _from_arrow_blocks(
             df.to_arrow().cast(pa.schema([("id1", pa.int64()), ("id2", pa.int64())]))
         )
     out = pairs.groupby(["id1", "id2"]).count().drop_columns(["count()"]).materialize()
@@ -238,13 +426,17 @@ def minhash_lsh_candidates(
     k_shingles: int = 5,
     num_perm: int = 64,
     bands: int = 16,
+    max_bucket_size: int = 2000,
     _sigs=None,
+    stats_out: Optional[dict] = None,
 ):
     """Candidate near-duplicate pairs (id1 < id2): shingle → minhash →
-    band → bucket groupby → per-bucket pairs → distinct.  Buckets are the
-    shuffle unit; hot buckets (boilerplate docs) are the skew risk — at
-    scale cap bucket size and salt (documented).  ``_sigs`` lets a caller
-    that already materialized the signatures reuse them."""
+    band → bucketed pair expansion → distinct.  Buckets are the shuffle
+    unit; hot buckets (boilerplate docs) are the skew risk — oversized
+    buckets are salted into bridged subgroups and every skipped pair is
+    counted (see :func:`_expand_bucket_pairs`; driver-path stats land in
+    ``stats_out``).  ``_sigs`` lets a caller that already materialized
+    the signatures reuse them."""
     sigs = _sigs
     if sigs is None:
         sigs = docs_ds.map_batches(
@@ -257,10 +449,9 @@ def minhash_lsh_candidates(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = banded.groupby(["band", "bkey"]).map_groups(
-        _bucket_pairs_fn(), batch_format="pyarrow"
+    return _expand_bucket_pairs(
+        banded, max_bucket_size=max_bucket_size, stats_out=stats_out
     )
-    return _distinct_pairs(pairs)
 
 
 def _sig_binary_fn(num_perm: int):
@@ -290,36 +481,112 @@ def minhash_verified_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
-    prefilter_margin: float = 0.25,
+    prefilter_margin: Optional[float] = 0.25,
     num_partitions: int = 8,
+    broadcast_rows: int = 2_000_000,
+    max_bucket_size: int = 2000,
 ):
     """End-to-end MinHash near-dup: signatures (computed ONCE) →
     LSH candidates → SIGNATURE prefilter → exact n-gram-Jaccard verify.
 
-    The prefilter joins candidate pairs against the fixed-width
-    signatures and estimates Jaccard as the fraction of agreeing minhash
-    slots, dropping pairs with estimate < threshold − ``prefilter_margin``
-    (≈4σ at 64 perms, so true matches survive); only the small remainder
-    pays the exact-shingle-set joins — at web scale the candidate set is
+    The prefilter estimates Jaccard as the fraction of agreeing minhash
+    slots and drops pairs with estimate < threshold −
+    ``prefilter_margin``; only the small remainder pays the
+    exact-shingle-set verification — at web scale the candidate set is
     orders of magnitude larger than the verified set, so this is where
-    the verify cost goes from O(candidates) to O(matches)."""
+    the verify cost goes from O(candidates) to O(matches).
+
+    NOTE the prefilter makes the result slightly narrower than an exact
+    verify of ALL LSH candidates: a true pair with Jaccard ≥ threshold
+    whose 64-slot estimate falls below threshold − margin is missed.
+    At the default margin 0.25 ≈ 4σ (σ = √(J(1−J)/64) ≤ 1/16), that
+    false-negative probability is ~3e-5 per pair; pass
+    ``prefilter_margin=None`` to disable the prefilter and verify every
+    candidate exactly (the result is then a pure superset filter of the
+    LSH candidates).
+
+    Adaptive physicals, same bounds discipline as the engine's hybrid
+    rounds: candidate/signature sets at or below ``broadcast_rows``
+    prefilter on the driver with one vectorized numpy gather (no
+    pair↔signature join exchange); above the bound the prefilter joins
+    run distributed."""
+    import logging
+
     sigs = docs_ds.map_batches(
         minhash_signature_fn(k_shingles=k_shingles, num_perm=num_perm),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
+    n_docs = sigs.count()
+    if prefilter_margin is not None and n_docs <= broadcast_rows:
+        # driver fast path — the signature matrix fits the broadcast
+        # bound, so banding, bucket pair expansion, distinct AND the
+        # prefilter all run as one vectorized driver pass over the
+        # collected signatures (identical kernels to the distributed
+        # path, zero extra executor runs); only the signature compute
+        # and the exact verify of the (tiny) survivor set touch Ray.
+        import polars as pl
+        import ray.data
+
+        st = _collect_tbl(sigs)
+        if st is None:
+            return _empty_verified()
+        banded_tbl = minhash_band_fn(num_perm=num_perm, bands=bands)(st)
+        id1, id2, stats = _salted_bucket_pairs(
+            np.asarray(banded_tbl["band"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            np.asarray(banded_tbl["bkey"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            np.asarray(banded_tbl["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            max_bucket_size,
+        )
+        if stats["dropped_pairs"]:
+            logging.getLogger("rify_ray.dedup").warning(
+                "LSH hot-bucket salting: %d oversized bucket(s), %d cross-subgroup "
+                "pair(s) skipped (bridged for connectivity)",
+                stats["oversized_buckets"], stats["dropped_pairs"],
+            )
+        if id1.size == 0:
+            return _empty_verified()
+        pairs = pl.DataFrame({"id1": id1, "id2": id2}).unique()
+        i1 = pairs["id1"].to_numpy()
+        i2 = pairs["id2"].to_numpy()
+        sid = np.asarray(st["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        smat = np.asarray(
+            st["sig"].combine_chunks().values.to_numpy(zero_copy_only=False),
+            dtype=np.uint64,
+        ).reshape(len(sid), num_perm)
+        order = np.argsort(sid)
+        sid, smat = sid[order], smat[order]
+        est = (smat[np.searchsorted(sid, i1)] == smat[np.searchsorted(sid, i2)]).mean(axis=1)
+        keep = est >= threshold - prefilter_margin
+        survivors = _from_arrow_blocks(
+            pa.table(
+                {"id1": pa.array(i1[keep], pa.int64()), "id2": pa.array(i2[keep], pa.int64())}
+            )
+        )
+        return verify_pairs_jaccard(
+            survivors, docs_ds, k=k_shingles, threshold=threshold,
+            num_partitions=num_partitions,
+        )
+
     cands = minhash_lsh_candidates(
-        docs_ds, k_shingles=k_shingles, num_perm=num_perm, bands=bands, _sigs=sigs
+        docs_ds, k_shingles=k_shingles, num_perm=num_perm, bands=bands,
+        max_bucket_size=max_bucket_size, _sigs=sigs,
     )
     if cands is None:
         return _empty_verified()
+    if prefilter_margin is None:
+        return verify_pairs_jaccard(
+            cands, docs_ds, k=k_shingles, threshold=threshold,
+            num_partitions=num_partitions,
+        )
+    cutoff = threshold - prefilter_margin
+    cands = cands.materialize()
     sigb = sigs.map_batches(
         _sig_binary_fn(num_perm), batch_format="pyarrow", zero_copy_batch=True
     )
     joined = _attach_pair_payload(cands, sigb, "sigb", num_partitions=num_partitions)
     if joined is None:
         return _empty_verified()
-    cutoff = threshold - prefilter_margin
 
     def estimate(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -454,13 +721,81 @@ def _shingle_sets_fn(k: int):
     return fn
 
 
+def _jaccard_from_sets(sh1, sh2) -> np.ndarray:
+    jac = np.empty(len(sh1), dtype=np.float64)
+    for i in range(len(sh1)):
+        a = np.frombuffer(sh1[i], dtype=np.uint64)
+        b = np.frombuffer(sh2[i], dtype=np.uint64)
+        if a.size == 0 and b.size == 0:
+            jac[i] = 1.0
+            continue
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        jac[i] = inter / (a.size + b.size - inter)
+    return jac
+
+
 def verify_pairs_jaccard(
-    pairs_ds, docs_ds, *, k: int = 5, threshold: float = 0.5, num_partitions: int = 8
+    pairs_ds,
+    docs_ds,
+    *,
+    k: int = 5,
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+    driver_pairs_bound: int = 50_000,
 ):
-    """Join candidate pairs back to per-doc shingle sets (computed once
-    per doc, not once per pair) and keep pairs with exact n-gram Jaccard
-    >= threshold.  Two hash-join shuffles keyed on doc id; the per-pair
-    predicate is a sorted-array intersection (numpy), not Python sets."""
+    """Exact n-gram Jaccard over candidate pairs; keeps pairs ≥ threshold.
+
+    A pair set at or below ``driver_pairs_bound`` verifies on the driver:
+    shingle sets are computed DISTRIBUTED but only for the docs that
+    actually appear in a pair (one broadcast ``is_in`` filter over the
+    doc stream — after the signature prefilter that is O(matches) docs,
+    not O(corpus)), then the bounded pair list resolves in-process with
+    no join exchange.  Above the bound, every doc's shingle set is
+    computed once and two hash-join shuffles attach them to the pairs
+    (``_attach_pair_payload``); the per-pair predicate is a sorted-array
+    intersection (numpy), not Python sets."""
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return _empty_verified()
+    if n_pairs <= driver_pairs_bound:
+        import ray
+        import ray.data
+
+        tabs = [
+            b
+            for b in pairs_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        pt = pa.concat_tables(tabs).combine_chunks()
+        i1 = np.asarray(pt["id1"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        i2 = np.asarray(pt["id2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        involved = np.unique(np.concatenate([i1, i2]))
+        inv_ref = ray.put(pa.array(involved, pa.int64()))
+        shingle = _shingle_sets_fn(k)
+
+        def filtered_shingles(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(pc.cast(batch["doc_id"], pa.int64()), value_set=ray.get(inv_ref))
+            return shingle(batch.filter(mask))
+
+        sets: dict = {}
+        for b in docs_ds.map_batches(
+            filtered_shingles, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_rows == 0 or b.num_columns == 0:
+                continue
+            sets.update(zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()))
+        jac = _jaccard_from_sets([sets[i] for i in i1], [sets[i] for i in i2])
+        keep = jac >= threshold
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id1": pa.array(i1[keep], pa.int64()),
+                    "id2": pa.array(i2[keep], pa.int64()),
+                    "jaccard": pa.array(jac[keep], pa.float64()),
+                }
+            )
+        )
 
     sh_ds = docs_ds.map_batches(
         _shingle_sets_fn(k), batch_format="pyarrow", zero_copy_batch=True
@@ -470,20 +805,9 @@ def verify_pairs_jaccard(
         return _empty_verified()
 
     def verify(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         ids1 = np.asarray(batch["id1"].to_numpy(zero_copy_only=False), dtype=np.int64)
         ids2 = np.asarray(batch["id2"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        sh1 = batch["sh_id1"].to_pylist()
-        sh2 = batch["sh_id2"].to_pylist()
-        jac = np.empty(n, dtype=np.float64)
-        for i in range(n):
-            a = np.frombuffer(sh1[i], dtype=np.uint64)
-            b = np.frombuffer(sh2[i], dtype=np.uint64)
-            if a.size == 0 and b.size == 0:
-                jac[i] = 1.0
-                continue
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            jac[i] = inter / (a.size + b.size - inter)
+        jac = _jaccard_from_sets(batch["sh_id1"].to_pylist(), batch["sh_id2"].to_pylist())
         keep = jac >= threshold
         return pa.table(
             {
@@ -542,37 +866,96 @@ def simhash_fn(batch: pa.Table) -> pa.Table:
     )
 
 
-def simhash_candidates(docs_ds, *, max_hamming: int = 3):
+def _simhash_chunk_fn(batch: pa.Table) -> pa.Table:
+    """(doc_id, simhash) → (band, bkey, doc_id): 4×16-bit chunk banding,
+    fully vectorized."""
+    n = batch.num_rows
+    ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    sh = np.asarray(
+        batch["simhash"].to_numpy(zero_copy_only=False), dtype=np.int64
+    ).view(np.uint64)
+    shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+    chunks = ((sh[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)).astype(np.int64)
+    return pa.table(
+        {
+            "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+            "bkey": pa.array(chunks.reshape(-1), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+        }
+    )
+
+
+def _simhash_verify_arrays(
+    ids1: np.ndarray, ids2: np.ndarray, a: np.ndarray, b: np.ndarray, max_hamming: int
+) -> pa.Table:
+    """Popcount-verify simhash pairs (vectorized unpackbits)."""
+    x = (a ^ b).view(np.uint64)
+    d = (
+        np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+        if len(x)
+        else np.zeros(0, dtype=np.int64)
+    )
+    keep = d <= max_hamming
+    return pa.table(
+        {
+            "id1": pa.array(ids1[keep], pa.int64()),
+            "id2": pa.array(ids2[keep], pa.int64()),
+            "hamming": pa.array(d[keep].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def simhash_candidates(
+    docs_ds, *, max_hamming: int = 3, broadcast_rows: int = 2_000_000
+):
     """Near-dup candidates via 4×16-bit chunk bucketing (pigeonhole: any
     pair within Hamming distance 3 agrees on ≥1 chunk), verified by
-    popcount.  Signatures materialize once — both the banding pipeline
-    and the verify join read the same cached blocks."""
+    popcount.
+
+    One distributed pass computes the 64-bit signatures (the real
+    per-byte compute); when the signature table fits ``broadcast_rows``
+    the chunking, bucket pair expansion, distinct and popcount verify
+    all run as one vectorized driver pass (same kernels, no exchange).
+    Above the bound the buckets expand via the partitioned
+    :func:`_expand_bucket_pairs` path and verification joins
+    signatures back through ``_attach_pair_payload``."""
     sigs = docs_ds.map_batches(
         simhash_fn, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    if sigs.count() <= broadcast_rows:
+        st = _collect_tbl(sigs)
+        if st is None:
+            return None
+        chunk_tbl = _simhash_chunk_fn(st)
+        id1, id2, _stats = _salted_bucket_pairs(
+            np.asarray(chunk_tbl["band"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            np.asarray(chunk_tbl["bkey"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            np.asarray(chunk_tbl["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            2000,
+        )
+        if id1.size == 0:
+            return None
+        import polars as pl
+        import ray.data
 
-    def chunk_fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        sh = np.asarray(
-            batch["simhash"].to_numpy(zero_copy_only=False), dtype=np.int64
-        ).view(np.uint64)
-        # (n, 4) 16-bit chunks, fully vectorized
-        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
-        chunks = ((sh[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)).astype(np.int64)
-        return pa.table(
-            {
-                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
-                "bkey": pa.array(chunks.reshape(-1), pa.int64()),
-                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
-            }
+        pairs = pl.DataFrame({"id1": id1, "id2": id2}).unique()
+        i1 = pairs["id1"].to_numpy()
+        i2 = pairs["id2"].to_numpy()
+        sid = np.asarray(st["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sh = np.asarray(st["simhash"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(sid)
+        sid, sh = sid[order], sh[order]
+        return ray.data.from_arrow(
+            _simhash_verify_arrays(
+                i1, i2, sh[np.searchsorted(sid, i1)], sh[np.searchsorted(sid, i2)],
+                max_hamming,
+            )
         )
 
-    banded = sigs.map_batches(chunk_fn, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = banded.groupby(["band", "bkey"]).map_groups(
-        _bucket_pairs_fn(), batch_format="pyarrow"
+    banded = sigs.map_batches(
+        _simhash_chunk_fn, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = _distinct_pairs(pairs)
+    pairs = _expand_bucket_pairs(banded)
     if pairs is None:
         return None
 
@@ -587,24 +970,12 @@ def simhash_candidates(docs_ds, *, max_hamming: int = 3):
         return None
 
     def verify(batch: pa.Table) -> pa.Table:
-        # vectorized popcount of the XOR: unpack the 8 bytes per word
-        ids1 = np.asarray(batch["id1"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        ids2 = np.asarray(batch["id2"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        a = np.asarray(batch["sh_id1"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        b = np.asarray(batch["sh_id2"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        x = (a ^ b).view(np.uint64)
-        d = (
-            np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
-            if len(x)
-            else np.zeros(0, dtype=np.int64)
-        )
-        keep = d <= max_hamming
-        return pa.table(
-            {
-                "id1": pa.array(ids1[keep], pa.int64()),
-                "id2": pa.array(ids2[keep], pa.int64()),
-                "hamming": pa.array(d[keep].astype(np.int64), pa.int64()),
-            }
+        return _simhash_verify_arrays(
+            np.asarray(batch["id1"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            np.asarray(batch["id2"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            np.asarray(batch["sh_id1"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            np.asarray(batch["sh_id2"].to_numpy(zero_copy_only=False), dtype=np.int64),
+            max_hamming,
         )
 
     return joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
@@ -689,10 +1060,7 @@ def embedding_neardup_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = banded.groupby(["band", "bkey"]).map_groups(
-        _bucket_pairs_fn(), batch_format="pyarrow"
-    )
-    pairs = _distinct_pairs(pairs)
+    pairs = _expand_bucket_pairs(banded)
     if pairs is None:
         return _empty_embed_pairs()
     emb_lookup = emb_ds.map_batches(

@@ -131,6 +131,91 @@ def test_minhash_finds_near_duplicates():
     assert (0, 2) not in vpairs and (1, 2) not in vpairs
 
 
+def test_salted_bucket_pairs_accounting():
+    """Hot-bucket salting: no pair inside a salt subgroup is lost, every
+    skipped cross-subgroup pair is counted, and bridge pairs keep the
+    bucket one connected component."""
+    import numpy as np
+
+    from rify_ray.stages.dedup import _salted_bucket_pairs
+
+    band = np.zeros(10, dtype=np.int64)
+    bkey = np.zeros(10, dtype=np.int64)
+    ids = np.arange(10, dtype=np.int64)
+    id1, id2, stats = _salted_bucket_pairs(band, bkey, ids, 4)
+    # subgroups 4+4+2 → 6+6+1 within-subgroup pairs + 2 bridges = 15;
+    # possible C(10,2)=45 → 30 dropped, all accounted
+    assert stats == {
+        "n_buckets": 1,
+        "oversized_buckets": 1,
+        "emitted_pairs": 15,
+        "dropped_pairs": 30,
+    }
+    emitted = set(zip(id1.tolist(), id2.tolist()))
+    assert len(emitted) == 15
+    # the first salt subgroup [0..3] is complete
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert (i, j) in emitted
+    # union-find: one component despite the cap
+    parent = list(range(10))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in emitted:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(10)}) == 1
+
+
+def test_minhash_candidates_salting_stats_out():
+    from rify_ray.stages.dedup import minhash_lsh_candidates
+
+    base = "identical boilerplate page content repeated verbatim " * 5
+    uniq = [f"document number {i} with its own distinct words {i * 7919} " * 3 for i in range(4)]
+    ds = _docs([base] * 8 + uniq)
+    stats = {}
+    out = minhash_lsh_candidates(ds, max_bucket_size=3, stats_out=stats)
+    assert stats["oversized_buckets"] >= 1
+    assert stats["dropped_pairs"] > 0
+    pairs = {(r["id1"], r["id2"]) for r in out.take_all()}
+    # connectivity of the 8 identical docs survives the cap
+    parent = list(range(12))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(8)}) == 1
+
+
+def test_minhash_verified_prefilter_margin_none():
+    """prefilter_margin=None disables the signature prefilter: the
+    result must equal the exact verify of every LSH candidate."""
+    from rify_ray.stages.dedup import minhash_verified_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "hazy")
+    other = "completely different content about distributed dataflow engines " * 5
+    ds = _docs([base, near, other])
+    with_pref = {
+        (r["id1"], r["id2"]) for r in minhash_verified_pairs(ds, threshold=0.5).take_all()
+    }
+    without = {
+        (r["id1"], r["id2"])
+        for r in minhash_verified_pairs(ds, threshold=0.5, prefilter_margin=None).take_all()
+    }
+    assert (0, 1) in without
+    assert with_pref == without
+
+
 def test_ngram_jaccard_bounds():
     from rify_ray.stages.dedup import ngram_jaccard
 
