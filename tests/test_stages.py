@@ -426,6 +426,68 @@ def test_media_real_backend_raises():
         stage(batch)
 
 
+def test_media_stage_auto_backend_falls_back_deterministically():
+    """backend='auto' on payloads no real decoder can parse must equal
+    the fake backend row for row, with decoded_real=False — green in
+    every environment regardless of which libraries exist."""
+    import ray.data
+
+    from rify_ray.stages.multimodal import media_stage, synthetic_media_table
+
+    media = ray.data.from_arrow(synthetic_media_table(30))
+    fake = sorted(
+        (r["media_id"], r["width"], r["height"], tuple(r["feature"]))
+        for r in media_stage(media, backend="fake", concurrency=2).take_all()
+    )
+    auto_rows = media_stage(media, backend="auto", concurrency=2).take_all()
+    auto = sorted(
+        (r["media_id"], r["width"], r["height"], tuple(r["feature"])) for r in auto_rows
+    )
+    assert auto == fake
+    assert all(r["decoded_real"] is False or r["decoded_real"] == False for r in auto_rows)  # noqa: E712
+
+
+def test_media_auto_decodes_real_wav():
+    """backend='auto' uses the REAL stdlib-wave decoder for a valid WAV
+    payload (this container has no PIL/ffmpeg, but wave is stdlib)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from rify_ray.stages.multimodal import DecodeStage, probe_backends
+
+    assert probe_backends()["audio"] is True
+    buf = io.BytesIO()
+    rate, n = 16000, 1600
+    tone = (np.sin(2 * np.pi * 440 * np.arange(n) / rate) * 20000).astype(np.int16)
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(tone.tobytes())
+    payload = buf.getvalue()
+    batch = pa.table(
+        {
+            "media_id": pa.array([7], pa.int64()),
+            "kind": pa.array(["audio"], pa.string()),
+            "payload": pa.array([payload], pa.binary()),
+            "meta": pa.array(["{}"], pa.string()),
+        }
+    )
+    out = DecodeStage(backend="auto")(batch)
+    assert out["decoded_real"].to_pylist() == [True]
+    assert out["width"].to_pylist() == [16]        # kHz
+    assert out["height"].to_pylist() == [16]       # 1 channel × 16-bit
+    feat = out["feature"].to_pylist()[0]
+    assert len(feat) == 8
+    # a 440 Hz tone at amplitude 20000/32768 has RMS ≈ 0.43 in every octile
+    assert all(0.3 < f < 0.55 for f in feat)
+    # determinism across calls
+    out2 = DecodeStage(backend="auto")(batch)
+    assert out.equals(out2)
+
+
 def test_frame_sample():
     from rify_ray.stages.multimodal import frame_sample_fn
 
