@@ -282,6 +282,59 @@ def _q_dedup_exact_docs(sf_dir: str):
     return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 
 
+_CLUSTER_SCHEMA = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+
+
+def _collect_clusters(out) -> pa.Table:
+    tbls = [
+        t for t in out.iter_batches(batch_size=None, batch_format="pyarrow") if t.num_rows
+    ]
+    if not tbls:
+        return _CLUSTER_SCHEMA.empty_table()
+    return pa.concat_tables(t.select(["doc_id", "cluster_id"]) for t in tbls)
+
+
+def _q_dedup_clusters_exact(sf_dir: str):
+    """Exact-duplicate clusters via the generic connected-components
+    operator: chained per-text pairs → min-label components.  The oracle
+    (GROUP BY text) checks the CC operator end to end, since components
+    of exact-equality chains are exactly the text groups."""
+    from rify_ray.stages.dedup import duplicate_clusters, exact_dup_pairs
+
+    pairs = exact_dup_pairs(_docs_ds(sf_dir))
+    return _collect_clusters(duplicate_clusters(pairs))
+
+
+def _q_cc_label_groups(sf_dir: str):
+    """Connected components over a non-trivial equality graph at every
+    scale factor: chain docs sharing ``n_chars``, recover components.
+    Components of per-group chains are exactly the ``GROUP BY n_chars``
+    groups, which the SQL oracle states directly — this is the
+    value-exact check for :func:`duplicate_clusters` (the text-keyed
+    variant has no duplicate groups at sf0.01)."""
+    import ray.data
+
+    from rify_ray.stages.dedup import duplicate_clusters, exact_dup_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "n_chars"],
+        override_num_blocks=32,
+    )
+    pairs = exact_dup_pairs(docs, key_col="n_chars")
+    return _collect_clusters(duplicate_clusters(pairs))
+
+
+def _q_dedup_clusters_minhash(sf_dir: str):
+    """Near-duplicate clusters: MinHash-verified pairs → connected
+    components → (doc_id, cluster_id); keep-first survivors are the rows
+    with doc_id == cluster_id."""
+    from rify_ray.stages.dedup import duplicate_clusters, minhash_verified_pairs
+
+    pairs = minhash_verified_pairs(_docs_ds(sf_dir), threshold=0.5)
+    return _collect_clusters(duplicate_clusters(pairs.select_columns(["id1", "id2"])))
+
+
 def _q_text_token_counts(sf_dir: str):
     from rify_ray.stages.text import text_stage, token_count_fn
 
@@ -499,6 +552,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nation_chain_closure": _q_kg_nation_chain_closure,
         "kg_pages_flagship": _q_kg_pages_flagship,
         "dedup_exact_docs": _q_dedup_exact_docs,
+        "dedup_clusters_exact": _q_dedup_clusters_exact,
+        "dedup_clusters_minhash": _q_dedup_clusters_minhash,
+        "cc_label_groups": _q_cc_label_groups,
         "text_token_counts": _q_text_token_counts,
         "text_char_stats": _q_text_char_stats,
         "text_lang_id": _q_text_lang_id,
@@ -604,6 +660,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM ordered a JOIN ordered b ON a.rn < b.rn"
         ),
         "dedup_exact_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_clusters_exact": (
+            "SELECT d.doc_id AS doc_id, m.cluster_id AS cluster_id "
+            "FROM documents d JOIN (SELECT text, min(doc_id) AS cluster_id, "
+            "count(*) AS c FROM documents GROUP BY text) m ON d.text = m.text "
+            "WHERE m.c > 1"
+        ),
+        "cc_label_groups": (
+            "SELECT d.doc_id AS doc_id, m.cluster_id AS cluster_id "
+            "FROM documents d JOIN (SELECT n_chars, min(doc_id) AS cluster_id, "
+            "count(*) AS c FROM documents GROUP BY n_chars) m "
+            "ON d.n_chars = m.n_chars WHERE m.c > 1"
+        ),
         "text_token_counts": (
             "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"

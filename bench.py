@@ -20,6 +20,7 @@ import re
 import subprocess
 import sys
 import time
+from typing import Sequence
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -258,9 +259,54 @@ def scaling(repeat: int = 3) -> None:
     print(json.dumps(out))
 
 
+def full_levels(levels: Sequence[int] = (8, 32)) -> None:
+    """--full-levels: the ENTIRE bench suite at two CPU levels in fresh
+    processes, so per-query regressions across rounds are visible at
+    both parallelism levels (not just the flagship scaling child)."""
+    results = {}
+    for n in levels:
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(n)
+        env["POLARS_MAX_THREADS"] = str(n)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            print(json.dumps({"error": f"level {n} failed", "stderr": p.stderr[-2000:]}))
+            sys.exit(1)
+        results[str(n)] = json.loads(lines[-1])
+    lo, hi = (str(x) for x in levels[:2])
+    print(
+        json.dumps(
+            {
+                "metric": f"full bench at num_cpus {lo} and {hi} (fresh processes)",
+                "value": results[hi]["value"],
+                "unit": "sec",
+                "sf": results[hi]["sf"],
+                "levels": {
+                    k: {"value": v["value"], "queries": v["queries"]}
+                    for k, v in results.items()
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--full-levels":
+        lv = (
+            tuple(int(x) for x in sys.argv[2].split(","))
+            if len(sys.argv) > 2
+            else (8, 32)
+        )
+        full_levels(lv)
     elif len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(int(sys.argv[2]))
     else:

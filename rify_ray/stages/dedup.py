@@ -821,6 +821,231 @@ def verify_pairs_jaccard(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering: connected components over a pair stream
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_pairs(docs_ds, *, key_col: str = "text", id_col: str = "doc_id"):
+    """Chained pairs of exact duplicates: per equal-``key_col`` group the
+    id-sorted members link consecutively — (a,b),(b,c) not the O(n²)
+    clique — which is exactly enough edge structure for
+    :func:`duplicate_clusters` to recover the full group.  Shuffle key is
+    a 128-bit digest (long texts never travel as keys); non-string keys
+    are digested through their repr, so any hashable column works."""
+
+    def key_fn(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_pylist()
+        if pa.types.is_string(batch[key_col].type) or pa.types.is_large_string(
+            batch[key_col].type
+        ):
+            raw = (t.encode("utf-8") if t is not None else b"" for t in vals)
+        else:
+            raw = (repr(t).encode("utf-8") for t in vals)
+        keys = [hashlib.md5(r).hexdigest() for r in raw]
+        return pa.table({"khash": pa.array(keys, pa.string()), id_col: batch[id_col]})
+
+    keyed = docs_ds.map_batches(key_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    def chain(group: pa.Table) -> pa.Table:
+        ids = np.sort(np.asarray(group[id_col].to_pylist(), dtype=np.int64))
+        if ids.size < 2:
+            return pa.table(
+                {"id1": pa.array([], pa.int64()), "id2": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"id1": pa.array(ids[:-1], pa.int64()), "id2": pa.array(ids[1:], pa.int64())}
+        )
+
+    return keyed.groupby("khash").map_groups(chain, batch_format="pyarrow")
+
+
+def duplicate_clusters(
+    pairs_ds,
+    *,
+    broadcast_rows: int = 5_000_000,
+    max_rounds: int = 64,
+    num_partitions: int = 16,
+):
+    """Connected components over an (id1, id2) pair stream →
+    ``(doc_id, cluster_id)`` rows, one per doc that appears in any pair,
+    with ``cluster_id`` = the component's minimum doc id (the canonical
+    survivor in keep-first dedup).
+
+    Composes with every pair producer here: exact chains
+    (:func:`exact_dup_pairs`), MinHash/SimHash verified pairs, embedding
+    near-dup pairs — and the hot-bucket salting BRIDGES guarantee a
+    salted cluster still comes out as one component.
+
+    Physical plans: a pair set at or below ``broadcast_rows`` runs
+    driver union-find with path compression (exact, one pass); above it,
+    distributed min-label propagation — each round joins edge endpoints
+    against current labels and takes a per-node ``groupby().min()``, so
+    labels only ever decrease and the round count is bounded by the
+    component diameter (pair streams from LSH buckets are
+    near-star-shaped, so a handful of rounds in practice).  Convergence
+    is detected by the (strictly decreasing) label sum — no extra
+    compare join."""
+    import ray.data
+
+    pairs = pairs_ds.materialize()
+    n = pairs.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]).empty_table()
+        )
+    if n <= broadcast_rows:
+        t = _collect_tbl(pairs)
+        a = np.asarray(t["id1"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t["id2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        nodes = np.unique(np.concatenate([a, b]))
+        idx = {int(v): i for i, v in enumerate(nodes)}
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in zip(a.tolist(), b.tolist()):
+            ru, rv = find(idx[u]), find(idx[v])
+            if ru != rv:
+                # union by min node value keeps roots canonical-ish; the
+                # final pass below resolves true minima anyway
+                parent[max(ru, rv)] = min(ru, rv)
+        roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+        # min doc id per component (nodes are sorted, so the root's value
+        # is NOT necessarily the min — map root → min member)
+        order = np.argsort(roots, kind="stable")
+        rs, ns = roots[order], nodes[order]
+        starts = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+        mins = np.minimum.reduceat(ns, starts)
+        comp_min = np.repeat(mins, np.diff(np.append(starts, len(rs))))
+        out = np.empty_like(comp_min)
+        out[order] = comp_min
+        return _from_arrow_blocks(
+            pa.table(
+                {
+                    "doc_id": pa.array(nodes, pa.int64()),
+                    "cluster_id": pa.array(out, pa.int64()),
+                }
+            )
+        )
+
+    # distributed min-label propagation
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = pc.cast(batch["id1"], pa.int64())
+        v = pc.cast(batch["id2"], pa.int64())
+        return pa.table(
+            {
+                "u": pa.concat_arrays([u.combine_chunks(), v.combine_chunks()]),
+                "v": pa.concat_arrays([v.combine_chunks(), u.combine_chunks()]),
+            }
+        )
+
+    edges = pairs.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    from ..util import drop_empty_blocks
+
+    lbl_schema = pa.schema([("v", pa.int64()), ("lbl", pa.int64())])
+    # label(v) starts at min(v, min neighbor) — one groupby seeds it
+    seed = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "v": pa.concat_arrays([b["u"].combine_chunks(), b["u"].combine_chunks()]),
+                "lbl": pa.concat_arrays([b["v"].combine_chunks(), b["u"].combine_chunks()]),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    labels = seed.groupby("v").min("lbl").materialize()
+    labels = drop_empty_blocks(labels)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return lbl_schema.empty_table()
+        return pa.table(
+            {"v": pc.cast(batch["v"], pa.int64()), "lbl": pc.cast(batch["min(lbl)"], pa.int64())}
+        )
+
+    labels = labels.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def label_sum(ds) -> int:
+        return sum(
+            pc.sum(b["lbl"]).as_py() or 0
+            for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows
+        )
+
+    prev = label_sum(labels)
+    for _ in range(max_rounds):
+        # propagate: candidate label for v = label(u) over every edge
+        # (u, v); combine with current labels, per-node min
+        joined = drop_empty_blocks(
+            edges.join(labels.rename_columns(["u", "lbl"]), "inner", num_partitions, on=("u",)).materialize()
+        )
+        if joined is None:
+            break
+        cand = joined.map_batches(
+            lambda b: pa.table({"v": pc.cast(b["v"], pa.int64()), "lbl": pc.cast(b["lbl"], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        merged = cand.union(labels).groupby("v").min("lbl").materialize()
+        merged = drop_empty_blocks(merged)
+        labels = merged.map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        # pointer jumping: label(v) ← label(label(v)).  labels is keyed
+        # by v, so the lbl-side join is many-to-one and needs no groupby;
+        # doubling the propagation distance per round turns long chains
+        # from O(diameter) rounds into O(log diameter)
+        jump = drop_empty_blocks(
+            labels.join(
+                labels.rename_columns(["lbl", "lbl2"]),
+                "left_outer",
+                num_partitions,
+                on=("lbl",),
+            ).materialize()
+        )
+        if jump is not None:
+            def shortcut(b: pa.Table) -> pa.Table:
+                if b.num_columns == 0:
+                    return lbl_schema.empty_table()
+                l1 = pc.cast(b["lbl"], pa.int64())
+                l2 = pc.cast(b["lbl2"], pa.int64())
+                return pa.table(
+                    {
+                        "v": pc.cast(b["v"], pa.int64()),
+                        "lbl": pc.min_element_wise(l1, pc.coalesce(l2, l1)),
+                    }
+                )
+
+            labels = jump.map_batches(
+                shortcut, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+        cur = label_sum(labels)
+        if cur == prev:  # labels only decrease; equal sum ⇒ fixpoint
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": pc.cast(b["v"], pa.int64()), "cluster_id": pc.cast(b["lbl"], pa.int64())}
+        )
+        if b.num_columns
+        else pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

@@ -216,6 +216,63 @@ def test_minhash_verified_prefilter_margin_none():
     assert with_pref == without
 
 
+def _reference_components(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def test_duplicate_clusters_both_paths():
+    """Driver union-find and distributed min-label propagation must agree
+    with a reference union-find on a random pair graph."""
+    import numpy as np
+    import ray.data
+
+    from rify_ray.stages.dedup import duplicate_clusters
+
+    rs = np.random.RandomState(11)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rs.randint(0, 90, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    # a long chain forces many propagation rounds on the distributed path
+    edges.update((i + 200, i + 201) for i in range(25))
+    pairs_tbl = pa.table(
+        {
+            "id1": pa.array([a for a, _ in sorted(edges)], pa.int64()),
+            "id2": pa.array([b for _, b in sorted(edges)], pa.int64()),
+        }
+    )
+    nodes = sorted({x for e in edges for x in e})
+    expect = _reference_components(edges, nodes)
+    for kwargs in ({}, {"broadcast_rows": 0, "num_partitions": 4}):
+        out = duplicate_clusters(ray.data.from_arrow(pairs_tbl), **kwargs)
+        got = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+        assert got == expect, f"mismatch under {kwargs}"
+
+
+def test_exact_dup_pairs_clusters_match_text_groups():
+    from rify_ray.stages.dedup import duplicate_clusters, exact_dup_pairs
+
+    texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa", "unique"]
+    ds = _docs(texts)
+    out = duplicate_clusters(exact_dup_pairs(ds))
+    got = {r["doc_id"]: r["cluster_id"] for r in out.take_all()}
+    assert got == {0: 0, 2: 0, 5: 0, 1: 1, 4: 1}
+
+
 def test_ngram_jaccard_bounds():
     from rify_ray.stages.dedup import ngram_jaccard
 
