@@ -850,6 +850,9 @@ def infer_store(
     if isinstance(premises_ds, pa.Table):
         premises_ds = ray.data.from_arrow(premises_ds)
     lineage_dir = os.path.join(store_path, "lineage")
+    # set by the driver gen-0 fast path: the committed generation-0 frame,
+    # kept in hand so the round loop needs no parquet read-back
+    fresh_small_gen0: Optional[pl.DataFrame] = None
 
     def _write_lineage_small(df: pl.DataFrame) -> None:
         gen = store.next_gen  # matches the fact generation add_small commits next
@@ -937,7 +940,8 @@ def infer_store(
             )
             if not (premises_precleaned and not uncond.height):
                 gen0_df = gen0_df.unique(subset=FACT_COLS)
-            store.add_small(gen0_df.select(FACT_COLS), extra={"round": 0})
+            fresh_small_gen0 = gen0_df.select(FACT_COLS)
+            store.add_small(fresh_small_gen0, extra={"round": 0})
         else:
             if dict_encode:
                 # one-time dictionary build (distinct exchange over the
@@ -974,24 +978,50 @@ def infer_store(
     last_meta = store.generations[-1].get("metrics", {})
     start_round = last_meta.get("round", len(store.generations) - 1) + 1
     last = len(store.generations) - 1
-    delta_rows = store.generations[last]["rows"]
-    delta_ds = store.dataset(first_gen=last).materialize()
-    empty_ds = ray.data.from_arrow(store.quad_schema().empty_table())
-    full_old = store.dataset(last_gen=last - 1).materialize() if last >= 1 else empty_ds
-    full_new = full_old.union(delta_ds) if last >= 1 else delta_ds
+
+    # Lazily-built Dataset view of the full store for the driver-small
+    # regime: while every round stays driver-resident nothing consumes
+    # the Dataset side, so eagerly maintaining per-round ``from_arrow``
+    # unions is pure ray.put overhead.  The callable (re)builds the view
+    # from the committed generations only when a fallback path actually
+    # needs it (probe scan, mixed tail, regime transition) — cached per
+    # store version (``next_gen`` is monotonic, incl. across compaction).
+    _full_cache: list = [None, -1]
+
+    def _store_full_ds():
+        if _full_cache[0] is None or _full_cache[1] != store.next_gen:
+            _full_cache[0] = store.dataset().materialize()
+            _full_cache[1] = store.next_gen
+        return _full_cache[0]
+
     inc = IncrementalMatches(plans, broadcast_rows)
-    if last >= 1:
-        # resume mid-fixpoint: seed the incremental matches with one scan
-        # of the pre-delta store
-        inc.advance(full_old)
     small_delta: Optional[pl.DataFrame] = None
-    if delta_rows <= broadcast_rows:
-        small_delta = collect_to_polars(delta_ds)
-        if small_delta.width == 0:
-            small_delta = pl.DataFrame(schema={c: fact_dtype for c in FACT_COLS})
+    if fresh_small_gen0 is not None:
+        # fresh store whose generation 0 was committed by the driver fast
+        # path: the frame is already in hand — skip the parquet read-back
+        # and all Dataset bookkeeping until a round outgrows the regime
+        ds_mode = False
+        delta_ds = full_old = full_new = None
+        small_delta = fresh_small_gen0
         inc.advance_small(small_delta)
     else:
-        inc.advance(delta_ds)
+        ds_mode = True
+        delta_rows = store.generations[last]["rows"]
+        delta_ds = store.dataset(first_gen=last).materialize()
+        empty_ds = ray.data.from_arrow(store.quad_schema().empty_table())
+        full_old = store.dataset(last_gen=last - 1).materialize() if last >= 1 else empty_ds
+        full_new = full_old.union(delta_ds) if last >= 1 else delta_ds
+        if last >= 1:
+            # resume mid-fixpoint: seed the incremental matches with one
+            # scan of the pre-delta store
+            inc.advance(full_old)
+        if delta_rows <= broadcast_rows:
+            small_delta = collect_to_polars(delta_ds)
+            if small_delta.width == 0:
+                small_delta = pl.DataFrame(schema={c: fact_dtype for c in FACT_COLS})
+            inc.advance_small(small_delta)
+        else:
+            inc.advance(delta_ds)
 
     # driver copy of the full store while it fits under broadcast_rows:
     # turns per-round insert-if-absent into a lazy polars anti-join fused
@@ -1019,7 +1049,10 @@ def infer_store(
                 ]
             )
         if remaining.height:
-            remaining = anti_probe(remaining, full_new)
+            if full_small is not None:
+                remaining = remaining.join(full_small, on=FACT_COLS, how="anti")
+            else:
+                remaining = anti_probe(remaining, full_new if ds_mode else _store_full_ds())
 
     for it in range(start_round, max_iterations):
         if remaining is not None and remaining.height == 0:
@@ -1029,7 +1062,7 @@ def infer_store(
                 small_delta,
                 plans,
                 inc,
-                full_new,
+                full_new if ds_mode else _store_full_ds,
                 full_small=full_small,
                 with_lineage=with_lineage,
                 broadcast_rows=broadcast_rows,
@@ -1069,15 +1102,16 @@ def infer_store(
                 break
             if with_lineage:
                 _write_lineage_small(new)
-            new_facts = ray.data.from_arrow(
-                polars_to_arrow_string(new.select(FACT_COLS))
-            )
-            # driver-side generation commit (same layout/manifest as
-            # store.add, no distributed write tasks for a small delta)
+            # driver-side generation commit (no distributed write tasks
+            # for a small delta)
             store.add_small(new.select(FACT_COLS), extra={"round": it, "evaluator": "hybrid-small"})
-            full_old = full_new
-            full_new = full_old.union(new_facts)
-            delta_ds = new_facts
+            if ds_mode:
+                new_facts = ray.data.from_arrow(
+                    polars_to_arrow_string(new.select(FACT_COLS))
+                )
+                full_old = full_new
+                full_new = full_old.union(new_facts)
+                delta_ds = new_facts
             if remaining is not None and remaining.height:
                 remaining = remaining.join(new.select(FACT_COLS), on=FACT_COLS, how="anti")
             small_delta = new.select(FACT_COLS)
@@ -1086,6 +1120,15 @@ def infer_store(
                     full_small = pl.concat([full_small, small_delta])
                 else:
                     full_small = None
+            if not ds_mode and full_small is None:
+                # the store outgrew the driver copy: from here on the
+                # probe scans consume the Dataset view every round, so
+                # snapshot it once (post-commit) and maintain it by
+                # union — re-resolving the deferred view per round would
+                # re-read the whole store per commit
+                full_new = _store_full_ds()
+                full_old = full_new
+                ds_mode = True
             inc.advance_small(small_delta)
         else:
             cnt = new.count()
@@ -1100,6 +1143,11 @@ def infer_store(
                 new.write_parquet(gen_lineage_dir)
             # new already went through dedup + anti-join inside the round
             new_facts = new.select_columns(FACT_COLS).materialize()
+            if not ds_mode:
+                # transition out of the deferred regime: snapshot the
+                # store view BEFORE this commit, then maintain unions
+                full_new = _store_full_ds()
+                ds_mode = True
             store.add(
                 new_facts,
                 precleaned=True,

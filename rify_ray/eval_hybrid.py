@@ -249,6 +249,11 @@ def run_iteration_hybrid(
     maintained (store ≤ ``broadcast_rows``) — it turns insert-if-absent
     into a lazy polars anti-join fused with the chain queries.
 
+    ``full_new_ds`` may be a Dataset OR a zero-arg callable returning
+    one: in the pure-driver regime no round consumes the Dataset view of
+    the store, so the caller defers building it; this function resolves
+    the callable only on the fallback paths that actually scan it.
+
     Returns a polars frame of new facts (possibly empty) when the round
     stayed small, or a materialized Dataset when it went big (caller
     re-checks size), or None when statically empty.
@@ -299,12 +304,13 @@ def run_iteration_hybrid(
         else:
             cand = cand.unique(subset=FACT_COLS)
         cand_df = cand.select(out_cols).collect(engine="streaming")
+        full_ds = full_new_ds() if callable(full_new_ds) else full_new_ds
         if cand_df.height <= broadcast_rows:
-            return anti_probe(cand_df, full_new_ds)
+            return anti_probe(cand_df, full_ds)
         import ray.data
 
         ds = ray.data.from_arrow(polars_to_arrow_string(cand_df))
-        ds = ds.join(full_new_ds, "left_anti", num_partitions, on=tuple(FACT_COLS))
+        ds = ds.join(full_ds, "left_anti", num_partitions, on=tuple(FACT_COLS))
         return drop_empty_blocks(ds.materialize())
 
     # mixed: lift lazy parts into Datasets, run the distributed tail
@@ -323,4 +329,5 @@ def run_iteration_hybrid(
     new = ds_heads[0]
     if len(ds_heads) > 1:
         new = new.union(*ds_heads[1:])
-    return dedup_anti_ds(new, full_new_ds, with_lineage, num_partitions, pin_schema)
+    full_ds = full_new_ds() if callable(full_new_ds) else full_new_ds
+    return dedup_anti_ds(new, full_ds, with_lineage, num_partitions, pin_schema)

@@ -345,19 +345,25 @@ class TripleStore:
 
     def add_small(self, df, *, extra: Optional[Dict] = None) -> Dict:
         """Commit a SMALL, precleaned polars frame of quads as one new
-        generation without any distributed execution: the hash-partition
-        column comes from the same shared kernel as :func:`_hash_part_fn`
-        and per-part files are written driver-side.  Layout and manifest
-        semantics are identical to :meth:`add` — used by the hybrid
+        generation without any distributed execution — used by the hybrid
         fixpoint for per-round deltas already known to be duplicate-free
-        and absent from the store."""
+        and absent from the store.
+
+        The delta is written as ONE parquet file (bounded row groups so
+        a later distributed read still splits): nothing reads the store
+        with per-part pruning — co-location at query time comes from
+        exchange-time hashing, not file layout — so fanning a sub-
+        ``broadcast_rows`` frame into ``num_partitions`` tiny files only
+        buys 32× the write calls and an O(files) walk per
+        :meth:`dataset`.  The distributed :meth:`add` keeps the
+        hash-partitioned layout for real (multi-block) generations.
+        Manifest semantics are identical to :meth:`add`."""
         import shutil
         import time
 
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        from ..util import hash_rows_mod_fn, polars_to_arrow_string
+        from ..util import polars_to_arrow_string
 
         t0 = time.monotonic()
         if df.height == 0:
@@ -365,17 +371,11 @@ class TripleStore:
         gen = self.next_gen
         gen_dir = os.path.join(self.path, f"gen={gen:05d}")
         shutil.rmtree(gen_dir, ignore_errors=True)  # stale crashed attempt
+        os.makedirs(gen_dir, exist_ok=True)
         # stay in arrow `string` (not polars large_string) so every file
         # in the store reads back with one schema
-        tbl = hash_rows_mod_fn(QUAD_COLS, self.num_partitions, "part")(
-            polars_to_arrow_string(df.select(QUAD_COLS))
-        )
-        parts = tbl["part"]
-        for part in pc.unique(parts).to_pylist():
-            sub = tbl.filter(pc.equal(parts, part)).drop_columns(["part"])
-            d = os.path.join(gen_dir, f"part={part}")
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(sub, os.path.join(d, "data.parquet"))
+        tbl = polars_to_arrow_string(df.select(QUAD_COLS))
+        pq.write_table(tbl, os.path.join(gen_dir, "data.parquet"), row_group_size=131_072)
         metrics = {
             "added": int(df.height),
             "sec": round(time.monotonic() - t0, 3),

@@ -111,12 +111,20 @@ def distinct(
     *,
     keep_cols: Optional[Sequence[str]] = None,
     schema: Optional[pa.Schema] = None,
+    driver_rows: int = 500_000,
 ):
     """Distributed distinct over ``cols``: local per-batch dedup first
     (combiner — shrinks the shuffle input before any exchange), then a
     hash-partition groupby, with empty-block hygiene.  Returns a Dataset
     with exactly ``cols`` (string-typed unless ``schema`` overrides) or
-    None when input is empty."""
+    None when input is empty.
+
+    When the combined stream holds at most ``driver_rows`` rows the
+    global dedup runs as a driver polars ``unique`` instead of the
+    hash-aggregate exchange — the aggregator actor pool costs ~1 s of
+    spin-up regardless of data size, which dominates exactly when the
+    combiner already shrank the stream to almost nothing.  Inputs above
+    the bound take the distributed exchange unchanged."""
     cols = list(cols)
     if schema is None:
         schema = string_schema(cols)
@@ -135,6 +143,24 @@ def distinct(
     pre = ds.map_batches(
         local_dedup, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    n_pre = pre.count()
+    if n_pre == 0:
+        return None
+    if n_pre <= driver_rows:
+        import polars as pl
+        import ray.data
+
+        tbls = [
+            t
+            for t in pre.iter_batches(batch_size=None, batch_format="pyarrow")
+            if t.num_rows
+        ]
+        uniq = (
+            pl.from_arrow(pa.concat_tables(tbls, promote_options="permissive"))
+            .unique(subset=cols)
+            .select(cols)
+        )
+        return ray.data.from_arrow(polars_to_arrow_string(uniq).cast(schema))
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
