@@ -79,12 +79,26 @@ def _init_ray(num_cpus: int) -> None:
     # spin the worker pool once before any timed query: the first
     # map_batches of a fresh Ray session pays ~2 s of worker-process
     # startup + module import that a long-lived cluster never sees —
-    # excluded from per-query times, included in the process wall time
+    # excluded from per-query times, included in the process wall time.
+    # The warm fn imports the same modules the real stages use, so the
+    # pool is warm the way a long-lived cluster's pool is warm.
     import ray.data
 
     ray.data.range(num_cpus, override_num_blocks=num_cpus).map_batches(
-        lambda b: b, batch_format="pyarrow"
+        _warm_worker, batch_format="pyarrow"
     ).materialize()
+
+
+def _warm_worker(batch):
+    import numpy  # noqa: F401
+    import polars  # noqa: F401
+    import pyarrow.compute  # noqa: F401
+
+    import rify_ray.eval_shuffle  # noqa: F401
+    import rify_ray.stages.dedup  # noqa: F401
+    import rify_ray.stages.text  # noqa: F401
+
+    return batch
 
 
 def bench_kg_pages(num_cpus: int) -> dict:

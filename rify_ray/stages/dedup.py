@@ -32,6 +32,12 @@ from ..util import distinct, drop_empty_blocks, ensure_schema_fn, string_schema
 _MERSENNE = (1 << 61) - 1
 
 
+# pair counts at or below this verify on the driver (single-threaded
+# intersection loop, ~20 µs/pair); above it the loop must parallelize —
+# crossover vs the distributed path's ~0.6 s of fixed executor overhead
+_DRIVER_VERIFY_BOUND = 20_000
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
     rs = np.random.RandomState(seed)
     a = rs.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
@@ -114,27 +120,59 @@ def minhash_signature_fn(*, k_shingles: int = 5, num_perm: int = 64, seed: int =
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        # batch-wide: concatenate every doc's shingle hashes, ONE
-        # (num_perm, total) universal hash, then a per-doc segmented min
-        # (minimum.reduceat) — no per-doc numpy dispatch
         shingle_arrays = [_shingle_hashes(t or "", k_shingles) for t in texts]
-        lens = np.array([s.size for s in shingle_arrays], dtype=np.int64)
-        n = len(texts)
-        sig_mat = np.zeros((n, len(a)), dtype=np.uint64)
-        valid = lens > 0
-        if valid.any():
-            hs_all = np.concatenate([s for s in shingle_arrays if s.size])
-            with np.errstate(over="ignore"):
-                vals = (a[:, None] * hs_all[None, :] + b[:, None]) % _MERSENNE
-            offsets = np.zeros(int(valid.sum()), dtype=np.int64)
-            np.cumsum(lens[valid][:-1], out=offsets[1:])
-            sig_mat[valid] = np.minimum.reduceat(vals, offsets, axis=1).T
-        flat = sig_mat.reshape(-1)
-        sig_arr = pa.ListArray.from_arrays(
-            pa.array(np.arange(0, (n + 1) * len(a), len(a), dtype=np.int32)),
-            pa.array(flat, pa.uint64()),
-        )
+        sig_arr = _sig_list_array(shingle_arrays, a, b)
         return pa.table({"doc_id": pa.array(ids, pa.int64()), "sig": sig_arr})
+
+    return fn
+
+
+def _sig_list_array(shingle_arrays, a: np.ndarray, b: np.ndarray) -> pa.ListArray:
+    """Per-doc shingle-hash arrays → Arrow list<uint64> minhash
+    signatures.  Batch-wide: concatenate every doc's shingle hashes, ONE
+    (num_perm, total) universal hash, then a per-doc segmented min
+    (minimum.reduceat) — no per-doc numpy dispatch."""
+    lens = np.array([s.size for s in shingle_arrays], dtype=np.int64)
+    n = len(shingle_arrays)
+    sig_mat = np.zeros((n, len(a)), dtype=np.uint64)
+    valid = lens > 0
+    if valid.any():
+        hs_all = np.concatenate([s for s in shingle_arrays if s.size])
+        # in-place: the (num_perm, total) hash matrix is the batch's
+        # dominant allocation — one buffer, not three temporaries
+        with np.errstate(over="ignore"):
+            vals = a[:, None] * hs_all[None, :]
+            vals += b[:, None]
+            vals %= _MERSENNE
+        offsets = np.zeros(int(valid.sum()), dtype=np.int64)
+        np.cumsum(lens[valid][:-1], out=offsets[1:])
+        sig_mat[valid] = np.minimum.reduceat(vals, offsets, axis=1).T
+    flat = sig_mat.reshape(-1)
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * len(a), len(a), dtype=np.int32)),
+        pa.array(flat, pa.uint64()),
+    )
+
+
+def _sig_shingle_fn(*, k_shingles: int = 5, num_perm: int = 64, seed: int = 42):
+    """map_batches fn: (doc_id, text) → (doc_id, sig list<uint64>, sh
+    binary) — signatures AND exact shingle sets from ONE shingle
+    computation.  Small-corpus regime only: emitting ``sh`` inflates the
+    scan output ~8× over the text (8 bytes per shingle), which is fine
+    when the whole corpus fits the broadcast bound but wrong at web
+    scale, where the verify path shingles only pair-involved docs
+    instead (see :func:`_verify_pairs_distributed`)."""
+    a, b = _perm_params(num_perm, seed)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        shingle_arrays = [_shingle_hashes(t or "", k_shingles) for t in texts]
+        sig_arr = _sig_list_array(shingle_arrays, a, b)
+        sh = pa.array([s.tobytes() for s in shingle_arrays], pa.binary())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "sig": sig_arr, "sh": sh}
+        )
 
     return fn
 
@@ -512,26 +550,31 @@ def minhash_verified_pairs(
     run distributed."""
     import logging
 
-    sigs = docs_ds.map_batches(
-        minhash_signature_fn(k_shingles=k_shingles, num_perm=num_perm),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).materialize()
-    n_docs = sigs.count()
+    n_docs = docs_ds.count()  # metadata-fast on parquet reads
     if prefilter_margin is not None and n_docs <= broadcast_rows:
-        # driver fast path — the signature matrix fits the broadcast
-        # bound, so banding, bucket pair expansion, distinct AND the
-        # prefilter all run as one vectorized driver pass over the
-        # collected signatures (identical kernels to the distributed
-        # path, zero extra executor runs); only the signature compute
-        # and the exact verify of the (tiny) survivor set touch Ray.
+        # driver fast path — the corpus fits the broadcast bound, so
+        # ONE scan computes signatures + exact shingle sets together
+        # (shingles hashed once, not twice) and everything downstream —
+        # banding, bucket pair expansion, distinct, prefilter, exact
+        # verify — runs as vectorized driver passes (identical kernels
+        # to the distributed path).  The only other Ray execution is an
+        # optional parallel verify when the survivor set is too big for
+        # the driver loop.
         import polars as pl
         import ray.data
 
-        st = _collect_tbl(sigs)
+        st = _collect_tbl(
+            docs_ds.map_batches(
+                _sig_shingle_fn(k_shingles=k_shingles, num_perm=num_perm),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
         if st is None:
             return _empty_verified()
-        banded_tbl = minhash_band_fn(num_perm=num_perm, bands=bands)(st)
+        banded_tbl = minhash_band_fn(num_perm=num_perm, bands=bands)(
+            st.select(["doc_id", "sig"])
+        )
         id1, id2, stats = _salted_bucket_pairs(
             np.asarray(banded_tbl["band"].to_numpy(zero_copy_only=False), dtype=np.int64),
             np.asarray(banded_tbl["bkey"].to_numpy(zero_copy_only=False), dtype=np.int64),
@@ -558,16 +601,77 @@ def minhash_verified_pairs(
         sid, smat = sid[order], smat[order]
         est = (smat[np.searchsorted(sid, i1)] == smat[np.searchsorted(sid, i2)]).mean(axis=1)
         keep = est >= threshold - prefilter_margin
+        i1k = np.ascontiguousarray(i1[keep])
+        i2k = np.ascontiguousarray(i2[keep])
+        if i1k.size == 0:
+            return _empty_verified()
+        # exact verify straight off the collected shingle sets — the
+        # docs were already shingled in the combined scan, no re-scan
+        inv = np.unique(np.concatenate([i1k, i2k]))
+        sh_pos = np.searchsorted(sid, inv)
+        sh_col = st["sh"].combine_chunks()
+        if i1k.size <= _DRIVER_VERIFY_BOUND:
+            sets = {int(i): sh_col[int(order[p])].as_py() for i, p in zip(inv, sh_pos)}
+            jac = _jaccard_from_sets([sets[i] for i in i1k], [sets[i] for i in i2k])
+            vkeep = jac >= threshold
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "id1": pa.array(i1k[vkeep], pa.int64()),
+                        "id2": pa.array(i2k[vkeep], pa.int64()),
+                        "jaccard": pa.array(jac[vkeep], pa.float64()),
+                    }
+                )
+            )
+        # large survivor set: the per-pair intersection loop must
+        # parallelize — broadcast the (involved-only) shingle lookup and
+        # run attach+verify as ONE map over survivor blocks
+        import ray
+
+        lut = pl.DataFrame(
+            {
+                "doc_id": inv,
+                "sh": pl.Series(
+                    [sh_col[int(order[p])].as_py() for p in sh_pos], dtype=pl.Binary
+                ),
+            }
+        )
+        lut_ref = ray.put(lut)
         survivors = _from_arrow_blocks(
             pa.table(
-                {"id1": pa.array(i1[keep], pa.int64()), "id2": pa.array(i2[keep], pa.int64())}
+                {"id1": pa.array(i1k, pa.int64()), "id2": pa.array(i2k, pa.int64())}
             )
         )
-        return verify_pairs_jaccard(
-            survivors, docs_ds, k=k_shingles, threshold=threshold,
-            num_partitions=num_partitions,
+
+        def attach_verify(batch: pa.Table) -> pa.Table:
+            t: pl.DataFrame = ray.get(lut_ref)
+            df = pl.from_arrow(batch)
+            df = df.join(t.rename({"doc_id": "id1", "sh": "sh_id1"}), on="id1", how="inner")
+            df = df.join(t.rename({"doc_id": "id2", "sh": "sh_id2"}), on="id2", how="inner")
+            ids1 = df["id1"].to_numpy()
+            ids2 = df["id2"].to_numpy()
+            jac = _jaccard_from_sets(df["sh_id1"].to_list(), df["sh_id2"].to_list())
+            vkeep = jac >= threshold
+            return pa.table(
+                {
+                    "id1": pa.array(np.asarray(ids1)[vkeep], pa.int64()),
+                    "id2": pa.array(np.asarray(ids2)[vkeep], pa.int64()),
+                    "jaccard": pa.array(jac[vkeep], pa.float64()),
+                }
+            )
+
+        return survivors.map_batches(
+            attach_verify, batch_format="pyarrow", zero_copy_batch=True
         )
 
+    # scale path (corpus above the broadcast bound, or prefilter
+    # disabled): signatures materialize once and feed both the LSH
+    # candidates and the signature prefilter join
+    sigs = docs_ds.map_batches(
+        minhash_signature_fn(k_shingles=k_shingles, num_perm=num_perm),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
     cands = minhash_lsh_candidates(
         docs_ds, k_shingles=k_shingles, num_perm=num_perm, bands=bands,
         max_bucket_size=max_bucket_size, _sigs=sigs,
@@ -734,6 +838,48 @@ def _jaccard_from_sets(sh1, sh2) -> np.ndarray:
     return jac
 
 
+def _verify_pairs_driver(i1: np.ndarray, i2: np.ndarray, docs_ds, *, k: int, threshold: float):
+    """Driver-side exact verify of a BOUNDED pair list (caller enforces
+    the bound): ONE distributed pass computes shingle sets for only the
+    docs that appear in a pair (broadcast ``is_in`` filter — O(matches)
+    docs, not O(corpus)), then the jaccard predicate resolves
+    in-process.  This is the single Ray execution on the small-pairs
+    path; going through a Dataset round trip (from_arrow → materialize
+    → count → iter) would spin the executor three extra times for
+    driver-resident data."""
+    import ray
+    import ray.data
+
+    if i1.size == 0:
+        return _empty_verified()
+    involved = np.unique(np.concatenate([i1, i2]))
+    inv_ref = ray.put(pa.array(involved, pa.int64()))
+    shingle = _shingle_sets_fn(k)
+
+    def filtered_shingles(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(pc.cast(batch["doc_id"], pa.int64()), value_set=ray.get(inv_ref))
+        return shingle(batch.filter(mask))
+
+    sets: dict = {}
+    for b in docs_ds.map_batches(
+        filtered_shingles, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows == 0 or b.num_columns == 0:
+            continue
+        sets.update(zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()))
+    jac = _jaccard_from_sets([sets[i] for i in i1], [sets[i] for i in i2])
+    keep = jac >= threshold
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id1": pa.array(i1[keep], pa.int64()),
+                "id2": pa.array(i2[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+    )
+
+
 def verify_pairs_jaccard(
     pairs_ds,
     docs_ds,
@@ -745,13 +891,10 @@ def verify_pairs_jaccard(
 ):
     """Exact n-gram Jaccard over candidate pairs; keeps pairs ≥ threshold.
 
-    A pair set at or below ``driver_pairs_bound`` verifies on the driver:
-    shingle sets are computed DISTRIBUTED but only for the docs that
-    actually appear in a pair (one broadcast ``is_in`` filter over the
-    doc stream — after the signature prefilter that is O(matches) docs,
-    not O(corpus)), then the bounded pair list resolves in-process with
-    no join exchange.  Above the bound, every doc's shingle set is
-    computed once and two hash-join shuffles attach them to the pairs
+    A pair set at or below ``driver_pairs_bound`` verifies on the driver
+    (:func:`_verify_pairs_driver` — one filtered-shingle scan, no join
+    exchange).  Above the bound, every doc's shingle set is computed
+    once and two hash-join shuffles attach them to the pairs
     (``_attach_pair_payload``); the per-pair predicate is a sorted-array
     intersection (numpy), not Python sets."""
     pairs_ds = pairs_ds.materialize()
@@ -759,47 +902,44 @@ def verify_pairs_jaccard(
     if n_pairs == 0:
         return _empty_verified()
     if n_pairs <= driver_pairs_bound:
-        import ray
-        import ray.data
-
-        tabs = [
-            b
-            for b in pairs_ds.iter_batches(batch_size=None, batch_format="pyarrow")
-            if b.num_rows and b.num_columns
-        ]
-        pt = pa.concat_tables(tabs).combine_chunks()
+        pt = _collect_tbl(pairs_ds)
+        if pt is None:
+            return _empty_verified()
         i1 = np.asarray(pt["id1"].to_numpy(zero_copy_only=False), dtype=np.int64)
         i2 = np.asarray(pt["id2"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        involved = np.unique(np.concatenate([i1, i2]))
-        inv_ref = ray.put(pa.array(involved, pa.int64()))
-        shingle = _shingle_sets_fn(k)
+        return _verify_pairs_driver(i1, i2, docs_ds, k=k, threshold=threshold)
+    return _verify_pairs_distributed(
+        pairs_ds, docs_ds, k=k, threshold=threshold, num_partitions=num_partitions
+    )
 
-        def filtered_shingles(batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(pc.cast(batch["doc_id"], pa.int64()), value_set=ray.get(inv_ref))
+
+def _verify_pairs_distributed(
+    pairs_ds, docs_ds, *, k, threshold, num_partitions, involved=None
+):
+    """Distributed exact verify: shingle sets computed once per doc,
+    attached to both pair sides (broadcast lookup below the bound in
+    ``_attach_pair_payload``, hash joins above), per-pair sorted-array
+    intersection inside ``map_batches`` — the pair loop parallelizes
+    across the pool instead of serializing on the driver.
+
+    ``involved`` (optional int64 numpy array of doc ids appearing in a
+    pair) prunes the shingle scan to O(matched docs) — at web scale the
+    pair-involved set is far smaller than the corpus."""
+    shingle = _shingle_sets_fn(k)
+    if involved is not None:
+        import ray
+
+        inv_ref = ray.put(pa.array(np.unique(involved), pa.int64()))
+
+        def sh_fn(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(
+                pc.cast(batch["doc_id"], pa.int64()), value_set=ray.get(inv_ref)
+            )
             return shingle(batch.filter(mask))
 
-        sets: dict = {}
-        for b in docs_ds.map_batches(
-            filtered_shingles, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_size=None, batch_format="pyarrow"):
-            if b.num_rows == 0 or b.num_columns == 0:
-                continue
-            sets.update(zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()))
-        jac = _jaccard_from_sets([sets[i] for i in i1], [sets[i] for i in i2])
-        keep = jac >= threshold
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "id1": pa.array(i1[keep], pa.int64()),
-                    "id2": pa.array(i2[keep], pa.int64()),
-                    "jaccard": pa.array(jac[keep], pa.float64()),
-                }
-            )
-        )
-
-    sh_ds = docs_ds.map_batches(
-        _shingle_sets_fn(k), batch_format="pyarrow", zero_copy_batch=True
-    )
+    else:
+        sh_fn = shingle
+    sh_ds = docs_ds.map_batches(sh_fn, batch_format="pyarrow", zero_copy_batch=True)
     joined = _attach_pair_payload(pairs_ds, sh_ds, "sh", num_partitions=num_partitions)
     if joined is None:
         return _empty_verified()
