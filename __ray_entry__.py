@@ -370,6 +370,40 @@ def _q_text_quality(sf_dir: str):
     return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 
 
+# eval-set decontamination blocklist — shared verbatim by the Ray stage
+# and the SQL oracle so both filters are the same predicate
+DECONTAMINATE_PHRASES = ["order fast", "customer stream", "vector merge"]
+
+
+def _q_docs_stable_sample(sf_dir: str):
+    from rify_ray.stages.corpus import stable_sample
+
+    out = stable_sample(_docs_ds(sf_dir), pct=10, mod=100)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def _q_docs_decontaminate(sf_dir: str):
+    from rify_ray.stages.corpus import decontaminate
+
+    out = decontaminate(_docs_ds(sf_dir), DECONTAMINATE_PHRASES)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def _q_ngram_top20(sf_dir: str):
+    from rify_ray.stages.corpus import ngram_topk
+
+    out = ngram_topk(_docs_ds(sf_dir), k=20)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def _q_text_repetition(sf_dir: str):
+    from rify_ray.stages.corpus import repetition_stats_fn
+    from rify_ray.stages.text import text_stage
+
+    out = text_stage(_docs_ds(sf_dir), repetition_stats_fn())
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
 def _q_events_window_counts(sf_dir: str):
     from rify_ray.pipelines.relational import events_window_counts
 
@@ -560,6 +594,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "text_quality": _q_text_quality,
+        "text_repetition": _q_text_repetition,
+        "docs_stable_sample": _q_docs_stable_sample,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "ngram_top20": _q_ngram_top20,
         "events_window_counts": _q_events_window_counts,
         "top_users_by_events": _q_top_users_by_events,
         "orders_by_status_priority": _q_orders_by_status_priority,
@@ -685,6 +723,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_lang_id": _lang_id_sql(),
         "text_quality": _quality_sql(),
+        "text_repetition": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "per AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w), "
+            "agg AS (SELECT doc_id, sum(c) AS total, count(*) AS n_distinct, "
+            "max(c) AS maxc FROM per GROUP BY doc_id) "
+            "SELECT doc_id, CAST(10000 * (total - n_distinct) // total AS BIGINT) "
+            "AS dup_word_bp, CAST(10000 * maxc // total AS BIGINT) AS top_word_bp "
+            "FROM agg"
+        ),
+        "docs_stable_sample": (
+            "SELECT doc_id, text FROM documents "
+            "WHERE (doc_id * 2654435761 % 4294967296) % 100 < 10"
+        ),
+        "docs_decontaminate": (
+            "SELECT doc_id, text FROM documents WHERE "
+            + " AND ".join(
+                f"text NOT LIKE '%{p}%'" for p in DECONTAMINATE_PHRASES
+            )
+        ),
+        "ngram_top20": (
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+            "b AS (SELECT ws[i] || ' ' || ws[i+1] AS gram "
+            "FROM s, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)) "
+            "SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM b "
+            "GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20"
+        ),
         "text_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "events_window_counts": (
             "SELECT CAST(user_id AS BIGINT) AS user_id, "

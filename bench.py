@@ -165,6 +165,10 @@ def run_queries() -> dict:
         "text_lang_id",
         "text_fingerprint",
         "text_quality",
+        "text_repetition",
+        "docs_stable_sample",
+        "docs_decontaminate",
+        "ngram_top20",
         "events_window_counts",
         "events_sessionize",
         "top_users_by_events",

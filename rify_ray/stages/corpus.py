@@ -1,0 +1,226 @@
+"""Corpus-level training-data ops over the ``documents`` table:
+deterministic sampling, decontamination, corpus n-gram top-k, and
+Gopher-style repetition statistics.
+
+Like :mod:`rify_ray.stages.text`, the semantics are deliberately
+SQL-expressible so the DuckDB oracle verifies each op value-for-value
+(``__ray_entry__.oracle_sql``).  The physical plans are the scale story:
+
+- ``stable_sample`` is a pure per-batch filter — no shuffle, no RNG
+  state, the same row always lands the same way, so a resumed or re-run
+  100 TB sample is byte-identical to the first attempt.
+- ``decontaminate`` is a broadcast blocklist applied as vectorized
+  substring kernels — O(patterns) Arrow kernel calls per batch, not a
+  Python row loop.
+- ``ngram_topk`` pre-aggregates per block (combiner) so the single
+  ``groupby`` exchange moves distinct-gram partial counts, not one row
+  per token; top-k resolves on the driver below a bound and as a
+  distributed sort+limit above it.
+- ``repetition_stats`` is per-doc bounded work inside ``map_batches``
+  (one sort per doc over its own tokens), embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import drop_empty_blocks
+
+# Knuth multiplicative hash; the SQL twin is
+#   (doc_id * 2654435761 % 4294967296) % mod < pct
+# Exact in int64 for ids < 2^32 (the product stays below 2^63).
+_KNUTH = 2654435761
+_KNUTH_MOD = 4294967296
+
+
+def stable_sample(docs_ds, *, pct: int = 10, mod: int = 100, key_col: str = "doc_id"):
+    """Deterministic hash sample: keep rows whose Knuth multiplicative
+    hash of ``key_col`` mod ``mod`` falls below ``pct``.
+
+    This is how a web-scale pipeline samples: stable under retries,
+    resumable, stratifiable by key range — never ``random()`` (which
+    changes per attempt and can't be oracle-checked).  Ids must be below
+    2^32 so the int64 product is exact (asserted per batch)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            pc.cast(batch[key_col], pa.int64()).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        if ids.size and int(ids.max()) >= _KNUTH_MOD:
+            raise ValueError("stable_sample requires ids < 2^32 for exact int64 hashing")
+        keep = (ids * _KNUTH % _KNUTH_MOD) % mod < pct
+        return batch.filter(pa.array(keep))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decontaminate(docs_ds, patterns: Sequence[str], *, text_col: str = "text"):
+    """Drop documents containing ANY of the blocklist phrases (literal
+    substring match) — eval-set decontamination.
+
+    The blocklist ships inside the task closure (broadcast once per
+    worker, not per batch) and each phrase is one vectorized
+    ``match_substring`` kernel over the batch, OR-folded.  For very
+    large blocklists swap the per-pattern fold for a single combined
+    RE2 alternation / Aho-Corasick pass; the per-batch shape (filter
+    map, no shuffle) is unchanged."""
+    pats: List[str] = list(patterns)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = None
+        for p in pats:
+            m = pc.match_substring(batch[text_col], p)
+            mask = m if mask is None else pc.or_(mask, m)
+        if mask is None:
+            return batch
+        return batch.filter(pc.invert(mask))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _bigram_counts_fn(text_col: str):
+    """Per-block combiner: tokenize (split on a single space, exactly
+    DuckDB's ``string_split``), form word bigrams with one vectorized
+    Arrow join over the flat token buffer, and emit LOCAL (gram, cnt)
+    partial counts via ``value_counts`` — the downstream exchange then
+    moves distinct grams per block, not tokens."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch[text_col], pattern=" ")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        values = split.values
+        offs = np.asarray(split.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
+        n_tok = len(values)
+        if n_tok < 2:
+            return pa.table({"gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        grams = pc.binary_join_element_wise(
+            values.slice(0, n_tok - 1), values.slice(1, n_tok - 1), " "
+        )
+        # bigrams spanning a document boundary are invalid: position
+        # (doc_end - 1) joins doc d's last token to doc d+1's first
+        mask = np.ones(n_tok - 1, dtype=bool)
+        ends = offs[1:] - 1
+        ends = ends[(ends >= 0) & (ends < n_tok - 1)]
+        mask[ends] = False
+        vc = pc.value_counts(pc.filter(grams, pa.array(mask)))
+        return pa.table(
+            {
+                "gram": pc.cast(vc.field("values"), pa.string()),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def ngram_topk(
+    docs_ds,
+    *,
+    k: int = 20,
+    text_col: str = "text",
+    broadcast_rows: int = 2_000_000,
+):
+    """Top-``k`` corpus word bigrams by count, ties broken by gram
+    (ascending) — the classic corpus-statistics op for boilerplate and
+    contamination discovery.
+
+    Physical plan: per-block combiner (:func:`_bigram_counts_fn`) → one
+    ``groupby(gram).sum`` exchange over partial counts → top-k.  The
+    top-k resolves on the driver when the aggregated vocabulary is
+    below ``broadcast_rows`` (one polars sort, no sort exchange);
+    above it, a distributed ``sort().limit(k)`` runs instead — the
+    aggregated set is distinct n-grams, already orders of magnitude
+    smaller than the corpus."""
+    parts = docs_ds.map_batches(
+        _bigram_counts_fn(text_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = parts.groupby("gram").sum("cnt").materialize()
+    agg = drop_empty_blocks(agg)
+    if agg is None:
+        return _empty_topk()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.schema([("gram", pa.string()), ("cnt", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "gram": pc.cast(batch["gram"], pa.string()),
+                "cnt": pc.cast(batch["sum(cnt)"], pa.int64()),
+            }
+        )
+
+    agg = agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n = agg.count()
+    if n == 0:
+        return _empty_topk()
+    if n <= broadcast_rows:
+        import polars as pl
+        import ray.data
+
+        tabs = [
+            b
+            for b in agg.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        df = (
+            pl.from_arrow(pa.concat_tables(tabs))
+            .sort(["cnt", "gram"], descending=[True, False])
+            .head(k)
+        )
+        return ray.data.from_arrow(
+            df.to_arrow().cast(pa.schema([("gram", pa.string()), ("cnt", pa.int64())]))
+        )
+    return agg.sort([("cnt", "descending"), ("gram", "ascending")]).limit(k)
+
+
+def _empty_topk():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.schema([("gram", pa.string()), ("cnt", pa.int64())]).empty_table()
+    )
+
+
+def repetition_stats_fn(text_col: str = "text"):
+    """(doc_id, text) → Gopher-style repetition features, integer basis
+    points so the SQL twin matches exactly:
+
+    - ``dup_word_bp`` = 10000 * (tokens − distinct tokens) / tokens
+    - ``top_word_bp`` = 10000 * max single-token count / tokens
+
+    Tokenization is ``string_split(text, ' ')`` (single space, empties
+    kept), identical to the oracle.  Per-doc work is one sort over that
+    doc's own tokens — bounded by doc length, no cross-doc state."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch[text_col], pattern=" ")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.values.to_numpy(zero_copy_only=False)
+        offs = np.asarray(split.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
+        n = batch.num_rows
+        dup_bp = np.zeros(n, dtype=np.int64)
+        top_bp = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            toks = flat[offs[i] : offs[i + 1]]
+            total = toks.size
+            if total == 0:
+                continue
+            _, counts = np.unique(toks, return_counts=True)
+            dup_bp[i] = 10_000 * (total - counts.size) // total
+            top_bp[i] = 10_000 * int(counts.max()) // total
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "dup_word_bp": pa.array(dup_bp, pa.int64()),
+                "top_word_bp": pa.array(top_bp, pa.int64()),
+            }
+        )
+
+    return fn

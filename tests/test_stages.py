@@ -557,3 +557,75 @@ def test_frame_sample():
     out = frame_sample_fn(4)(batch)
     assert out["frame_no"].to_pylist() == [0, 1, 2, 3]
     assert out["byte_offset"].to_pylist() == [0, 2, 5, 7]
+
+
+# ---------------------------------------------------------------------------
+# corpus ops: sampling, decontamination, n-gram top-k, repetition
+# ---------------------------------------------------------------------------
+
+
+def test_stable_sample_deterministic_and_exact():
+    from rify_ray.stages.corpus import _KNUTH, _KNUTH_MOD, stable_sample
+
+    ds = _docs(["a"] * 50)
+    got = sorted(
+        r["doc_id"]
+        for r in stable_sample(ds, pct=20, mod=100).take_all()
+    )
+    want = [i for i in range(50) if (i * _KNUTH % _KNUTH_MOD) % 100 < 20]
+    assert got == want
+    # stable: a second run returns the identical sample
+    assert got == sorted(
+        r["doc_id"] for r in stable_sample(_docs(["a"] * 50), pct=20, mod=100).take_all()
+    )
+
+
+def test_stable_sample_rejects_huge_ids():
+    import ray.data
+
+    from rify_ray.stages.corpus import stable_sample
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([2**33], pa.int64()), "text": pa.array(["x"])})
+    )
+    with pytest.raises(Exception):
+        stable_sample(ds).take_all()
+
+
+def test_decontaminate_drops_matching_docs():
+    from rify_ray.stages.corpus import decontaminate
+
+    ds = _docs(["clean words here", "contains bad phrase inside", "another clean", "bad phrase"])
+    out = decontaminate(ds, ["bad phrase"]).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 2]
+    # empty blocklist keeps everything
+    assert len(decontaminate(_docs(["a", "b"]), []).take_all()) == 2
+
+
+def test_ngram_topk_counts_and_tiebreak():
+    from rify_ray.stages.corpus import ngram_topk
+
+    # "a b" x3 (docs 0,1,2), "b c" x2 + "a b" via doc 3 "a b c": that doc
+    # contributes "a b" and "b c"
+    ds = _docs(["a b", "a b", "b c", "a b c", "b c"])
+    rows = ngram_topk(ds, k=2).take_all()
+    assert [(r["gram"], r["cnt"]) for r in rows] == [("a b", 3), ("b c", 3)]
+    # no cross-document bigrams: two single-token docs yield nothing
+    assert ngram_topk(_docs(["solo", "token"]), k=5).take_all() == []
+
+
+def test_repetition_stats_fn_closed_form():
+    from rify_ray.stages.corpus import repetition_stats_fn
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["x x x x", "a b c d", "a a b b"], pa.string()),
+        }
+    )
+    out = repetition_stats_fn()(batch)
+    # doc0: 4 tokens 1 distinct -> dup 10000*3//4=7500, top 10000*4//4=10000
+    # doc1: all distinct -> 0, top 2500
+    # doc2: 4 tokens 2 distinct -> 5000, top 5000
+    assert out["dup_word_bp"].to_pylist() == [7500, 0, 5000]
+    assert out["top_word_bp"].to_pylist() == [10000, 2500, 5000]
