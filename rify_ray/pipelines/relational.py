@@ -128,28 +128,102 @@ def _clean_groupby_output(out, schema: pa.Schema, rename: dict):
     return out.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def top_users_by_events(sf_dir: str, k: int = 10):
-    """groupby + sort + limit (top-k): the k users with most events,
-    deterministic tie-break on user_id."""
+def _preagg_count(
+    ds,
+    key_cols: List[str],
+    schema: pa.Schema,
+    count_col: str,
+    *,
+    driver_rows_bound: int = 2_000_000,
+    forced_shuffle: bool = False,
+):
+    """Map-side combine → adaptive final merge for grouped counts.
+
+    The per-block partial (polars ``group_by().len()``) means the
+    exchange moves DISTINCT KEYS PER BLOCK, not one row per input — the
+    pre-aggregation discipline every wide count needs at scale.  The
+    final merge is adaptive like the engine's hybrid rounds: a partial
+    set at or below ``driver_rows_bound`` folds on the driver with one
+    polars groupby (no aggregator-actor spin-up, the dominant fixed
+    cost of tiny-scale ``Dataset.groupby``); above the bound a
+    distributed ``groupby().sum()`` runs instead (``forced_shuffle``
+    pins that branch for tests)."""
+    import polars as plr
+    import ray.data
+
+    part_schema = pa.schema(
+        [(schema.field(c).name, schema.field(c).type) for c in key_cols]
+        + [("cnt", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        df = plr.from_arrow(batch.select(key_cols)).group_by(key_cols).len("cnt")
+        return df.to_arrow().cast(part_schema)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n = parts.count()
+    if n == 0:
+        return ray.data.from_arrow(schema.empty_table())
+    if not forced_shuffle and n <= driver_rows_bound:
+        tabs = [
+            b
+            for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        df = (
+            plr.from_arrow(pa.concat_tables(tabs))
+            .group_by(key_cols)
+            .agg(plr.col("cnt").sum().alias(count_col))
+        )
+        return ray.data.from_arrow(df.to_arrow().cast(schema))
+    out = parts.groupby(key_cols).sum("cnt")
+    return _clean_groupby_output(out, schema, {count_col: "sum(cnt)"})
+
+
+def top_users_by_events(sf_dir: str, k: int = 10, *, forced_shuffle: bool = False):
+    """Pre-aggregated count + sort + limit (top-k): the k users with
+    most events, deterministic tie-break on user_id."""
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    out = ds.groupby("user_id").count()
     schema = pa.schema([("user_id", pa.int64()), ("n_events", pa.int64())])
-    out = _clean_groupby_output(out, schema, {"n_events": "count()"})
-    # sort by (n_events desc, user_id asc), take k
-    out = out.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
-    return out
+    out = _preagg_count(
+        ds, ["user_id"], schema, "n_events", forced_shuffle=forced_shuffle
+    )
+    # top-k by (n_events desc, user_id asc): driver sort below the bound
+    # (the aggregated set is distinct users — no sort exchange for a
+    # k-row answer), distributed sort+limit above it
+    if not forced_shuffle and out.count() <= 2_000_000:
+        import polars as plr
+        import ray.data
+
+        tabs = [
+            b
+            for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        if not tabs:
+            return ray.data.from_arrow(schema.empty_table())
+        df = (
+            plr.from_arrow(pa.concat_tables(tabs))
+            .sort(["n_events", "user_id"], descending=[True, False])
+            .head(k)
+        )
+        return ray.data.from_arrow(df.to_arrow().cast(schema))
+    return out.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
 
 
-def orders_by_status_priority(sf_dir: str):
-    """Multi-key groupby count."""
+def orders_by_status_priority(sf_dir: str, *, forced_shuffle: bool = False):
+    """Multi-key pre-aggregated count."""
     import ray.data
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderpriority"]
     )
-    out = ds.groupby(["o_orderstatus", "o_orderpriority"]).count()
     schema = pa.schema(
         [
             ("o_orderstatus", pa.string()),
@@ -157,30 +231,82 @@ def orders_by_status_priority(sf_dir: str):
             ("n_orders", pa.int64()),
         ]
     )
-    return _clean_groupby_output(out, schema, {"n_orders": "count()"})
+    return _preagg_count(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        schema,
+        "n_orders",
+        forced_shuffle=forced_shuffle,
+    )
 
 
-def segment_order_counts(sf_dir: str, num_partitions: int = 8):
-    """Hash-join + groupby: orders per customer market segment."""
+def segment_order_counts(
+    sf_dir: str,
+    num_partitions: int = 8,
+    *,
+    mode: str = "auto",
+    broadcast_rows: int = 2_000_000,
+):
+    """Orders per customer market segment: broadcast-hash-join + map-side
+    partial counts when the customer side fits the broadcast bound (one
+    executor run, zero exchanges — the dimension table ships once via
+    ``ray.put``); a real hash-join shuffle + distributed groupby above
+    it (``mode="shuffle"`` pins that branch for tests)."""
     import ray.data
 
     from ..util import drop_empty_blocks
 
+    schema = pa.schema([("c_mktsegment", pa.string()), ("n_orders", pa.int64())])
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).materialize()
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
-    ).materialize()
-    joined = orders.join(
-        cust, "inner", num_partitions, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    if mode != "shuffle" and cust.count() <= broadcast_rows:
+        import polars as plr
+        import ray
+
+        tabs = [
+            b
+            for b in cust.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        lut_ref = ray.put(plr.from_arrow(pa.concat_tables(tabs)))
+        part_schema = pa.schema([("c_mktsegment", pa.string()), ("cnt", pa.int64())])
+
+        def join_partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return part_schema.empty_table()
+            lut: plr.DataFrame = ray.get(lut_ref)
+            df = plr.from_arrow(batch).join(
+                lut, left_on="o_custkey", right_on="c_custkey", how="inner"
+            )
+            return (
+                df.group_by("c_mktsegment").len("cnt").to_arrow().cast(part_schema)
+            )
+
+        parts = orders.map_batches(
+            join_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        tabs = [
+            b
+            for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        if not tabs:
+            return ray.data.from_arrow(schema.empty_table())
+        df = (
+            plr.from_arrow(pa.concat_tables(tabs))
+            .group_by("c_mktsegment")
+            .agg(plr.col("cnt").sum().alias("n_orders"))
+        )
+        return ray.data.from_arrow(df.to_arrow().cast(schema))
+    joined = orders.materialize().join(
+        cust.materialize(), "inner", num_partitions,
+        on=("o_custkey",), right_on=("c_custkey",),
     ).materialize()
     joined = drop_empty_blocks(joined)
-    schema = pa.schema([("c_mktsegment", pa.string()), ("n_orders", pa.int64())])
     if joined is None:
-        import ray.data as rd
-
-        return rd.from_arrow(schema.empty_table())
+        return ray.data.from_arrow(schema.empty_table())
     out = joined.groupby("c_mktsegment").count()
     return _clean_groupby_output(out, schema, {"n_orders": "count()"})
 
@@ -305,10 +431,12 @@ def events_sessionize(sf_dir: str, *, gap_s: int = 1800):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 
 
-def events_window_counts(sf_dir: str, *, window_s: int = 3600):
+def events_window_counts(sf_dir: str, *, window_s: int = 3600, forced_shuffle: bool = False):
     """Tumbling-window event counts per user: (user_id, window_start
-    epoch-seconds, n_events).  Pre-aggregation happens inside the
-    groupby's hash partitions; only integers shuffle."""
+    epoch-seconds, n_events).  The window bucket is a pure vectorized
+    map; the count goes through the map-side combiner so the exchange
+    (or driver fold at small scale) sees distinct (user, window) keys
+    per block, not one row per event."""
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
@@ -326,27 +454,18 @@ def events_window_counts(sf_dir: str, *, window_s: int = 3600):
             }
         )
 
-    out = (
-        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "window_start"])
-        .count()
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("window_start", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
     )
-
-    def rename(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0:
-            return pa.schema(
-                [
-                    ("user_id", pa.int64()),
-                    ("window_start", pa.int64()),
-                    ("n_events", pa.int64()),
-                ]
-            ).empty_table()
-        return pa.table(
-            {
-                "user_id": pc.cast(batch["user_id"], pa.int64()),
-                "window_start": pc.cast(batch["window_start"], pa.int64()),
-                "n_events": pc.cast(batch["count()"], pa.int64()),
-            }
-        )
-
-    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return _preagg_count(
+        bucketed,
+        ["user_id", "window_start"],
+        schema,
+        "n_events",
+        forced_shuffle=forced_shuffle,
+    )

@@ -629,3 +629,31 @@ def test_repetition_stats_fn_closed_form():
     # doc2: 4 tokens 2 distinct -> 5000, top 5000
     assert out["dup_word_bp"].to_pylist() == [7500, 0, 5000]
     assert out["top_word_bp"].to_pylist() == [10000, 2500, 5000]
+
+
+def test_preagg_counts_match_forced_shuffle():
+    """The driver-fold and distributed branches of the pre-aggregated
+    counts must agree exactly (same rows, any order)."""
+    sf = "/root/testdata/sf0.001"
+    from rify_ray.pipelines.relational import (
+        events_window_counts,
+        orders_by_status_priority,
+        segment_order_counts,
+        top_users_by_events,
+    )
+
+    def rows(ds):
+        return sorted(tuple(r.values()) for r in ds.take_all())
+
+    assert rows(top_users_by_events(sf, 10)) == rows(
+        top_users_by_events(sf, 10, forced_shuffle=True)
+    )
+    assert rows(orders_by_status_priority(sf)) == rows(
+        orders_by_status_priority(sf, forced_shuffle=True)
+    )
+    assert rows(events_window_counts(sf)) == rows(
+        events_window_counts(sf, forced_shuffle=True)
+    )
+    assert rows(segment_order_counts(sf)) == rows(
+        segment_order_counts(sf, mode="shuffle")
+    )
