@@ -257,20 +257,25 @@ def segment_order_counts(
     from ..util import drop_empty_blocks
 
     schema = pa.schema([("c_mktsegment", pa.string()), ("n_orders", pa.int64())])
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
+    import pyarrow.parquet as pq
+
+    cust_meta_rows = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    if mode != "shuffle" and cust.count() <= broadcast_rows:
+    if mode != "shuffle" and cust_meta_rows <= broadcast_rows:
         import polars as plr
         import ray
 
-        tabs = [
-            b
-            for b in cust.iter_batches(batch_size=None, batch_format="pyarrow")
-            if b.num_rows and b.num_columns
-        ]
-        lut_ref = ray.put(plr.from_arrow(pa.concat_tables(tabs)))
+        # the dimension table is headed for the driver either way —
+        # read it there directly (pruned columns) instead of paying an
+        # executor run to collect it
+        lut_ref = ray.put(
+            plr.from_arrow(
+                pq.read_table(
+                    f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_mktsegment"],
+                )
+            )
+        )
         part_schema = pa.schema([("c_mktsegment", pa.string()), ("cnt", pa.int64())])
 
         def join_partial(batch: pa.Table) -> pa.Table:
@@ -300,6 +305,9 @@ def segment_order_counts(
             .agg(plr.col("cnt").sum().alias("n_orders"))
         )
         return ray.data.from_arrow(df.to_arrow().cast(schema))
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
     joined = orders.materialize().join(
         cust.materialize(), "inner", num_partitions,
         on=("o_custkey",), right_on=("c_custkey",),
