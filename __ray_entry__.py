@@ -20,6 +20,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 FACT_COLS = ["s", "p", "o", "g"]
 DG = "default_graph"
@@ -404,6 +405,44 @@ def _q_text_repetition(sf_dir: str):
     return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 
 
+def _q_events_asof_prior_purchase(sf_dir: str):
+    """As-of join: each 'error' event matched to the same user's latest
+    'purchase' event at or before it (DuckDB ``ASOF JOIN`` oracle)."""
+    import ray.data
+
+    from rify_ray.stages.asof import asof_join
+
+    def side(event_type):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch["event_type"], event_type)
+            b = batch.filter(m)
+            return pa.table(
+                {
+                    "event_id": pc.cast(b["event_id"], pa.int64()),
+                    "user_id": pc.cast(b["user_id"], pa.int64()),
+                    "ts_us": pc.cast(b["ts"], pa.int64()),
+                }
+            )
+
+        return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = asof_join(
+        side("error"),
+        side("purchase"),
+        by="user_id",
+        on="ts_us",
+        left_cols=["event_id"],
+        right_cols=[("event_id", "prior_event_id"), ("ts_us", "prior_ts_us")],
+    )
+    return pa.concat_tables(
+        t for t in out.iter_batches(batch_size=None, batch_format="pyarrow") if t.num_rows
+    )
+
+
 def _q_events_window_counts(sf_dir: str):
     from rify_ray.pipelines.relational import events_window_counts
 
@@ -599,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": _q_docs_decontaminate,
         "ngram_top20": _q_ngram_top20,
         "events_window_counts": _q_events_window_counts,
+        "events_asof_prior_purchase": _q_events_asof_prior_purchase,
         "top_users_by_events": _q_top_users_by_events,
         "orders_by_status_priority": _q_orders_by_status_priority,
         "segment_order_counts": _q_segment_order_counts,
@@ -732,6 +772,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(10000 * (total - n_distinct) // total AS BIGINT) "
             "AS dup_word_bp, CAST(10000 * maxc // total AS BIGINT) AS top_word_bp "
             "FROM agg"
+        ),
+        "events_asof_prior_purchase": (
+            "WITH l AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'error'), "
+            "r AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT CAST(l.event_id AS BIGINT) AS event_id, "
+            "CAST(l.user_id AS BIGINT) AS user_id, epoch_us(l.ts) AS ts_us, "
+            "CAST(r.event_id AS BIGINT) AS prior_event_id, "
+            "epoch_us(r.ts) AS prior_ts_us "
+            "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "docs_stable_sample": (
             "SELECT doc_id, text FROM documents "

@@ -170,6 +170,7 @@ def run_queries() -> dict:
         "docs_decontaminate",
         "ngram_top20",
         "events_window_counts",
+        "events_asof_prior_purchase",
         "events_sessionize",
         "top_users_by_events",
         "segment_order_counts",

@@ -12,6 +12,7 @@ from .dedup import (
 )
 from .extract import extract_stage, extract_text
 from .linking import MentionExtractor, linking_stage, make_linker_fn
+from .asof import asof_join
 from .corpus import decontaminate, ngram_topk, repetition_stats_fn, stable_sample
 from .multimodal import DecodeStage, frame_sample_fn, media_stage
 from .similarity import knn_brute, knn_lsh

@@ -657,3 +657,44 @@ def test_preagg_counts_match_forced_shuffle():
     assert rows(segment_order_counts(sf)) == rows(
         segment_order_counts(sf, mode="shuffle")
     )
+
+
+def test_asof_join_backward_inner_and_left():
+    import ray.data
+
+    from rify_ray.stages.asof import asof_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                "t": pa.array([10, 20, 5, 10, 10], pa.int64()),
+                "lid": pa.array([100, 101, 102, 103, 104], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2], pa.int64()),
+                "t": pa.array([8, 15, 10], pa.int64()),
+                "rid": pa.array([200, 201, 202], pa.int64()),
+            }
+        )
+    )
+    out = asof_join(
+        left, right, by="k", on="t",
+        left_cols=["lid"], right_cols=[("rid", "rid"), ("t", "rt")],
+    ).take_all()
+    got = sorted((r["lid"], r["rid"], r["rt"]) for r in out)
+    # k=1: t=10 -> rid 200 (t=8); t=20 -> rid 201 (t=15); t=5 -> none
+    # k=2: t=10 -> rid 202 (exact match allowed); k=3: no right side
+    assert got == [(100, 200, 8), (101, 201, 15), (103, 202, 10)]
+
+    out_left = asof_join(
+        left, right, by="k", on="t",
+        left_cols=["lid"], right_cols=[("rid", "rid")], how="left",
+    ).take_all()
+    rows = {r["lid"]: r["rid"] for r in out_left}
+    assert rows[102] is None and rows[104] is None and rows[100] == 200
+    assert len(out_left) == 5
