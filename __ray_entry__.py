@@ -405,6 +405,51 @@ def _q_text_repetition(sf_dir: str):
     return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 
 
+def _q_docs_topk_per_source(sf_dir: str):
+    """Grouped top-k: the 3 longest documents per source (ties broken by
+    doc_id) — partial top-k per block, adaptive final merge."""
+    import ray.data
+
+    from rify_ray.stages.corpus import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+        override_num_blocks=32,
+    )
+    out = grouped_topk(
+        ds, key_cols=["source"], order_col="n_chars", tiebreak_col="doc_id", k=3
+    )
+    return pa.concat_tables(
+        t for t in out.iter_batches(batch_size=None, batch_format="pyarrow") if t.num_rows
+    )
+
+
+def _q_events_distinct_users(sf_dir: str):
+    """Exact distinct count via the map-side combiner (distinct keys per
+    block cross the exchange, not rows)."""
+    import ray.data
+
+    from rify_ray.pipelines.relational import _preagg_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    schema = pa.schema([("user_id", pa.int64()), ("n", pa.int64())])
+    out = _preagg_count(ds, ["user_id"], schema, "n")
+    return pa.table({"n_users": pa.array([out.count()], pa.int64())})
+
+
+def _q_events_distinct_users_hll(sf_dir: str):
+    """Approximate distinct count (HyperLogLog, p=12): constant-size
+    per-block registers, driver max-merge, ~1.6% relative error."""
+    import ray.data
+
+    from rify_ray.stages.corpus import hll_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = hll_distinct(ds, "user_id", p=12)
+    return pa.table({"n_users_est": pa.array([int(round(est))], pa.int64())})
+
+
 def _q_events_asof_prior_purchase(sf_dir: str):
     """As-of join: each 'error' event matched to the same user's latest
     'purchase' event at or before it (DuckDB ``ASOF JOIN`` oracle)."""
@@ -639,6 +684,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_top20": _q_ngram_top20,
         "events_window_counts": _q_events_window_counts,
         "events_asof_prior_purchase": _q_events_asof_prior_purchase,
+        "docs_topk_per_source": _q_docs_topk_per_source,
+        "events_distinct_users": _q_events_distinct_users,
+        "events_distinct_users_hll": _q_events_distinct_users_hll,
         "top_users_by_events": _q_top_users_by_events,
         "orders_by_status_priority": _q_orders_by_status_priority,
         "segment_order_counts": _q_segment_order_counts,
@@ -772,6 +820,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(10000 * (total - n_distinct) // total AS BIGINT) "
             "AS dup_word_bp, CAST(10000 * maxc // total AS BIGINT) AS top_word_bp "
             "FROM agg"
+        ),
+        "docs_topk_per_source": (
+            "SELECT doc_id, source, n_chars FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        "events_distinct_users": (
+            "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events"
         ),
         "events_asof_prior_purchase": (
             "WITH l AS (SELECT event_id, user_id, ts FROM events "

@@ -13,7 +13,14 @@ from .dedup import (
 from .extract import extract_stage, extract_text
 from .linking import MentionExtractor, linking_stage, make_linker_fn
 from .asof import asof_join
-from .corpus import decontaminate, ngram_topk, repetition_stats_fn, stable_sample
+from .corpus import (
+    decontaminate,
+    grouped_topk,
+    hll_distinct,
+    ngram_topk,
+    repetition_stats_fn,
+    stable_sample,
+)
 from .multimodal import DecodeStage, frame_sample_fn, media_stage
 from .similarity import knn_brute, knn_lsh
 from .text import char_stats_fn, fingerprint_fn, lang_id_fn, text_stage, token_count_fn

@@ -187,6 +187,146 @@ def _empty_topk():
     )
 
 
+def grouped_topk(
+    ds,
+    *,
+    key_cols: Sequence[str],
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+    descending: bool = True,
+    broadcast_rows: int = 2_000_000,
+    forced_shuffle: bool = False,
+):
+    """Top-``k`` rows per key by ``order_col`` (ties broken ascending on
+    ``tiebreak_col``) — e.g. the k highest-quality documents per source.
+
+    Scale shape: a per-block PARTIAL top-k runs first (one vectorized
+    polars sort + head per block), so at most ``k`` rows per key per
+    block cross the exchange — the combiner discipline that keeps a
+    per-key top-k from shuffling the whole table.  The final merge is
+    adaptive: driver fold below ``broadcast_rows`` partial rows, a
+    ``groupby(key).map_groups`` of the same kernel above it
+    (``forced_shuffle`` pins that branch for tests)."""
+    import polars as plr
+    import ray.data
+
+    keys = list(key_cols)
+    by = [order_col, tiebreak_col]
+    desc = [descending, False]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = (
+            plr.from_arrow(batch)
+            .sort(by, descending=desc)
+            .group_by(keys, maintain_order=True)
+            .head(k)
+        )
+        return df.select(batch.column_names).to_arrow().cast(batch.schema)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n = parts.count()
+    if n == 0:
+        return parts
+    schema = parts.schema().base_schema
+    if not forced_shuffle and n <= broadcast_rows:
+        tabs = [
+            b
+            for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        df = (
+            plr.from_arrow(pa.concat_tables(tabs))
+            .sort(by, descending=desc)
+            .group_by(keys, maintain_order=True)
+            .head(k)
+        )
+        return ray.data.from_arrow(df.select(schema.names).to_arrow().cast(schema))
+
+    def final(group: pa.Table) -> pa.Table:
+        return (
+            plr.from_arrow(group)
+            .sort(by, descending=desc)
+            .head(k)
+            .select(group.column_names)
+            .to_arrow()
+            .cast(group.schema)
+        )
+
+    return parts.groupby(keys).map_groups(final, batch_format="pyarrow")
+
+
+# HyperLogLog sketch: per-block registers merge by elementwise max — the
+# canonical mergeable-aggregate shape (Flajolet et al., 2007).  Each
+# block contributes a 2^p-byte register array regardless of row count,
+# so the "exchange" is a constant-size reduction.
+_HLL_HASH_A = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hll_registers(ids: np.ndarray, p: int) -> np.ndarray:
+    """Vectorized register computation over int64 keys: one
+    multiply-xor-shift hash per row, bucket = low p bits, rank =
+    leading-zero count of the remaining 64-p bits + 1."""
+    m = 1 << p
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint64) * _HLL_HASH_A
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+    bucket = (h & np.uint64(m - 1)).astype(np.int64)
+    rest = h >> np.uint64(p)
+    width = 64 - p
+    # rank = width - floor(log2(rest)) for rest>0; width+1 for rest==0
+    nz = rest > 0
+    rank = np.full(ids.size, width + 1, dtype=np.int64)
+    if nz.any():
+        bits = np.frexp(rest[nz].astype(np.float64))[1]  # position of MSB
+        rank[nz] = width - bits + 1
+    regs = np.zeros(m, dtype=np.int64)
+    np.maximum.at(regs, bucket, rank)
+    return regs
+
+
+def hll_distinct(ds, col: str, *, p: int = 12) -> float:
+    """Approximate distinct count of an int64 column via HyperLogLog
+    (standard bias-corrected estimator, 2^p registers ≈ 1.04/√2^p
+    relative error — ~1.6% at the default p=12).
+
+    Each block reduces to one constant-size register array inside
+    ``map_batches``; the driver merges them with an elementwise max —
+    no shuffle, no per-key state, the aggregation a 100 TB distinct
+    count actually uses when exactness isn't required (the exact
+    variant is a ``groupby`` away, at full exchange cost)."""
+    m = 1 << p
+
+    def block_regs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            pc.cast(batch[col], pa.int64()).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        regs = _hll_registers(ids, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(m, dtype=np.int64)
+    for b in ds.map_batches(
+        block_regs, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows == 0 or b.num_columns == 0:
+            continue
+        for rb in b["regs"].to_pylist():
+            np.maximum(merged, np.frombuffer(rb, dtype=np.int64), out=merged)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -merged.astype(np.float64)))
+    zeros = int((merged == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return float(est)
+
+
 def repetition_stats_fn(text_col: str = "text"):
     """(doc_id, text) → Gopher-style repetition features, integer basis
     points so the SQL twin matches exactly:

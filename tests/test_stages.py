@@ -7,6 +7,7 @@ closed-form expectations on small deterministic inputs.
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 pytestmark = pytest.mark.usefixtures("ray_session")
@@ -698,3 +699,56 @@ def test_asof_join_backward_inner_and_left():
     rows = {r["lid"]: r["rid"] for r in out_left}
     assert rows[102] is None and rows[104] is None and rows[100] == 200
     assert len(out_left) == 5
+
+
+def test_grouped_topk_both_branches():
+    import ray.data
+
+    from rify_ray.stages.corpus import grouped_topk
+
+    tbl = pa.table(
+        {
+            "src": pa.array(["a"] * 5 + ["b"] * 3, pa.string()),
+            "score": pa.array([5, 3, 9, 9, 1, 2, 2, 7], pa.int64()),
+            "id": pa.array(list(range(8)), pa.int64()),
+        }
+    )
+    # split across blocks so the partial top-k actually combines
+    ds = ray.data.from_arrow([tbl.slice(0, 4), tbl.slice(4)])
+
+    def rows(out):
+        return sorted((r["src"], r["score"], r["id"]) for r in out.take_all())
+
+    want = [("a", 5, 0), ("a", 9, 2), ("a", 9, 3), ("b", 2, 5), ("b", 2, 6), ("b", 7, 7)]
+    got = rows(
+        grouped_topk(ds, key_cols=["src"], order_col="score", tiebreak_col="id", k=3)
+    )
+    assert got == want
+    got_sh = rows(
+        grouped_topk(
+            ds, key_cols=["src"], order_col="score", tiebreak_col="id", k=3,
+            forced_shuffle=True,
+        )
+    )
+    assert got_sh == want
+
+
+def test_hll_distinct_accuracy():
+    import ray.data
+
+    from rify_ray.stages.corpus import hll_distinct
+
+    n = 20_000
+    ds = ray.data.range(n, override_num_blocks=8).map_batches(
+        lambda b: pa.table({"uid": pc.cast(b["id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    est = hll_distinct(ds, "uid", p=12)
+    assert abs(est - n) / n < 0.05
+    # duplicates don't inflate the estimate
+    dup = ray.data.range(n, override_num_blocks=8).map_batches(
+        lambda b: pa.table({"uid": pc.cast(pc.bit_wise_and(b["id"], 1023), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    est_dup = hll_distinct(dup, "uid", p=12)
+    assert abs(est_dup - 1024) / 1024 < 0.1
