@@ -405,6 +405,46 @@ def _q_text_repetition(sf_dir: str):
     return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 
 
+def _q_events_range_purchases_24h(sf_dir: str):
+    """Range join (aggregated): for each 'error' event, how many
+    'purchase' events the same user made in the prior 24 hours."""
+    import ray.data
+
+    from rify_ray.stages.asof import range_join_count
+
+    def side(event_type):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+        )
+
+        def prep(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch["event_type"], event_type))
+            return pa.table(
+                {
+                    "event_id": pc.cast(b["event_id"], pa.int64()),
+                    "user_id": pc.cast(b["user_id"], pa.int64()),
+                    "ts_us": pc.cast(b["ts"], pa.int64()),
+                }
+            )
+
+        return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    day_us = 24 * 3600 * 1_000_000
+    out = range_join_count(
+        side("error"),
+        side("purchase"),
+        by="user_id",
+        on="ts_us",
+        low_offset=-day_us,
+        high_offset=0,
+        left_cols=["event_id"],
+        count_col="n_purchases_24h",
+    )
+    return pa.concat_tables(
+        t for t in out.iter_batches(batch_size=None, batch_format="pyarrow") if t.num_rows
+    )
+
+
 def _q_docs_topk_per_source(sf_dir: str):
     """Grouped top-k: the 3 longest documents per source (ties broken by
     doc_id) — partial top-k per block, adaptive final merge."""
@@ -684,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_top20": _q_ngram_top20,
         "events_window_counts": _q_events_window_counts,
         "events_asof_prior_purchase": _q_events_asof_prior_purchase,
+        "events_range_purchases_24h": _q_events_range_purchases_24h,
         "docs_topk_per_source": _q_docs_topk_per_source,
         "events_distinct_users": _q_events_distinct_users,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
@@ -820,6 +861,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(10000 * (total - n_distinct) // total AS BIGINT) "
             "AS dup_word_bp, CAST(10000 * maxc // total AS BIGINT) AS top_word_bp "
             "FROM agg"
+        ),
+        "events_range_purchases_24h": (
+            "WITH l AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'error'), "
+            "r AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase') "
+            "SELECT CAST(l.event_id AS BIGINT) AS event_id, "
+            "CAST(l.user_id AS BIGINT) AS user_id, epoch_us(l.ts) AS ts_us, "
+            "CAST(count(r.user_id) AS BIGINT) AS n_purchases_24h "
+            "FROM l LEFT JOIN r ON l.user_id = r.user_id "
+            "AND r.ts BETWEEN l.ts - INTERVAL 1 DAY AND l.ts "
+            "GROUP BY l.event_id, l.user_id, l.ts"
         ),
         "docs_topk_per_source": (
             "SELECT doc_id, source, n_chars FROM documents "

@@ -171,6 +171,9 @@ def run_queries() -> dict:
         "ngram_top20",
         "events_window_counts",
         "events_asof_prior_purchase",
+        "events_range_purchases_24h",
+        "events_distinct_users",
+        "docs_topk_per_source",
         "events_sessionize",
         "top_users_by_events",
         "segment_order_counts",

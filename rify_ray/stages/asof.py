@@ -150,3 +150,89 @@ def asof_join(
         return pa.table(cols).cast(out_schema)
 
     return tagged.groupby(by).map_groups(merge, batch_format="pyarrow")
+
+
+def range_join_count(
+    left_ds,
+    right_ds,
+    *,
+    by: str,
+    on: str,
+    low_offset: int,
+    high_offset: int,
+    left_cols: Sequence[str],
+    count_col: str = "n_in_range",
+):
+    """Range (interval) join, aggregated: for each left row, the COUNT
+    of right rows with the same ``by`` key and ``on`` within
+    ``[left.on + low_offset, left.on + high_offset]`` (inclusive).
+
+    Same physical shape as :func:`asof_join` — one ``groupby(by)``
+    exchange, then a per-group vectorized two-sided ``searchsorted``
+    over the sorted right timestamps: O((|L|+|R|) log |R|) per key, not
+    the O(|L|·|R|) row-pair blowup a naive inequality join produces.
+    Emitting the aggregate instead of matched pairs is what makes the
+    operator safe at scale: a boilerplate key with a million right rows
+    in every window would otherwise explode the output.  Same per-key
+    partitioning assumption as ``asof_join``."""
+    left_pay = [c for c in left_cols if c not in (by, on)]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {
+            by: pc.cast(batch[by], pa.int64()),
+            on: pc.cast(batch[on], pa.int64()),
+            "_side": pa.array(np.zeros(batch.num_rows, dtype=np.int8), pa.int8()),
+        }
+        for c in left_pay:
+            cols[f"_l_{c}"] = pc.cast(batch[c], pa.int64())
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {
+            by: pc.cast(batch[by], pa.int64()),
+            on: pc.cast(batch[on], pa.int64()),
+            "_side": pa.array(np.ones(batch.num_rows, dtype=np.int8), pa.int8()),
+        }
+        for c in left_pay:
+            cols[f"_l_{c}"] = pa.nulls(batch.num_rows, pa.int64())
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out_schema = pa.schema(
+        [(by, pa.int64()), (on, pa.int64())]
+        + [(c, pa.int64()) for c in left_pay]
+        + [(count_col, pa.int64())]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["_side"].to_numpy(zero_copy_only=False))
+        onv = np.asarray(group[on].to_numpy(zero_copy_only=False), dtype=np.int64)
+        l_idx = np.flatnonzero(side == 0)
+        if l_idx.size == 0:
+            return out_schema.empty_table()
+        r_on = np.sort(onv[side == 1], kind="stable")
+        l_on = onv[l_idx]
+        lo = np.searchsorted(r_on, l_on + low_offset, side="left")
+        hi = np.searchsorted(r_on, l_on + high_offset, side="right")
+        cols = {
+            by: pa.array(
+                np.asarray(group[by].to_numpy(zero_copy_only=False), dtype=np.int64)[
+                    l_idx
+                ],
+                pa.int64(),
+            ),
+            on: pa.array(l_on, pa.int64()),
+        }
+        for c in left_pay:
+            arr = np.asarray(
+                pc.cast(group[f"_l_{c}"], pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            cols[c] = pa.array(arr[l_idx], pa.int64())
+        cols[count_col] = pa.array(hi - lo, pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return tagged.groupby(by).map_groups(merge, batch_format="pyarrow")

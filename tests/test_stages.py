@@ -752,3 +752,35 @@ def test_hll_distinct_accuracy():
     )
     est_dup = hll_distinct(dup, "uid", p=12)
     assert abs(est_dup - 1024) / 1024 < 0.1
+
+
+def test_range_join_count_window_edges():
+    import ray.data
+
+    from rify_ray.stages.asof import range_join_count
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2], pa.int64()),
+                "t": pa.array([100, 50, 100], pa.int64()),
+                "lid": pa.array([0, 1, 2], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 1], pa.int64()),
+                "t": pa.array([90, 100, 101, 79], pa.int64()),
+            }
+        )
+    )
+    out = range_join_count(
+        left, right, by="k", on="t", low_offset=-20, high_offset=0,
+        left_cols=["lid"], count_col="n",
+    ).take_all()
+    got = {r["lid"]: r["n"] for r in out}
+    # lid 0 (t=100, window [80,100]): right 90,100 -> 2 (79 excluded, 101 after)
+    # lid 1 (t=50, window [30,50]): none; lid 2: key 2 has no right rows
+    assert got == {0: 2, 1: 0, 2: 0}
