@@ -405,6 +405,15 @@ def _q_text_repetition(sf_dir: str):
     return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 
 
+def _q_events_value_quantiles(sf_dir: str):
+    from rify_ray.pipelines.relational import events_value_quantiles
+
+    out = events_value_quantiles(sf_dir)
+    return pa.concat_tables(
+        t for t in out.iter_batches(batch_size=None, batch_format="pyarrow") if t.num_rows
+    )
+
+
 def _q_events_range_purchases_24h(sf_dir: str):
     """Range join (aggregated): for each 'error' event, how many
     'purchase' events the same user made in the prior 24 hours."""
@@ -725,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_counts": _q_events_window_counts,
         "events_asof_prior_purchase": _q_events_asof_prior_purchase,
         "events_range_purchases_24h": _q_events_range_purchases_24h,
+        "events_value_quantiles": _q_events_value_quantiles,
         "docs_topk_per_source": _q_docs_topk_per_source,
         "events_distinct_users": _q_events_distinct_users,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
@@ -861,6 +871,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(10000 * (total - n_distinct) // total AS BIGINT) "
             "AS dup_word_bp, CAST(10000 * maxc // total AS BIGINT) AS top_word_bp "
             "FROM agg"
+        ),
+        "events_value_quantiles": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events) "
+            "SELECT event_type, "
+            "quantile_disc(cents, 0.25) AS p25_cents, "
+            "quantile_disc(cents, 0.5) AS p50_cents, "
+            "quantile_disc(cents, 0.75) AS p75_cents, "
+            "quantile_disc(cents, 0.9) AS p90_cents "
+            "FROM c GROUP BY event_type"
         ),
         "events_range_purchases_24h": (
             "WITH l AS (SELECT event_id, user_id, ts FROM events "

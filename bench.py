@@ -172,6 +172,7 @@ def run_queries() -> dict:
         "events_window_counts",
         "events_asof_prior_purchase",
         "events_range_purchases_24h",
+        "events_value_quantiles",
         "events_distinct_users",
         "docs_topk_per_source",
         "events_sessionize",

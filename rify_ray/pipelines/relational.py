@@ -367,6 +367,76 @@ def lineitem_pricing_cents(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouped_quantiles(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    qs: List[float],
+    out_names: List[str],
+):
+    """Exact per-group discrete quantiles — DuckDB ``quantile_disc``
+    semantics (the element at ``max(0, ceil(q*n) - 1)`` of the sorted
+    values), so the SQL oracle matches value-for-value.
+
+    One ``groupby(key)`` exchange; per-group work is a single sort.
+    Partitioning assumption: one key's values fit in a worker — for
+    heavy keys swap in a mergeable quantile sketch (KLL / t-digest),
+    which trades exactness for constant per-block state like
+    :func:`rify_ray.stages.corpus.hll_distinct` does for counts."""
+    import numpy as np
+
+    out_schema = pa.schema(
+        [(key_col, pa.string())] + [(n, pa.int64()) for n in out_names]
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        vals = np.sort(
+            np.asarray(
+                pc.cast(group[value_col], pa.int64()).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+        )
+        n = vals.size
+        if n == 0:
+            return out_schema.empty_table()
+        cols = {key_col: pa.array([group[key_col][0].as_py()], pa.string())}
+        for q, name in zip(qs, out_names):
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            cols[name] = pa.array([int(vals[idx])], pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return ds.groupby(key_col).map_groups(kernel, batch_format="pyarrow")
+
+
+def events_value_quantiles(sf_dir: str):
+    """Per event_type quantiles of the value column in integer cents
+    (p25/p50/p75/p90), exact vs DuckDB ``quantile_disc``."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch["value"], pa.float64())
+        c = pc.floor(pc.add(pc.multiply(v, pa.scalar(100.0)), pa.scalar(0.5)))
+        return pa.table(
+            {
+                "event_type": pc.cast(batch["event_type"], pa.string()),
+                "cents": pc.cast(c, pa.int64()),
+            }
+        )
+
+    return grouped_quantiles(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="event_type",
+        value_col="cents",
+        qs=[0.25, 0.5, 0.75, 0.9],
+        out_names=["p25_cents", "p50_cents", "p75_cents", "p90_cents"],
+    )
+
+
 def events_props_extract(sf_dir: str, key: str = "k"):
     """Scalar JSON extraction over the events ``props`` column:
     (event_id, k_val) — vectorized via polars' JSON path kernel inside

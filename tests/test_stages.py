@@ -784,3 +784,28 @@ def test_range_join_count_window_edges():
     # lid 0 (t=100, window [80,100]): right 90,100 -> 2 (79 excluded, 101 after)
     # lid 1 (t=50, window [30,50]): none; lid 2: key 2 has no right rows
     assert got == {0: 2, 1: 0, 2: 0}
+
+
+def test_grouped_quantiles_duckdb_disc_rule():
+    import ray.data
+
+    from rify_ray.pipelines.relational import grouped_quantiles
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a"] * 4 + ["b"] * 5, pa.string()),
+                "v": pa.array([4, 1, 3, 2, 50, 10, 30, 20, 40], pa.int64()),
+            }
+        )
+    )
+    out = {
+        r["k"]: (r["p25"], r["p50"], r["p90"])
+        for r in grouped_quantiles(
+            ds, key_col="k", value_col="v", qs=[0.25, 0.5, 0.9],
+            out_names=["p25", "p50", "p90"],
+        ).take_all()
+    }
+    # DuckDB quantile_disc: element at max(0, ceil(q*n)-1) of sorted vals
+    assert out["a"] == (1, 2, 4)
+    assert out["b"] == (20, 30, 50)
