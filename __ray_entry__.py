@@ -376,6 +376,13 @@ def _q_text_quality(sf_dir: str):
 DECONTAMINATE_PHRASES = ["order fast", "customer stream", "vector merge"]
 
 
+def _q_docs_normalize(sf_dir: str):
+    from rify_ray.stages.text import normalize_fn, text_stage
+
+    out = text_stage(_docs_ds(sf_dir), normalize_fn)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
 def _q_docs_stable_sample(sf_dir: str):
     from rify_ray.stages.corpus import stable_sample
 
@@ -728,6 +735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
+        "docs_normalize": _q_docs_normalize,
         "docs_stable_sample": _q_docs_stable_sample,
         "docs_decontaminate": _q_docs_decontaminate,
         "ngram_top20": _q_ngram_top20,
@@ -911,6 +919,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r.event_id AS BIGINT) AS prior_event_id, "
             "epoch_us(r.ts) AS prior_ts_us "
             "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "docs_normalize": (
+            "SELECT doc_id, trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) "
+            "AS norm FROM documents"
         ),
         "docs_stable_sample": (
             "SELECT doc_id, text FROM documents "

@@ -130,6 +130,17 @@ def fingerprint_fn(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.string())})
 
 
+def normalize_fn(batch: pa.Table) -> pa.Table:
+    """Canonical text normalization for dedup keys / tokenizer input:
+    lowercase + collapse whitespace runs to one space + strip.  Pure
+    Arrow kernels; exactly
+    ``trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))`` in SQL."""
+    t = pc.utf8_trim_whitespace(
+        pc.utf8_lower(pc.replace_substring_regex(batch["text"], r"\s+", " "))
+    )
+    return pa.table({"doc_id": batch["doc_id"], "norm": t})
+
+
 def text_stage(docs_ds, fn, *, batch_size: int = 4096):
     """Apply one of the text fns as a streaming stateless stage."""
     return docs_ds.map_batches(

@@ -809,3 +809,16 @@ def test_grouped_quantiles_duckdb_disc_rule():
     # DuckDB quantile_disc: element at max(0, ceil(q*n)-1) of sorted vals
     assert out["a"] == (1, 2, 4)
     assert out["b"] == (20, 30, 50)
+
+
+def test_normalize_fn():
+    from rify_ray.stages.text import normalize_fn
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["  Hello\t WORLD  x ", "ok"], pa.string()),
+        }
+    )
+    out = normalize_fn(batch)
+    assert out["norm"].to_pylist() == ["hello world x", "ok"]
