@@ -28,6 +28,7 @@ import os
 from typing import Dict, List, Optional
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 QUAD_COLS = ["s", "p", "o", "g"]
 
@@ -191,22 +192,41 @@ class TripleStore:
             return self._decoded_dataset_joins(ds, files)
         import pyarrow.parquet as pq
 
-        terms = pl.from_arrow(
-            pa.concat_tables([pq.read_table(f) for f in files])
+        import numpy as np
+
+        terms_tbl = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+        tids = np.asarray(terms_tbl["tid"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(tids)
+        # broadcast ONE tid-sorted dictionary; each batch decodes with a
+        # searchsorted + take gather per column — a polars join here
+        # would rebuild the lookup hash table once per batch per column
+        ref = ray.put(
+            (
+                tids[order],
+                pc.cast(terms_tbl["term"], pa.string())
+                .take(pa.array(order, pa.int64()))
+                .combine_chunks(),
+            )
         )
-        ref = ray.put(terms)
 
         def decode(batch: pa.Table) -> pa.Table:
-            t: pl.DataFrame = ray.get(ref)
-            df = pl.from_arrow(batch)
-            extra = [c for c in df.columns if c not in QUAD_COLS]
+            tid_sorted, term_arr = ray.get(ref)
+            extra = [c for c in batch.column_names if c not in QUAD_COLS]
+            cols = {}
             for c in QUAD_COLS:
-                df = (
-                    df.join(t, left_on=c, right_on="tid", how="left")
-                    .drop(c)
-                    .rename({"term": c})
+                ids = np.asarray(
+                    pc.cast(batch[c], pa.int64()).to_numpy(zero_copy_only=False),
+                    dtype=np.int64,
                 )
-            return polars_to_arrow_string(df.select([*QUAD_COLS, *extra]))
+                pos = np.searchsorted(tid_sorted, ids)
+                pos_c = np.minimum(pos, tid_sorted.size - 1)
+                valid = tid_sorted[pos_c] == ids  # left-join nulls for unknown ids
+                cols[c] = term_arr.take(
+                    pa.array(pos_c, pa.int64(), mask=~valid)
+                )
+            for e in extra:
+                cols[e] = batch[e]
+            return pa.table(cols)
 
         return ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
 
