@@ -461,15 +461,17 @@ def events_props_extract(sf_dir: str, key: str = "k"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def events_sessionize(sf_dir: str, *, gap_s: int = 1800):
+def events_sessionize(sf_dir: str, *, gap_s: int = 1800, forced_shuffle: bool = False):
     """Gap-based sessionization: per user, events sorted by time are cut
     into sessions wherever the inter-event gap exceeds ``gap_s``.
     Returns (user_id, session_id, n_events, start_us) — session_id is
     0-based per user in time order.
 
-    Partitioning: one hash-shuffle on user_id (``groupby.map_groups``);
-    the per-group fold is vectorized numpy.  This is the streaming-window
-    pattern: all state confined to the group/partition.
+    Partitioning: per-user grouping through the adaptive
+    ``util.grouped_apply`` (driver argsort below the broadcast bound, a
+    ``groupby.map_groups`` hash-shuffle above); the per-group fold is
+    vectorized numpy.  This is the streaming-window pattern: all state
+    confined to the group/partition.
     """
     import ray.data
 
@@ -477,19 +479,20 @@ def events_sessionize(sf_dir: str, *, gap_s: int = 1800):
     import numpy as np
 
     gap_us = gap_s * 1_000_000
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("start_us", pa.int64()),
+        ]
+    )
 
     def sessions(group: pa.Table) -> pa.Table:
         uid = group["user_id"][0].as_py()
         ts = np.sort(np.asarray(pc.cast(group["ts"], pa.int64()).to_pylist(), dtype=np.int64))
         if ts.size == 0:
-            return pa.schema(
-                [
-                    ("user_id", pa.int64()),
-                    ("session_id", pa.int64()),
-                    ("n_events", pa.int64()),
-                    ("start_us", pa.int64()),
-                ]
-            ).empty_table()
+            return out_schema.empty_table()
         brk = np.empty(ts.size, dtype=np.int64)
         brk[0] = 0
         brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
@@ -506,7 +509,11 @@ def events_sessionize(sf_dir: str, *, gap_s: int = 1800):
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    from ..util import grouped_apply
+
+    return grouped_apply(
+        ds, "user_id", sessions, out_schema, forced_shuffle=forced_shuffle
+    )
 
 
 def events_window_counts(sf_dir: str, *, window_s: int = 3600, forced_shuffle: bool = False):

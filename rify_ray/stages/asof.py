@@ -149,7 +149,9 @@ def asof_join(
                 cols[name] = pa.array(out, pa.int64(), mask=~ok)
         return pa.table(cols).cast(out_schema)
 
-    return tagged.groupby(by).map_groups(merge, batch_format="pyarrow")
+    from ..util import grouped_apply
+
+    return grouped_apply(tagged, by, merge, out_schema)
 
 
 def range_join_count(
@@ -235,4 +237,6 @@ def range_join_count(
         cols[count_col] = pa.array(hi - lo, pa.int64())
         return pa.table(cols).cast(out_schema)
 
-    return tagged.groupby(by).map_groups(merge, batch_format="pyarrow")
+    from ..util import grouped_apply
+
+    return grouped_apply(tagged, by, merge, out_schema)

@@ -179,3 +179,68 @@ def distinct(
     return out.map_batches(
         ensure_schema_fn(schema), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def from_arrow_blocks(tbl: pa.Table, rows_per_block: int = 8192):
+    """Driver table → Dataset split into blocks: ``from_arrow`` of one
+    table yields ONE block, which would serialize every downstream
+    ``map_batches`` onto a single core."""
+    import ray.data
+
+    if tbl.num_rows <= rows_per_block:
+        return ray.data.from_arrow(tbl)
+    return ray.data.from_arrow(
+        [tbl.slice(o, rows_per_block) for o in range(0, tbl.num_rows, rows_per_block)]
+    )
+
+
+def grouped_apply(
+    tagged_ds,
+    by: str,
+    kernel,
+    empty_schema: pa.Schema,
+    *,
+    broadcast_rows: int = 2_000_000,
+    forced_shuffle: bool = False,
+):
+    """Adaptive per-key apply: run ``kernel`` (pa.Table group → pa.Table)
+    once per distinct ``by`` value.
+
+    Below ``broadcast_rows`` total rows the grouping happens on the
+    driver (one argsort + boundary scan; kernels run in-process over
+    zero-copy slices) — no sort exchange, no aggregator actors, which
+    dominate exactly when keys are few and groups are small.  Above the
+    bound, ``groupby(by).map_groups`` runs the identical kernel
+    distributed (``forced_shuffle`` pins that branch for tests)."""
+    import numpy as np
+    import ray.data
+
+    tagged_ds = tagged_ds.materialize()
+    n = tagged_ds.count()
+    if n == 0:
+        return ray.data.from_arrow(empty_schema.empty_table())
+    if forced_shuffle or n > broadcast_rows:
+        return tagged_ds.groupby(by).map_groups(kernel, batch_format="pyarrow")
+    tabs = [
+        b
+        for b in tagged_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    ]
+    tbl = pa.concat_tables(tabs).combine_chunks()
+    import pyarrow.compute as _pc
+
+    keys = np.asarray(
+        _pc.cast(tbl[by], pa.int64()).to_numpy(zero_copy_only=False), dtype=np.int64
+    )
+    order = np.argsort(keys, kind="stable")
+    tbl = tbl.take(pa.array(order, pa.int64()))
+    ks = keys[order]
+    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+    sizes = np.diff(np.append(starts, ks.size))
+    outs = [
+        kernel(tbl.slice(int(s), int(l))) for s, l in zip(starts, sizes)
+    ]
+    outs = [o for o in outs if o.num_rows]
+    if not outs:
+        return ray.data.from_arrow(empty_schema.empty_table())
+    return from_arrow_blocks(pa.concat_tables(outs).combine_chunks())

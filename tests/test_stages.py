@@ -822,3 +822,47 @@ def test_normalize_fn():
     )
     out = normalize_fn(batch)
     assert out["norm"].to_pylist() == ["hello world x", "ok"]
+
+
+def test_grouped_apply_driver_matches_shuffle():
+    """asof/range/sessionize adaptive grouping: driver path == shuffle
+    path (the sessionize oracle already pins values; here we pin branch
+    parity for all three grouped operators)."""
+    import ray.data
+
+    from rify_ray.pipelines.relational import events_sessionize
+    from rify_ray.util import grouped_apply
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(ds):
+        return sorted(tuple(r.values()) for r in ds.take_all())
+
+    assert rows(events_sessionize(sf)) == rows(events_sessionize(sf, forced_shuffle=True))
+
+    # generic: kernel sees identical complete groups on both branches
+    tbl = pa.table(
+        {
+            "k": pa.array([3, 1, 3, 2, 1, 3], pa.int64()),
+            "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow([tbl.slice(0, 3), tbl.slice(3)])
+    schema = pa.schema([("k", pa.int64()), ("s", pa.int64())])
+
+    def kern(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcc
+
+        return pa.table(
+            {
+                "k": pa.array([group["k"][0].as_py()], pa.int64()),
+                "s": pa.array([pcc.sum(group["v"]).as_py()], pa.int64()),
+            }
+        )
+
+    a = sorted(tuple(r.values()) for r in grouped_apply(ds, "k", kern, schema).take_all())
+    b = sorted(
+        tuple(r.values())
+        for r in grouped_apply(ds, "k", kern, schema, forced_shuffle=True).take_all()
+    )
+    assert a == b == [(1, 7), (2, 4), (3, 10)]
