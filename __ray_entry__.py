@@ -412,6 +412,76 @@ def _q_text_repetition(sf_dir: str):
     return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 
 
+REDACT_PATTERN = r"\b(customer|spark|vector)\b"
+
+
+def _q_docs_redact(sf_dir: str):
+    from rify_ray.stages.corpus import redact
+
+    out = redact(_docs_ds(sf_dir), REDACT_PATTERN, "[REDACTED]")
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def _q_docs_stratified_sample(sf_dir: str):
+    import ray.data
+
+    from rify_ray.stages.corpus import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source"],
+        override_num_blocks=32,
+    )
+    out = stratified_sample(docs, strata_col="source", key_col="doc_id", k=5)
+    return pa.concat_tables(
+        t for t in out.iter_batches(batch_size=None, batch_format="pyarrow") if t.num_rows
+    )
+
+
+def _q_docs_quality_filter(sf_dir: str):
+    """Quantile-gated quality filter: keep documents whose stopword
+    density is at or above the corpus median — the score is a streaming
+    map, the median comes from the constant-size histogram reduction
+    (no sort exchange), and the filter is a second streaming pass."""
+    from rify_ray.stages.corpus import quantile_threshold
+    from rify_ray.stages.text import quality_score_fn, text_stage
+
+    scored = text_stage(_docs_ds(sf_dir), quality_score_fn).materialize()
+    thr = quantile_threshold(scored, "stopword_bp", 0.5)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.greater_equal(batch["stopword_bp"], pa.scalar(thr, pa.int64()))
+        )
+        return b.select(["doc_id", "stopword_bp"])
+
+    out = scored.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        t for t in out.iter_batches(batch_size=None, batch_format="pyarrow") if t.num_rows
+    )
+
+
+def _q_events_hopping_counts(sf_dir: str):
+    from rify_ray.pipelines.relational import events_hopping_counts
+
+    out = events_hopping_counts(sf_dir, window_s=7200, hop_s=3600)
+    return pa.concat_tables(
+        t for t in out.iter_batches(batch_size=None, batch_format="pyarrow") if t.num_rows
+    )
+
+
+def _q_embed_norm_top10(sf_dir: str):
+    import ray.data
+
+    from rify_ray.stages.similarity import embed_norm_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = embed_norm_topk(emb, k=10)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
 def _q_events_value_quantiles(sf_dir: str):
     from rify_ray.pipelines.relational import events_value_quantiles
 
@@ -738,6 +808,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalize": _q_docs_normalize,
         "docs_stable_sample": _q_docs_stable_sample,
         "docs_decontaminate": _q_docs_decontaminate,
+        "docs_redact": _q_docs_redact,
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_quality_filter": _q_docs_quality_filter,
+        "events_hopping_counts": _q_events_hopping_counts,
+        "embed_norm_top10": _q_embed_norm_top10,
         "ngram_top20": _q_ngram_top20,
         "events_window_counts": _q_events_window_counts,
         "events_asof_prior_purchase": _q_events_asof_prior_purchase,
@@ -933,6 +1008,36 @@ def oracle_sql() -> dict[str, str]:
             + " AND ".join(
                 f"text NOT LIKE '%{p}%'" for p in DECONTAMINATE_PHRASES
             )
+        ),
+        "docs_redact": (
+            "SELECT doc_id, regexp_replace(text, "
+            "'\\b(customer|spark|vector)\\b', '[REDACTED]', 'g') AS text "
+            "FROM documents"
+        ),
+        "docs_stratified_sample": (
+            "SELECT doc_id, source FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY (doc_id * 2654435761 % 4294967296), doc_id) <= 5"
+        ),
+        "docs_quality_filter": (
+            "WITH s AS (" + _quality_sql() + ") "
+            "SELECT doc_id, stopword_bp FROM s WHERE stopword_bp >= "
+            "(SELECT quantile_disc(stopword_bp, 0.5) FROM s)"
+        ),
+        "events_hopping_counts": (
+            "WITH e AS (SELECT epoch_us(ts) AS tus, event_type FROM events), "
+            "w AS (SELECT event_type, (tus // 3600000000) * 3600 AS window_start "
+            "FROM e UNION ALL "
+            "SELECT event_type, (tus // 3600000000) * 3600 - 3600 AS window_start "
+            "FROM e) "
+            "SELECT event_type, window_start, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM w GROUP BY event_type, window_start"
+        ),
+        "embed_norm_top10": (
+            "SELECT CAST(rn AS BIGINT) AS rank, vec_id FROM ("
+            "SELECT vec_id, row_number() OVER (ORDER BY "
+            "list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) "
+            "DESC, vec_id) AS rn FROM embeddings) WHERE rn <= 10"
         ),
         "ngram_top20": (
             "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "

@@ -554,3 +554,58 @@ def events_window_counts(sf_dir: str, *, window_s: int = 3600, forced_shuffle: b
         "n_events",
         forced_shuffle=forced_shuffle,
     )
+
+
+def events_hopping_counts(
+    sf_dir: str,
+    *,
+    window_s: int = 7200,
+    hop_s: int = 3600,
+    forced_shuffle: bool = False,
+):
+    """Hopping (sliding) window event counts per event_type: windows of
+    ``window_s`` seconds starting every ``hop_s`` seconds (``window_s``
+    must be a multiple of ``hop_s``).  Each event lands in exactly
+    ``window_s/hop_s`` overlapping windows.
+
+    The window expansion is a pure per-batch map (k stacked copies of
+    the batch with shifted window starts — vectorized, no Python row
+    loop), so the blowup factor is the overlap count, applied BEFORE the
+    map-side combiner: the exchange still moves distinct
+    (event_type, window) partial counts per block, not k rows per
+    event.  SQL twin: UNION ALL of the k shifted tumbling windows."""
+    if window_s % hop_s != 0:
+        raise ValueError("window_s must be a multiple of hop_s")
+    k = window_s // hop_s
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())  # microseconds
+        base = pc.multiply(
+            pc.divide(us, pa.scalar(hop_s * 1_000_000, pa.int64())),
+            pa.scalar(hop_s, pa.int64()),
+        )
+        et = pc.cast(batch["event_type"], pa.string())
+        parts = []
+        for i in range(k):
+            ws = pc.subtract(base, pa.scalar(i * hop_s, pa.int64()))
+            parts.append(pa.table({"event_type": et, "window_start": ws}))
+        return pa.concat_tables(parts)
+
+    expanded = ds.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("window_start", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+    return _preagg_count(
+        expanded,
+        ["event_type", "window_start"],
+        schema,
+        "n_events",
+        forced_shuffle=forced_shuffle,
+    )

@@ -327,6 +327,132 @@ def hll_distinct(ds, col: str, *, p: int = 12) -> float:
     return float(est)
 
 
+def redact(docs_ds, pattern: str, replacement: str = "[REDACTED]", *, text_col: str = "text"):
+    """PII-style pattern redaction: replace every match of an RE2
+    ``pattern`` in ``text_col`` with ``replacement``.
+
+    One vectorized ``replace_substring_regex`` kernel per batch — a pure
+    streaming map, no shuffle, no state; the shape a 100 TB scrub pass
+    (emails, phone numbers, keys) runs as.  Both Arrow and DuckDB use
+    RE2, so ``regexp_replace(text, pattern, replacement, 'g')`` is the
+    exact SQL twin."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "text": pc.replace_substring_regex(
+                    batch[text_col], pattern, replacement
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(
+    docs_ds,
+    *,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    k: int = 5,
+    forced_shuffle: bool = False,
+):
+    """Deterministic stratified sample: the ``k`` rows per stratum whose
+    Knuth multiplicative hash of ``key_col`` ranks lowest (ties broken
+    by the key itself) — per-source balancing for training-data mixes,
+    stable under retries like :func:`stable_sample`.
+
+    Physically this is :func:`grouped_topk` ordered ascending on the
+    hash, so the per-block partial top-k combiner applies: at most
+    ``k`` rows per stratum per block cross the exchange.  SQL twin:
+    ``QUALIFY row_number() OVER (PARTITION BY strata ORDER BY
+    (key * 2654435761 % 4294967296), key) <= k``."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            pc.cast(batch[key_col], pa.int64()).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        if ids.size and int(ids.max()) >= _KNUTH_MOD:
+            raise ValueError(
+                "stratified_sample requires ids < 2^32 for exact int64 hashing"
+            )
+        return batch.append_column("_h", pa.array(ids * _KNUTH % _KNUTH_MOD, pa.int64()))
+
+    hashed = docs_ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_topk(
+        hashed,
+        key_cols=[strata_col],
+        order_col="_h",
+        tiebreak_col=key_col,
+        k=k,
+        descending=False,
+        forced_shuffle=forced_shuffle,
+    )
+
+    def drop_hash(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["_h"]) if "_h" in batch.column_names else batch
+
+    return out.map_batches(drop_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantile_threshold(
+    ds,
+    value_col: str,
+    q: float,
+    *,
+    driver_values_bound: int = 5_000_000,
+) -> int:
+    """Exact global discrete quantile (DuckDB ``quantile_disc``: the
+    element at ``max(0, ceil(q*n) - 1)`` of the sorted values) of an
+    integer column, computed WITHOUT a sort exchange.
+
+    Each block reduces to (value, cnt) partial histograms via
+    ``value_counts`` — for bounded-domain columns (basis points, cents,
+    bucketed scores) the merged histogram is tiny regardless of row
+    count, the same mergeable-aggregate shape as :func:`hll_distinct`.
+    The driver folds histograms and walks the cumulative counts to the
+    quantile.  Raises if the merged domain exceeds
+    ``driver_values_bound`` (an unbounded domain needs a KLL/t-digest
+    sketch instead — same per-block reduction, approximate walk)."""
+
+    def block_hist(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.cast(batch[value_col], pa.int64()))
+        return pa.table(
+            {
+                "v": pc.cast(vc.field("values"), pa.int64()),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    hist: dict = {}
+    for b in ds.map_batches(
+        block_hist, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows == 0 or b.num_columns == 0:
+            continue
+        vs = b["v"].to_numpy(zero_copy_only=False)
+        cs = b["cnt"].to_numpy(zero_copy_only=False)
+        for v, c in zip(vs, cs):
+            hist[int(v)] = hist.get(int(v), 0) + int(c)
+        if len(hist) > driver_values_bound:
+            raise ValueError(
+                "quantile_threshold: value domain exceeds driver bound; "
+                "use a mergeable quantile sketch for unbounded domains"
+            )
+    if not hist:
+        raise ValueError("quantile_threshold on an empty dataset")
+    n = sum(hist.values())
+    idx = max(0, int(np.ceil(q * n)) - 1)
+    cum = 0
+    for v in sorted(hist):
+        cum += hist[v]
+        if cum > idx:
+            return v
+    return max(hist)
+
+
 def repetition_stats_fn(text_col: str = "text"):
     """(doc_id, text) → Gopher-style repetition features, integer basis
     points so the SQL twin matches exactly:

@@ -285,3 +285,56 @@ def knn_lsh(
         local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
     return cands.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
+
+
+def embed_norm_topk(emb_ds, *, k: int = 10, batch_size: int = 4096):
+    """Global top-``k`` vectors by L2 norm (rank + vec_id only — no
+    floats in the output, so the DuckDB oracle hash is stable), ties
+    broken by vec_id ascending.
+
+    Per-block partial top-k (one vectorized float64 sum-of-squares +
+    lexsort, at most ``k`` rows leave each block) → driver merge of the
+    ≤ k·blocks survivors.  The squared norm orders identically to the
+    norm, so no sqrt is taken.  SQL twin: ``row_number() OVER (ORDER BY
+    list_sum(list_transform(embedding, x -> x*x)) DESC, vec_id)``."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        if ids.size == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "ss": pa.array([], pa.float64())}
+            )
+        vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        ss = np.einsum("ij,ij->i", vecs, vecs)
+        order = np.lexsort((ids, -ss))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "ss": pa.array(ss[order], pa.float64()),
+            }
+        )
+
+    parts = emb_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+    all_ids, all_ss = [], []
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows == 0 or b.num_columns == 0:
+            continue
+        all_ids.append(b["vec_id"].to_numpy(zero_copy_only=False))
+        all_ss.append(b["ss"].to_numpy(zero_copy_only=False))
+    schema = pa.schema([("rank", pa.int64()), ("vec_id", pa.int64())])
+    if not all_ids:
+        return ray.data.from_arrow(schema.empty_table())
+    ids = np.concatenate(all_ids)
+    ss = np.concatenate(all_ss)
+    order = np.lexsort((ids, -ss))[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+                "vec_id": pa.array(ids[order], pa.int64()),
+            }
+        )
+    )

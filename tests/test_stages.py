@@ -866,3 +866,123 @@ def test_grouped_apply_driver_matches_shuffle():
         for r in grouped_apply(ds, "k", kern, schema, forced_shuffle=True).take_all()
     )
     assert a == b == [(1, 7), (2, 4), (3, 10)]
+
+
+def test_redact_matches_duckdb_regexp_replace():
+    import duckdb
+
+    from rify_ray.stages.corpus import redact
+
+    texts = ["the customer saw a spark", "vectors and vector", "clean", "customers"]
+    out = redact(_docs(texts), r"\b(customer|spark|vector)\b", "[X]").take_all()
+    got = {r["doc_id"]: r["text"] for r in out}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "SELECT regexp_replace(?, '\\b(customer|spark|vector)\\b', '[X]', 'g')",
+            [t],
+        ).fetchone()[0]
+        assert got[i] == want
+    # word boundaries: substrings inside longer words survive
+    assert got[1] == "vectors and [X]"
+    assert got[3] == "customers"
+
+
+def test_stratified_sample_k_per_stratum_and_deterministic():
+    import ray.data
+
+    from rify_ray.stages.corpus import _KNUTH, _KNUTH_MOD, stratified_sample
+
+    n = 60
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
+        }
+    )
+
+    def run(forced):
+        rows = stratified_sample(
+            ray.data.from_arrow(tbl),
+            strata_col="source",
+            key_col="doc_id",
+            k=4,
+            forced_shuffle=forced,
+        ).take_all()
+        return sorted((r["source"], r["doc_id"]) for r in rows)
+
+    got = run(False)
+    # closed form: per stratum, the 4 ids with smallest (knuth hash, id)
+    want = []
+    for s in ["s0", "s1", "s2"]:
+        ids = [i for i in range(n) if f"s{i % 3}" == s]
+        ids.sort(key=lambda i: (i * _KNUTH % _KNUTH_MOD, i))
+        want += [(s, i) for i in ids[:4]]
+    assert got == sorted(want)
+    # both merge branches agree, and sampling is retry-stable
+    assert got == run(True) == run(False)
+
+
+def test_quantile_threshold_duckdb_disc_rule():
+    import duckdb
+    import ray.data
+
+    from rify_ray.stages.corpus import quantile_threshold
+
+    vals = [5, 1, 9, 1, 7, 3, 3, 3, 8, 2, 11, 4]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    con = duckdb.connect()
+    for q in [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]:
+        want = con.execute(
+            "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?) AS x)", [q, vals]
+        ).fetchone()[0]
+        assert quantile_threshold(ds, "v", q) == want, q
+    with pytest.raises(ValueError):
+        quantile_threshold(ds.filter(lambda r: False), "v", 0.5)
+
+
+def test_hopping_window_counts_cover_each_event_k_times(tmp_path):
+    import pyarrow.parquet as pq
+
+    from rify_ray.pipelines.relational import events_hopping_counts
+
+    # events at 00:10, 01:10, 01:50, 03:30 (+ one other type)
+    hours = [0.17, 1.17, 1.83, 3.5]
+    ts = pa.array([int(h * 3600 * 1e6) for h in hours] + [int(0.5 * 3600 * 1e6)], pa.int64())
+    et = pa.array(["a"] * 4 + ["b"], pa.string())
+    pq.write_table(pa.table({"ts": ts, "event_type": et, "event_id": pa.array(range(5), pa.int64())}),
+                   str(tmp_path / "events.parquet"))
+    rows = events_hopping_counts(str(tmp_path), window_s=7200, hop_s=3600).take_all()
+    got = {(r["event_type"], r["window_start"]): r["n_events"] for r in rows}
+    # each event lands in exactly window/hop = 2 windows
+    assert sum(got.values()) == 2 * 5
+    # event at hour 1.17 and 1.83 share windows [3600,10800) and [0,7200)
+    assert got[("a", 3600)] == 2
+    assert got[("a", 0)] == 3  # events at 0.17, 1.17, 1.83
+    assert got[("b", 0)] == 1 and got[("b", -3600)] == 1
+    # forced shuffle branch agrees
+    rows2 = events_hopping_counts(
+        str(tmp_path), window_s=7200, hop_s=3600, forced_shuffle=True
+    ).take_all()
+    assert got == {(r["event_type"], r["window_start"]): r["n_events"] for r in rows2}
+
+
+def test_embed_norm_topk_matches_numpy():
+    import ray.data
+
+    from rify_ray.stages.similarity import embed_norm_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    # small batch_size → several partial blocks feed the driver merge
+    rows = embed_norm_topk(ray.data.from_arrow(tbl), k=6, batch_size=7).take_all()
+    ss = (vecs * vecs).sum(axis=1)
+    want = list(np.lexsort((np.arange(40), -ss))[:6])
+    assert [r["vec_id"] for r in rows] == want
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5, 6]
