@@ -222,6 +222,45 @@ def _q_kg_customer_region_store(sf_dir: str):
         return _collect(store.decoded_dataset(first_gen=1))
 
 
+def _q_kg_customer_region_incr(sf_dir: str):
+    """Incremental view maintenance, oracle-checked: half the customer
+    facts build the store fixpoint, the other half arrive later via
+    ``engine.add_premises_store`` (anti-joined, committed as a premise
+    generation, semi-naive rounds continue from only the new facts).
+    The derived read (``derived_only=True`` excludes premise
+    generations) must equal the one-shot closure — same SQL oracle as
+    ``kg_customer_region``."""
+    import tempfile
+
+    import ray.data
+
+    from rify_ray import engine
+    from rify_ray.pipelines.relational import customer_nation_quads, nation_region_quads
+    from rify_ray.util import polars_to_arrow_string
+
+    cust = _collect_quads(customer_nation_quads(sf_dir))
+    nr = _collect_quads(nation_region_quads(sf_dir))
+    import polars as pl
+
+    half = cust.height // 2
+    base = pl.concat([cust.head(half), nr])
+    add = cust.slice(half)
+    with tempfile.TemporaryDirectory() as d:
+        engine.infer_store(
+            ray.data.from_arrow(polars_to_arrow_string(base)),
+            _rules_in_region(),
+            f"{d}/kg",
+            num_partitions=8,
+        )
+        store = engine.add_premises_store(
+            ray.data.from_arrow(polars_to_arrow_string(add)),
+            _rules_in_region(),
+            f"{d}/kg",
+            num_partitions=8,
+        )
+        return _collect(store.decoded_dataset(derived_only=True))
+
+
 def _q_kg_conational_store(sf_dir: str):
     """The conational closure — the biggest derived set in the suite
     (10.26 M facts at sf0.1) — on the STORE-RESIDENT path: premises
@@ -791,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_customer_region": _q_kg_customer_region,
         "kg_customer_region_store": _q_kg_customer_region_store,
+        "kg_customer_region_incr": _q_kg_customer_region_incr,
         "kg_conational": _q_kg_conational,
         "kg_conational_store": _q_kg_conational_store,
         "kg_nation_chain_closure": _q_kg_nation_chain_closure,
@@ -893,6 +933,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN region ON n_regionkey = r_regionkey"
         ),
         "kg_customer_region_store": (
+            "SELECT 'c:' || c_custkey AS s, 'in_region' AS p, "
+            "'r:' || r_regionkey AS o, 'default_graph' AS g "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "kg_customer_region_incr": (
             "SELECT 'c:' || c_custkey AS s, 'in_region' AS p, "
             "'r:' || r_regionkey AS o, 'default_graph' AS g "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "

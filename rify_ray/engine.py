@@ -1166,13 +1166,280 @@ def infer_store(
                 small_delta = None
                 inc.advance(delta_ds)
         # bound on-disk file count for long fixpoints: fold the derived
-        # generations into one (premise gen=list position 0 untouched).
-        # Disk-only — the in-memory delta/full datasets keep streaming.
-        if compact_every and len(store.generations) - 1 >= compact_every:
-            store.compact(first_gen=1)
+        # generations into one.  Compaction starts PAST the last premise
+        # generation (position 0 and any incremental ``premise-add``), so
+        # the derived/premise boundary — and ``dataset(derived_only=True)``
+        # — survives.  Disk-only; in-memory delta/full datasets stream on.
+        if compact_every:
+            base = 1 + max(
+                (
+                    i
+                    for i, g in enumerate(store.generations)
+                    if g.get("metrics", {}).get("evaluator") == "premise-add"
+                ),
+                default=0,
+            )
+            if len(store.generations) - base >= compact_every:
+                store.compact(first_gen=base)
     if remaining is not None:
         return (store, remaining.height == 0)
     return store
+
+
+def _extend_store_terms(store, cand_terms: "pl.DataFrame") -> int:
+    """Append the NEW terms of an incremental premise batch to the
+    store's persisted ``(term, tid)`` dictionary.
+
+    Candidates are probed against the existing dictionary with ONE
+    streaming scan (broadcast candidate sets, no shuffle): a hit on
+    ``term`` means the term is already registered; a hit on ``tid``
+    under a DIFFERENT term is a 64-bit collision with the existing
+    universe and raises (as does a collision inside the batch).  Fresh
+    rows land as one atomically-renamed parquet file — the decode paths
+    glob the directory, and a crashed attempt self-heals because the
+    next probe anti-joins whatever was already appended.  Returns the
+    number of appended terms (manifest meta is updated on success)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from .util import polars_to_arrow_string
+
+    cand_terms = cand_terms.unique(subset=["term"]).with_columns(
+        pl.col("term").hash(seed=0).reinterpret(signed=True).alias("tid")
+    )
+    if cand_terms["tid"].n_unique() != cand_terms.height:
+        raise RuntimeError(
+            "term-id hash collision inside the premise batch; "
+            "rerun with dict_encode=False"
+        )
+    files = sorted(
+        os.path.join(store.terms_dir, n)
+        for n in os.listdir(store.terms_dir)
+        if n.endswith(".parquet")
+    )
+    term_arr = pc.cast(cand_terms.to_arrow()["term"], pa.string()).combine_chunks()
+    tid_arr = cand_terms.to_arrow()["tid"].combine_chunks()
+    ref = ray.put((term_arr, tid_arr))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        t_arr, i_arr = ray.get(ref)
+        m = pc.or_(
+            pc.is_in(pc.cast(batch["term"], pa.string()), value_set=t_arr),
+            pc.is_in(pc.cast(batch["tid"], pa.int64()), value_set=i_arr),
+        )
+        out = batch.filter(m)
+        return pa.table(
+            {
+                "term": pc.cast(out["term"], pa.string()),
+                "tid": pc.cast(out["tid"], pa.int64()),
+            }
+        )
+
+    hits_tabs = [
+        b
+        for b in ray.data.read_parquet(files)
+        .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    ]
+    if hits_tabs:
+        hits = pl.from_arrow(pa.concat_tables(hits_tabs)).unique()
+        fresh = cand_terms.join(hits.select("term"), on="term", how="anti")
+        clash = fresh.join(hits.select("tid"), on="tid", how="semi")
+        if clash.height:
+            raise RuntimeError(
+                f"term-id hash collision with the existing dictionary "
+                f"({clash.height} ids); rerun with dict_encode=False"
+            )
+    else:
+        fresh = cand_terms
+    if fresh.height == 0:
+        return 0
+    out_path = os.path.join(store.terms_dir, f"add-{store.next_gen:05d}.parquet")
+    tmp = out_path + ".tmp"
+    pq.write_table(polars_to_arrow_string(fresh.select(["term", "tid"])), tmp)
+    os.replace(tmp, out_path)
+    meta = dict(store.manifest.get("terms", {}))
+    meta["n_terms"] = int(meta.get("n_terms", 0)) + fresh.height
+    store.set_terms_meta(meta)
+    return fresh.height
+
+
+def add_premises_store(
+    new_premises_ds,
+    rules: Sequence[Rule],
+    store_path: str,
+    *,
+    num_partitions: int = 32,
+    salt_factor: int = 1,
+    max_iterations: int = 10_000,
+    with_lineage: bool = False,
+    broadcast_rows: int = 500_000,
+    dict_encode: bool = True,
+    compact_every: Optional[int] = 64,
+):
+    """Incremental maintenance of a completed :func:`infer_store`
+    fixpoint: add new premise facts to the live store and continue the
+    semi-naive rounds seeded with ONLY the truly-new facts — the
+    existing closure is never recomputed.
+
+    This is exactly the reference's ``apply_related`` discipline
+    (``src/reasoner.rs:131-155``: every consequence of a new fact is
+    found by chains in which that fact occupies at least one body
+    position) applied across calls instead of across rounds: the new
+    premises are anti-joined against the store, committed as one more
+    generation, and the resumed round loop treats them as the delta
+    against the full historical store.  The derived set after the call
+    equals a from-scratch ``infer_store`` over the union of all
+    premises (asserted by tests); cost scales with the NEW closure, not
+    the store.
+
+    ``rules`` must be the ruleset the store was built with (new
+    unconditional rules would need their heads re-fired — pass them as
+    premises instead).  New terms are appended to the persisted
+    dictionary with the same pinned hash kernel and full collision
+    checking (:func:`_extend_store_terms`).
+
+    A fresh/empty ``store_path`` falls through to plain
+    :func:`infer_store`."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .eval_hybrid import anti_probe
+    from .eval_shuffle import collect_to_polars
+    from .state import TripleStore
+    from .util import drop_empty_blocks
+
+    value_type = "int64" if dict_encode else "string"
+    store = TripleStore(store_path, num_partitions=num_partitions, value_type=value_type)
+    if not store.generations:
+        return infer_store(
+            new_premises_ds,
+            rules,
+            store_path,
+            num_partitions=num_partitions,
+            salt_factor=salt_factor,
+            max_iterations=max_iterations,
+            with_lineage=with_lineage,
+            broadcast_rows=broadcast_rows,
+            dict_encode=dict_encode,
+            compact_every=compact_every,
+        )
+    if store.value_type != value_type:
+        raise ValueError(
+            f"store at {store_path} is {store.value_type}-typed; "
+            f"pass dict_encode={store.value_type == 'int64'}"
+        )
+    store.check_hash_pin()
+    if isinstance(new_premises_ds, pa.Table):
+        new_premises_ds = ray.data.from_arrow(new_premises_ds)
+    new_premises_ds = new_premises_ds.select_columns(FACT_COLS).materialize()
+    last_meta = store.generations[-1].get("metrics", {})
+    start_round = last_meta.get("round", len(store.generations) - 1) + 1
+    rule_consts = {
+        e.value for r in rules for e in _iter_rule_entities(r) if e.is_bound()
+    }
+
+    if new_premises_ds.count() <= broadcast_rows:
+        prem_df = collect_to_polars(new_premises_ds)
+        if prem_df.width == 0:
+            prem_df = pl.DataFrame(schema={c: pl.Utf8 for c in FACT_COLS})
+        prem_df = prem_df.select(FACT_COLS).unique()
+        if dict_encode:
+            cand = pl.concat(
+                [prem_df.select(pl.col(c).cast(pl.Utf8).alias("term")) for c in FACT_COLS]
+                + ([pl.DataFrame({"term": sorted(rule_consts)})] if rule_consts else [])
+            ).unique()
+            _extend_store_terms(store, cand)
+            prem_df = prem_df.with_columns(
+                [
+                    pl.col(c).cast(pl.Utf8).hash(seed=0).reinterpret(signed=True).alias(c)
+                    for c in FACT_COLS
+                ]
+            )
+        new_facts = anti_probe(prem_df, store.dataset())
+        if new_facts.height == 0:
+            return store
+        store.add_small(
+            new_facts.select(FACT_COLS),
+            extra={"round": start_round, "evaluator": "premise-add"},
+        )
+    else:
+        if dict_encode:
+
+            def to_terms(batch: pa.Table) -> pa.Table:
+                parts = [
+                    (
+                        batch[c].combine_chunks()
+                        if isinstance(batch[c], pa.ChunkedArray)
+                        else batch[c]
+                    )
+                    for c in FACT_COLS
+                ]
+                merged = pa.concat_arrays([pc.cast(p, pa.string()) for p in parts])
+                return pa.table({"term": pc.unique(merged)})
+
+            from .util import distinct
+
+            cand_ds = distinct(
+                new_premises_ds.map_batches(
+                    to_terms, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["term"],
+            )
+            cand_tabs = (
+                [
+                    b
+                    for b in cand_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+                    if b.num_rows and b.num_columns
+                ]
+                if cand_ds is not None
+                else []
+            )
+            # the candidate set is DISTINCT terms of the batch — orders of
+            # magnitude smaller than the batch; above driver scale, shard
+            # this loop over term ranges (same probe kernel per shard)
+            cand = (
+                pl.from_arrow(pa.concat_tables(cand_tabs))
+                if cand_tabs
+                else pl.DataFrame({"term": []}, schema={"term": pl.Utf8})
+            )
+            if rule_consts:
+                cand = pl.concat([cand, pl.DataFrame({"term": sorted(rule_consts)})])
+            _extend_store_terms(store, cand)
+            new_premises_ds = new_premises_ds.map_batches(
+                _hash_encode_quads_fn(), batch_format="pyarrow", zero_copy_batch=True
+            )
+        joined = new_premises_ds.join(
+            store.dataset().materialize(),
+            "left_anti",
+            num_partitions,
+            on=tuple(FACT_COLS),
+        ).materialize()
+        joined = drop_empty_blocks(joined)
+        if joined is None or joined.count() == 0:
+            return store
+        store.add(
+            joined.select_columns(FACT_COLS),
+            precleaned=False,
+            extra={"round": start_round, "evaluator": "premise-add"},
+        )
+
+    return infer_store(
+        ray.data.from_arrow(store.quad_schema().empty_table()),
+        rules,
+        store_path,
+        num_partitions=num_partitions,
+        salt_factor=salt_factor,
+        max_iterations=max_iterations,
+        resume=True,
+        with_lineage=with_lineage,
+        broadcast_rows=broadcast_rows,
+        dict_encode=dict_encode,
+        compact_every=compact_every,
+    )
 
 
 def _walk_lineage_generations(

