@@ -500,6 +500,60 @@ def _q_docs_quality_filter(sf_dir: str):
     )
 
 
+def _q_docs_ngram_decontaminate(sf_dir: str):
+    """5-gram-overlap decontamination against the first three documents
+    as the held-out eval set (they drop themselves too — they trivially
+    share their own grams)."""
+    import pyarrow.parquet as pq
+
+    from rify_ray.stages.corpus import ngram_decontaminate
+
+    ev = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    eval_texts = ev.filter(pc.less(ev["doc_id"], 3))["text"].to_pylist()
+    out = ngram_decontaminate(_docs_ds(sf_dir), eval_texts, n=5)
+
+    def ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64())})
+
+    out = out.map_batches(ids, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        t for t in out.iter_batches(batch_size=None, batch_format="pyarrow") if t.num_rows
+    )
+
+
+def _q_docs_pack_bins(sf_dir: str):
+    """Sequence packing: token counts (streaming map) → per-source
+    contiguous 512-token bins."""
+    import ray.data
+
+    from rify_ray.stages.corpus import pack_bins
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"],
+        override_num_blocks=32,
+    )
+
+    def toks(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "source": pc.cast(batch["source"], pa.string()),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()
+                ),
+            }
+        )
+
+    out = pack_bins(
+        docs.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True),
+        capacity=512,
+    )
+    return pa.concat_tables(
+        t for t in out.iter_batches(batch_size=None, batch_format="pyarrow") if t.num_rows
+    )
+
+
 def _q_events_hopping_counts(sf_dir: str):
     from rify_ray.pipelines.relational import events_hopping_counts
 
@@ -851,6 +905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_redact": _q_docs_redact,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_quality_filter": _q_docs_quality_filter,
+        "docs_ngram_decontaminate": _q_docs_ngram_decontaminate,
+        "docs_pack_bins": _q_docs_pack_bins,
         "events_hopping_counts": _q_events_hopping_counts,
         "embed_norm_top10": _q_embed_norm_top10,
         "ngram_top20": _q_ngram_top20,
@@ -1069,6 +1125,26 @@ def oracle_sql() -> dict[str, str]:
             "WITH s AS (" + _quality_sql() + ") "
             "SELECT doc_id, stopword_bp FROM s WHERE stopword_bp >= "
             "(SELECT quantile_disc(stopword_bp, 0.5) FROM s)"
+        ),
+        "docs_ngram_decontaminate": (
+            "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || "
+            "w[i+3] || ' ' || w[i+4] AS gram "
+            "FROM ws, UNNEST(generate_series(1, len(w) - 4)) AS t(i)), "
+            "e AS (SELECT DISTINCT gram FROM g WHERE doc_id < 3), "
+            "bad AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram)) "
+            "SELECT doc_id FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
+        ),
+        "docs_pack_bins": (
+            "WITH t AS (SELECT doc_id, source, "
+            "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, source, n_tokens, "
+            "SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+            "SELECT doc_id, source, n_tokens, "
+            "CAST((cum - n_tokens) // 512 AS BIGINT) AS bin FROM c"
         ),
         "events_hopping_counts": (
             "WITH e AS (SELECT epoch_us(ts) AS tus, event_type FROM events), "

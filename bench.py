@@ -160,6 +160,7 @@ def run_queries() -> dict:
         "kg_conational",
         "kg_conational_store",
         "kg_nation_chain_closure",
+        "kg_customer_region_incr",
         "dedup_exact_docs",
         "text_token_counts",
         "text_lang_id",
@@ -168,8 +169,12 @@ def run_queries() -> dict:
         "text_repetition",
         "docs_stable_sample",
         "docs_decontaminate",
+        "docs_redact",
+        "docs_stratified_sample",
+        "docs_quality_filter",
         "ngram_top20",
         "events_window_counts",
+        "events_hopping_counts",
         "events_asof_prior_purchase",
         "events_range_purchases_24h",
         "events_value_quantiles",
@@ -181,6 +186,7 @@ def run_queries() -> dict:
         "lineitem_pricing_cents",
         "knn_cosine_top5",
         "knn_lsh_top3",
+        "embed_norm_top10",
         "minhash_candidates",
         "minhash_verified",
         "simhash_neardup",

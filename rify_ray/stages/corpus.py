@@ -490,3 +490,130 @@ def repetition_stats_fn(text_col: str = "text"):
         )
 
     return fn
+
+
+def _word_ngrams(text_arr, n: int):
+    """Vectorized word n-grams over a batch: one ``split_pattern`` +
+    (n-1) ``binary_join_element_wise`` calls over the flat token buffer;
+    grams spanning a document boundary are masked out.  Returns
+    (grams array, doc offsets) so callers can map grams back to rows."""
+    split = pc.split_pattern(text_arr, pattern=" ")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    values = split.values
+    offs = np.asarray(split.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
+    n_tok = len(values)
+    if n_tok < n:
+        return pa.array([], pa.string()), offs, np.zeros(0, dtype=bool)
+    parts = [values.slice(i, n_tok - n + 1) for i in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = pc.binary_join_element_wise(grams, p, " ")
+    # a gram starting at position j is valid iff j+n-1 is in the same doc:
+    # invalid starts are the n-1 positions before each doc end
+    valid = np.ones(n_tok - n + 1, dtype=bool)
+    for d in range(1, n):
+        ends = offs[1:] - d
+        ends = ends[(ends >= 0) & (ends < n_tok - n + 1)]
+        valid[ends] = False
+    return grams, offs, valid
+
+
+def ngram_decontaminate(
+    docs_ds,
+    eval_texts: Sequence[str],
+    *,
+    n: int = 5,
+    text_col: str = "text",
+):
+    """N-gram-overlap decontamination (the Dolma/GPT-3 discipline,
+    stronger than substring blocklists): drop every document sharing
+    ANY word ``n``-gram with the held-out eval texts.
+
+    The eval side is tiny by definition, so its gram set is computed
+    once on the driver and broadcast inside the task closure; each batch
+    then runs one vectorized gram build (:func:`_word_ngrams`) and one
+    ``is_in`` membership kernel — a pure streaming filter, no shuffle,
+    O(batch tokens) per batch at any corpus size."""
+    eval_grams: set = set()
+    for t in eval_texts:
+        toks = t.split(" ")
+        for i in range(len(toks) - n + 1):
+            eval_grams.add(" ".join(toks[i : i + n]))
+    gram_arr = pa.array(sorted(eval_grams), pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or len(gram_arr) == 0:
+            return batch
+        grams, offs, valid = _word_ngrams(batch[text_col], n)
+        if len(grams) == 0:
+            return batch
+        hit = np.asarray(
+            pc.and_(
+                pc.is_in(grams, value_set=gram_arr),
+                pa.array(valid),
+            ).to_numpy(zero_copy_only=False)
+        )
+        # map gram start positions back to rows: row i owns starts in
+        # [offs[i], offs[i+1] - n + 1)
+        starts = np.flatnonzero(hit)
+        bad_rows = np.unique(np.searchsorted(offs, starts, side="right") - 1)
+        keep = np.ones(batch.num_rows, dtype=bool)
+        keep[bad_rows] = False
+        return batch.filter(pa.array(keep))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_bins(
+    docs_ds,
+    *,
+    capacity: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    token_col: str = "n_tokens",
+):
+    """Greedy contiguous sequence packing: within each stratum, lay the
+    documents out in ``key_col`` order and assign each to the
+    fixed-capacity token bin in which it STARTS —
+    ``bin = (prefix_sum - n_tokens) // capacity``, the deterministic
+    packing a training-data pipeline uses to build fixed-length
+    sequences.
+
+    One ``groupby(stratum)`` exchange; per-group work is a sort + one
+    vectorized cumulative sum (bounded by the stratum, like
+    sessionize's per-user fold).  SQL twin: ``SUM(...) OVER (PARTITION
+    BY stratum ORDER BY key ROWS UNBOUNDED PRECEDING)``."""
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            (strata_col, pa.string()),
+            (token_col, pa.int64()),
+            ("bin", pa.int64()),
+        ]
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            pc.cast(group[key_col], pa.int64()).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        toks = np.asarray(
+            pc.cast(group[token_col], pa.int64()).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        order = np.argsort(ids)
+        cum = np.cumsum(toks[order])
+        bins = (cum - toks[order]) // capacity
+        return pa.table(
+            {
+                key_col: pa.array(ids[order], pa.int64()),
+                strata_col: pc.cast(group[strata_col], pa.string()).take(
+                    pa.array(order, pa.int64())
+                ),
+                token_col: pa.array(toks[order], pa.int64()),
+                "bin": pa.array(bins, pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return docs_ds.groupby(strata_col).map_groups(kernel, batch_format="pyarrow")

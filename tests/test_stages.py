@@ -986,3 +986,49 @@ def test_embed_norm_topk_matches_numpy():
     want = list(np.lexsort((np.arange(40), -ss))[:6])
     assert [r["vec_id"] for r in rows] == want
     assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5, 6]
+
+
+def test_ngram_decontaminate_overlap_semantics():
+    from rify_ray.stages.corpus import ngram_decontaminate
+
+    eval_texts = ["alpha beta gamma delta epsilon zeta"]
+    docs = [
+        "x y alpha beta gamma delta epsilon q",   # shares the 5-gram → dropped
+        "alpha beta gamma delta q r s",           # only a 4-gram overlap → kept
+        "completely unrelated words here now ok", # kept
+    ]
+    out = ngram_decontaminate(_docs(docs), eval_texts, n=5).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+    # n=2: doc 1 shares bigram "alpha beta" → dropped too
+    out2 = ngram_decontaminate(_docs(docs), eval_texts, n=2).take_all()
+    assert sorted(r["doc_id"] for r in out2) == [2]
+    # grams never span document boundaries: "delta epsilon" split across
+    # two docs in ONE batch must not be treated as an eval bigram
+    out3 = ngram_decontaminate(
+        _docs(["c d delta", "epsilon f g"]), ["delta epsilon"], n=2
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out3) == [0, 1]
+    # empty eval set keeps everything
+    assert len(ngram_decontaminate(_docs(docs), [], n=5).take_all()) == 3
+
+
+def test_pack_bins_closed_form():
+    import ray.data
+
+    from rify_ray.stages.corpus import pack_bins
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 10, 11], pa.int64()),
+            "source": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+            "n_tokens": pa.array([4, 3, 5, 7, 2], pa.int64()),
+        }
+    )
+    rows = pack_bins(
+        ray.data.from_arrow(tbl), capacity=6, strata_col="source",
+        key_col="doc_id", token_col="n_tokens",
+    ).take_all()
+    got = {(r["source"], r["doc_id"]): r["bin"] for r in rows}
+    # source a, id order 1,2,3: prefix sums 3,8,12 → starts 0,3,8 → bins 0,0,1
+    # source b, id order 10,11: starts 0,7 → bins 0,1
+    assert got == {("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("b", 10): 0, ("b", 11): 1}
