@@ -996,6 +996,7 @@ def infer_store(
 
     inc = IncrementalMatches(plans, broadcast_rows)
     small_delta: Optional[pl.DataFrame] = None
+    resume_full_small: Optional[pl.DataFrame] = None
     if fresh_small_gen0 is not None:
         # fresh store whose generation 0 was committed by the driver fast
         # path: the frame is already in hand — skip the parquet read-back
@@ -1004,6 +1005,29 @@ def infer_store(
         delta_ds = full_old = full_new = None
         small_delta = fresh_small_gen0
         inc.advance_small(small_delta)
+    elif store.count() <= broadcast_rows:
+        # driver fast-path RESUME (incl. incremental premise-adds): the
+        # whole store fits the hybrid broadcast regime, so the pre-delta
+        # store and the delta stream straight to driver polars — the
+        # per-atom match seeding and the store copy run without a single
+        # Dataset materialize or per-atom distributed scan
+        ds_mode = False
+        delta_ds = full_old = full_new = None
+        empty_df = pl.DataFrame(schema={c: fact_dtype for c in FACT_COLS})
+        pre_df = (
+            collect_to_polars(store.dataset(last_gen=last - 1)) if last >= 1 else empty_df
+        )
+        if pre_df.width == 0:
+            pre_df = empty_df
+        small_delta = collect_to_polars(store.dataset(first_gen=last))
+        if small_delta.width == 0:
+            small_delta = empty_df
+        pre_df = pre_df.select(FACT_COLS)
+        small_delta = small_delta.select(FACT_COLS)
+        if pre_df.height:
+            inc.advance_small(pre_df)
+        inc.advance_small(small_delta)
+        resume_full_small = pl.concat([pre_df, small_delta])
     else:
         ds_mode = True
         delta_rows = store.generations[last]["rows"]
@@ -1029,7 +1053,9 @@ def infer_store(
     # the bound — then insert-if-absent probe-scans the parquet store)
     full_small: Optional[pl.DataFrame] = None
     if store.count() <= broadcast_rows:
-        if last >= 1:
+        if resume_full_small is not None:
+            full_small = resume_full_small
+        elif last >= 1:
             full_small = collect_to_polars(full_new)
         elif small_delta is not None:
             full_small = small_delta
