@@ -556,6 +556,42 @@ def events_window_counts(sf_dir: str, *, window_s: int = 3600, forced_shuffle: b
     )
 
 
+def _preagg_sum(
+    ds,
+    key_cols: List[str],
+    schema: pa.Schema,
+    value_col: str,
+    out_col: str,
+    *,
+    driver_rows_bound: int = 2_000_000,
+    forced_shuffle: bool = False,
+):
+    """Like :func:`_preagg_count` but summing an existing partial-count
+    column — for inputs that are ALREADY per-block partials (the
+    combiner-of-combiners shape)."""
+    import polars as plr
+    import ray.data
+
+    parts = ds.materialize()
+    n = parts.count()
+    if n == 0:
+        return ray.data.from_arrow(schema.empty_table())
+    if not forced_shuffle and n <= driver_rows_bound:
+        tabs = [
+            b
+            for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        df = (
+            plr.from_arrow(pa.concat_tables(tabs))
+            .group_by(key_cols)
+            .agg(plr.col(value_col).sum().alias(out_col))
+        )
+        return ray.data.from_arrow(df.to_arrow().cast(schema))
+    out = parts.groupby(key_cols).sum(value_col)
+    return _clean_groupby_output(out, schema, {out_col: f"sum({value_col})"})
+
+
 def events_hopping_counts(
     sf_dir: str,
     *,
@@ -566,35 +602,54 @@ def events_hopping_counts(
     """Hopping (sliding) window event counts per event_type: windows of
     ``window_s`` seconds starting every ``hop_s`` seconds (``window_s``
     must be a multiple of ``hop_s``).  Each event lands in exactly
-    ``window_s/hop_s`` overlapping windows.
+    ``k = window_s/hop_s`` overlapping windows.
 
-    The window expansion is a pure per-batch map (k stacked copies of
-    the batch with shifted window starts — vectorized, no Python row
-    loop), so the blowup factor is the overlap count, applied BEFORE the
-    map-side combiner: the exchange still moves distinct
-    (event_type, window) partial counts per block, not k rows per
-    event.  SQL twin: UNION ALL of the k shifted tumbling windows."""
+    The k-fold expansion happens AFTER the per-block aggregation, not
+    before: each block first folds to distinct (event_type, base-hop)
+    partial counts, then k shifted copies of those PARTIALS are emitted
+    — the exchange moves k x distinct-keys-per-block rows, never k x
+    events.  SQL twin: UNION ALL of the k shifted tumbling windows."""
     if window_s % hop_s != 0:
         raise ValueError("window_s must be a multiple of hop_s")
     k = window_s // hop_s
+    import polars as plr
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("window_start", pa.int64()), ("cnt", pa.int64())]
+    )
 
-    def windows(batch: pa.Table) -> pa.Table:
+    def combine_then_expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
         us = pc.cast(batch["ts"], pa.int64())  # microseconds
         base = pc.multiply(
             pc.divide(us, pa.scalar(hop_s * 1_000_000, pa.int64())),
             pa.scalar(hop_s, pa.int64()),
         )
-        et = pc.cast(batch["event_type"], pa.string())
-        parts = []
-        for i in range(k):
-            ws = pc.subtract(base, pa.scalar(i * hop_s, pa.int64()))
-            parts.append(pa.table({"event_type": et, "window_start": ws}))
-        return pa.concat_tables(parts)
+        df = (
+            plr.from_arrow(
+                pa.table(
+                    {"event_type": pc.cast(batch["event_type"], pa.string()), "base": base}
+                )
+            )
+            .group_by(["event_type", "base"])
+            .len("cnt")
+        )
+        parts = [
+            df.select(
+                plr.col("event_type"),
+                (plr.col("base") - i * hop_s).alias("window_start"),
+                plr.col("cnt"),
+            )
+            for i in range(k)
+        ]
+        return plr.concat(parts).to_arrow().cast(part_schema)
 
-    expanded = ds.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(
+        combine_then_expand, batch_format="pyarrow", zero_copy_batch=True
+    )
     schema = pa.schema(
         [
             ("event_type", pa.string()),
@@ -602,10 +657,11 @@ def events_hopping_counts(
             ("n_events", pa.int64()),
         ]
     )
-    return _preagg_count(
-        expanded,
+    return _preagg_sum(
+        partials,
         ["event_type", "window_start"],
         schema,
+        "cnt",
         "n_events",
         forced_shuffle=forced_shuffle,
     )

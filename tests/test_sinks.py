@@ -1,0 +1,92 @@
+"""Resumable partitioned Parquet sink: per-bucket _SUCCESS markers,
+crash-resume skips complete buckets and rewrites partial ones."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _ds(n=200):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(range(n), pa.int64()),
+                "v": pa.array([f"v{i}" for i in range(n)], pa.string()),
+            }
+        )
+    )
+
+
+def _read_all(path):
+    from rify_ray.sinks import read_partitioned_parquet
+
+    rows = read_partitioned_parquet(path).take_all()
+    return sorted((r["k"], r["v"]) for r in rows)
+
+
+def test_write_and_read_roundtrip(tmp_path):
+    from rify_ray.sinks import write_partitioned_parquet
+
+    path = str(tmp_path / "out")
+    m = write_partitioned_parquet(_ds(), path, key_cols=["k"], num_buckets=8)
+    assert m["rows_written"] == 200 and m["skipped"] == []
+    assert len(m["written"]) == 8
+    assert _read_all(path) == [(i, f"v{i}") for i in range(200)]
+    # every bucket dir carries a marker
+    for b in m["written"]:
+        assert os.path.exists(os.path.join(path, f"bucket={b}", "_SUCCESS"))
+
+
+def test_resume_skips_complete_and_rewrites_partial(tmp_path):
+    from rify_ray.sinks import write_partitioned_parquet
+
+    path = str(tmp_path / "out")
+    m1 = write_partitioned_parquet(_ds(), path, key_cols=["k"], num_buckets=8)
+    # simulate a crashed attempt: bucket 3 lost its marker and holds a
+    # duplicate stale file
+    crashed = os.path.join(path, "bucket=3")
+    os.remove(os.path.join(crashed, "_SUCCESS"))
+    import shutil
+
+    stale = [f for f in os.listdir(crashed) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(crashed, stale), os.path.join(crashed, "dup-" + stale))
+    # record the complete buckets' mtimes — resume must not touch them
+    mtimes = {
+        b: os.path.getmtime(os.path.join(path, f"bucket={b}"))
+        for b in m1["written"]
+        if b != 3
+    }
+    m2 = write_partitioned_parquet(_ds(), path, key_cols=["k"], num_buckets=8)
+    assert m2["written"] == [3]
+    assert m2["skipped"] == sorted(mtimes)
+    # exactly-once after resume: no duplicates, nothing lost
+    assert _read_all(path) == [(i, f"v{i}") for i in range(200)]
+    for b, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(path, f"bucket={b}")) == t
+
+
+def test_noop_when_everything_complete(tmp_path):
+    from rify_ray.sinks import write_partitioned_parquet
+
+    path = str(tmp_path / "out")
+    write_partitioned_parquet(_ds(50), path, key_cols=["k"], num_buckets=4)
+    m = write_partitioned_parquet(_ds(50), path, key_cols=["k"], num_buckets=4)
+    assert m["written"] == [] and m["rows_written"] == 0
+    assert len(m["skipped"]) == 4
+    assert _read_all(path) == [(i, f"v{i}") for i in range(50)]
+
+
+def test_read_requires_complete_bucket(tmp_path):
+    from rify_ray.sinks import read_partitioned_parquet, write_partitioned_parquet
+
+    path = str(tmp_path / "out")
+    write_partitioned_parquet(_ds(20), path, key_cols=["k"], num_buckets=2)
+    for name in os.listdir(path):
+        os.remove(os.path.join(path, name, "_SUCCESS"))
+    with pytest.raises(FileNotFoundError):
+        read_partitioned_parquet(path)
