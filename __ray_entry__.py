@@ -415,6 +415,23 @@ def _q_text_quality(sf_dir: str):
 DECONTAMINATE_PHRASES = ["order fast", "customer stream", "vector merge"]
 
 
+def _q_text_bpe_token_counts(sf_dir: str):
+    from rify_ray.stages.text import bpe_token_count_fn, text_stage
+
+    out = text_stage(_docs_ds(sf_dir), bpe_token_count_fn)
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def _q_text_winnow_fp(sf_dir: str):
+    """Winnowing (rolling-hash) document sketches — no SQL twin (the
+    windowed-minimum selection isn't ANSI-SQL-expressible); pinned by
+    the reference-implementation conformance test instead."""
+    from rify_ray.stages.text import text_stage, winnow_fingerprint_fn
+
+    out = text_stage(_docs_ds(sf_dir), winnow_fingerprint_fn())
+    return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
 def _q_docs_normalize(sf_dir: str):
     from rify_ray.stages.text import normalize_fn, text_stage
 
@@ -899,6 +916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
+        "text_bpe_token_counts": _q_text_bpe_token_counts,
+        "text_winnow_fp": _q_text_winnow_fp,
         "docs_normalize": _q_docs_normalize,
         "docs_stable_sample": _q_docs_stable_sample,
         "docs_decontaminate": _q_docs_decontaminate,
@@ -1046,6 +1065,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "text_lang_id": _lang_id_sql(),
+        "text_bpe_token_counts": (
+            "SELECT doc_id, CAST(length(regexp_extract_all(text, "
+            "$$'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+$$"
+            ")) AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
         "text_quality": _quality_sql(),
         "text_repetition": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "

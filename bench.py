@@ -167,6 +167,7 @@ def run_queries() -> dict:
         "text_fingerprint",
         "text_quality",
         "text_repetition",
+        "text_bpe_token_counts",
         "docs_stable_sample",
         "docs_decontaminate",
         "docs_redact",

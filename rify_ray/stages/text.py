@@ -11,6 +11,8 @@ verify them value-for-value.
 from __future__ import annotations
 
 import hashlib
+
+import numpy as np
 from typing import Dict, List, Tuple
 
 import pyarrow as pa
@@ -146,3 +148,86 @@ def text_stage(docs_ds, fn, *, batch_size: int = 4096):
     return docs_ds.map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
+
+
+# GPT-2-style pre-tokenizer regex, RE2-compatible (no lookahead):
+# contractions, space-prefixed letter/digit runs, punctuation runs,
+# whitespace runs.  Arrow and DuckDB both run RE2, so
+# ``length(regexp_extract_all(text, RX))`` is the exact SQL twin.
+BPE_PRETOKEN_RX = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_fn(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → BPE-ish pre-token count: the sequence-length
+    estimator a training-data pipeline uses when whitespace counts are
+    too coarse (a BPE tokenizer splits exactly at these boundaries
+    before merges).  One vectorized RE2 kernel per batch."""
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(batch["text"], BPE_PRETOKEN_RX), pa.int64()
+            ),
+        }
+    )
+
+
+# Winnowing fingerprint (Schleimer, Wilkerson, Aiken: "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD 2003): k-gram rolling
+# hashes → rightmost minimum per w-window → the selected set is a
+# position-robust document sketch (shared substrings of length >= w+k-1
+# always share a selected hash).
+_WINNOW_BASE = np.int64(1000003)
+_WINNOW_MASK = np.int64((1 << 61) - 1)
+
+
+def _winnow_select(data: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Selected k-gram hashes of one byte sequence (sorted, distinct)."""
+    n = data.size
+    if n < k:
+        return np.zeros(0, dtype=np.int64)
+    powers = np.ones(k, dtype=np.int64)
+    for j in range(1, k):
+        powers[j] = (powers[j - 1] * _WINNOW_BASE) & _WINNOW_MASK
+    # hash of gram starting at i = sum data[i+j] * B^(k-1-j)  (masked)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    grams = sliding_window_view(data.astype(np.int64), k)
+    h = (grams * powers[::-1][None, :] & _WINNOW_MASK).sum(axis=1) & _WINNOW_MASK
+    if h.size <= w:
+        return np.unique(h[h.argmin() : h.argmin() + 1])
+    wins = sliding_window_view(h, w)
+    # rightmost minimum per window: reverse, argmin finds first = rightmost
+    rev = wins[:, ::-1]
+    pos = (w - 1) - rev.argmin(axis=1) + np.arange(wins.shape[0])
+    return np.unique(h[np.unique(pos)])
+
+
+def winnow_fingerprint_fn(k: int = 8, w: int = 16):
+    """(doc_id, text) → winnowing sketch: ``n_selected`` (sketch size)
+    and ``digest`` (md5-derived int64 of the sorted selected hashes) —
+    the rolling-hash document fingerprint for plagiarism-style overlap
+    detection.  Per-doc work is a few numpy passes bounded by the doc's
+    own length; no cross-doc state."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ns = np.zeros(n, dtype=np.int64)
+        dg = np.zeros(n, dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        for i, t in enumerate(texts):
+            sel = _winnow_select(
+                np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8), k, w
+            )
+            ns[i] = sel.size
+            d = hashlib.md5(sel.tobytes()).digest()[:8]
+            dg[i] = np.frombuffer(d, dtype=np.int64)[0]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_selected": pa.array(ns, pa.int64()),
+                "digest": pa.array(dg, pa.int64()),
+            }
+        )
+
+    return fn

@@ -1032,3 +1032,70 @@ def test_pack_bins_closed_form():
     # source a, id order 1,2,3: prefix sums 3,8,12 → starts 0,3,8 → bins 0,0,1
     # source b, id order 10,11: starts 0,7 → bins 0,1
     assert got == {("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("b", 10): 0, ("b", 11): 1}
+
+
+def test_bpe_token_count_matches_duckdb():
+    import duckdb
+
+    from rify_ray.stages.text import BPE_PRETOKEN_RX, bpe_token_count_fn, text_stage
+
+    texts = ["it's 42 apples, really!", "the fast key order", "  spaced   out ", ""]
+    rows = text_stage(_docs(texts), bpe_token_count_fn).take_all()
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in rows}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "SELECT length(regexp_extract_all(?, ?))", [t, BPE_PRETOKEN_RX]
+        ).fetchone()[0]
+        assert got[i] == want, (i, t)
+
+
+def _winnow_reference(data, k, w):
+    """Straight-from-the-paper reference: rolling hashes, rightmost min
+    per window of w hashes, distinct sorted selection."""
+    B, M = 1000003, (1 << 61) - 1
+    n = len(data)
+    if n < k:
+        return []
+    hs = []
+    for i in range(n - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * B + data[i + j]) & M
+        hs.append(h)
+    if len(hs) <= w:
+        return sorted({min(hs)})
+    sel = set()
+    for s in range(len(hs) - w + 1):
+        win = hs[s : s + w]
+        m = min(win)
+        # rightmost occurrence of the minimum
+        sel.add(hs[s + max(i for i, v in enumerate(win) if v == m)])
+    return sorted(sel)
+
+
+def test_winnow_select_matches_reference():
+    from rify_ray.stages.text import _winnow_select
+
+    data = b"abracadabra abracadabra yes abracadabra"
+    arr = np.frombuffer(data, dtype=np.uint8)
+    for k, w in [(3, 4), (4, 5), (2, 8), (5, 50)]:
+        got = list(_winnow_select(arr, k, w))
+        assert got == _winnow_reference(list(data), k, w), (k, w)
+
+
+def test_winnow_fingerprint_overlap_property():
+    from rify_ray.stages.text import text_stage, winnow_fingerprint_fn
+
+    base = "the quick brown fox jumps over the lazy dog while the band plays on"
+    docs = [base, "PREFIX " + base + " SUFFIX", "totally different content here"]
+    rows = text_stage(_docs(docs), winnow_fingerprint_fn(k=4, w=5)).take_all()
+    by_id = {r["doc_id"]: r for r in rows}
+    # identical text → identical digest (deterministic), and a shared
+    # long substring → shared selected hashes, so sketch sizes are close
+    rows2 = text_stage(_docs(docs), winnow_fingerprint_fn(k=4, w=5)).take_all()
+    assert {r["doc_id"]: r["digest"] for r in rows2} == {
+        i: by_id[i]["digest"] for i in by_id
+    }
+    assert by_id[0]["digest"] != by_id[2]["digest"]
+    assert by_id[0]["n_selected"] > 0
