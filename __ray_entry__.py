@@ -261,6 +261,45 @@ def _q_kg_customer_region_incr(sf_dir: str):
         return _collect(store.decoded_dataset(derived_only=True))
 
 
+def _q_kg_customer_region_retract(sf_dir: str):
+    """DRed retraction, oracle-checked: the full closure is built with
+    lineage, then every odd customer's in_nation premise is RETRACTED
+    (``engine.remove_premises_store``: lineage overdeletion walk →
+    atomic physical delete → rederive round → resumed fixpoint).  The
+    surviving derived set must hash-match the SQL closure over even
+    customers only."""
+    import tempfile
+
+    import polars as pl
+    import ray.data
+
+    from rify_ray import engine
+    from rify_ray.pipelines.relational import customer_nation_quads, nation_region_quads
+    from rify_ray.util import polars_to_arrow_string
+
+    cust = _collect_quads(customer_nation_quads(sf_dir))
+    nr = _collect_quads(nation_region_quads(sf_dir))
+    # odd customers: subject "c:<odd custkey>"
+    odd = cust.filter(
+        pl.col("s").str.strip_prefix("c:").cast(pl.Int64) % 2 == 1
+    )
+    with tempfile.TemporaryDirectory() as d:
+        engine.infer_store(
+            ray.data.from_arrow(polars_to_arrow_string(pl.concat([cust, nr]))),
+            _rules_in_region(),
+            f"{d}/kg",
+            num_partitions=8,
+            with_lineage=True,
+        )
+        store = engine.remove_premises_store(
+            ray.data.from_arrow(polars_to_arrow_string(odd)),
+            _rules_in_region(),
+            f"{d}/kg",
+            num_partitions=8,
+        )
+        return _collect(store.decoded_dataset(derived_only=True))
+
+
 def _q_kg_conational_store(sf_dir: str):
     """The conational closure — the biggest derived set in the suite
     (10.26 M facts at sf0.1) — on the STORE-RESIDENT path: premises
@@ -902,6 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_customer_region": _q_kg_customer_region,
         "kg_customer_region_store": _q_kg_customer_region_store,
         "kg_customer_region_incr": _q_kg_customer_region_incr,
+        "kg_customer_region_retract": _q_kg_customer_region_retract,
         "kg_conational": _q_kg_conational,
         "kg_conational_store": _q_kg_conational_store,
         "kg_nation_chain_closure": _q_kg_nation_chain_closure,
@@ -1018,6 +1058,13 @@ def oracle_sql() -> dict[str, str]:
             "'r:' || r_regionkey AS o, 'default_graph' AS g "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "kg_customer_region_retract": (
+            "SELECT 'c:' || c_custkey AS s, 'in_region' AS p, "
+            "'r:' || r_regionkey AS o, 'default_graph' AS g "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_custkey % 2 = 0"
         ),
         "kg_conational": (
             "WITH ents AS ("

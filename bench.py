@@ -161,6 +161,7 @@ def run_queries() -> dict:
         "kg_conational_store",
         "kg_nation_chain_closure",
         "kg_customer_region_incr",
+        "kg_customer_region_retract",
         "dedup_exact_docs",
         "text_token_counts",
         "text_lang_id",

@@ -1468,6 +1468,365 @@ def add_premises_store(
     )
 
 
+def _lineage_files(lineage_dir: str) -> List[str]:
+    return sorted(
+        os.path.join(root, n)
+        for root, _dirs, names in os.walk(lineage_dir)
+        for n in names
+        if n.endswith(".parquet")
+    )
+
+
+def _scan_lineage_dependents(
+    lineage_dir: str, frontier: pl.DataFrame, walk_rules: Sequence[Rule], fact_dtype
+) -> pl.DataFrame:
+    """Forward dependence scan (the DRed overdeletion step): one
+    streaming pass over the per-generation lineage parquet returning the
+    HEAD quads of every recorded derivation whose reconstructed body
+    contains a frontier fact.
+
+    Body reconstruction is vectorized per rule: the lkey splits into
+    (rule_index, instantiations), each body atom's columns are either a
+    rule constant literal or an instantiation column, and one semi-join
+    against the broadcast frontier finds the dependents — no Python
+    per-row decode."""
+    import ray
+    import ray.data
+
+    files = _lineage_files(lineage_dir)
+    empty = pl.DataFrame(schema={c: fact_dtype for c in FACT_COLS})
+    if not files or frontier.height == 0:
+        return empty
+    out_schema = pa.schema(
+        [(c, pa.int64() if fact_dtype == pl.Int64 else pa.string()) for c in FACT_COLS]
+    )
+    fref = ray.put(frontier.select(FACT_COLS))
+    var_pos = [
+        {name: k for k, name in enumerate(r.canonical_unbound())} for r in walk_rules
+    ]
+
+    def probe(batch: pa.Table) -> pa.Table:
+        blk = pl.from_arrow(batch)
+        if blk.height == 0:
+            return out_schema.empty_table()
+        blk = blk.with_columns(pl.col("lkey").str.split(LKEY_SEP).alias("_parts"))
+        blk = blk.with_columns(
+            pl.col("_parts").list.get(0).cast(pl.Int64).alias("_ri")
+        )
+        fr = ray.get(fref)
+        hits = []
+        for ri in blk["_ri"].unique().to_list():
+            rule = walk_rules[ri]
+            vp = var_pos[ri]
+            sub = blk.filter(pl.col("_ri") == ri)
+            sub = sub.with_columns(
+                [
+                    pl.col("_parts").list.get(k + 1).cast(fact_dtype).alias(f"_v{k}")
+                    for k in range(len(vp))
+                ]
+            )
+            for atom in rule.if_all:
+                exprs = []
+                for j, e in enumerate(atom):
+                    if e.is_unbound():
+                        exprs.append(pl.col(f"_v{vp[e.value]}").alias(f"_p_{FACT_COLS[j]}"))
+                    else:
+                        exprs.append(
+                            pl.lit(e.value, dtype=fact_dtype).alias(f"_p_{FACT_COLS[j]}")
+                        )
+                cand = sub.select([*[pl.col(c) for c in FACT_COLS], *exprs])
+                hit = cand.join(
+                    fr.rename({c: f"_p_{c}" for c in FACT_COLS}),
+                    on=[f"_p_{c}" for c in FACT_COLS],
+                    how="semi",
+                )
+                if hit.height:
+                    hits.append(hit.select(FACT_COLS))
+        if not hits:
+            return out_schema.empty_table()
+        from .util import polars_to_arrow_string
+
+        return polars_to_arrow_string(pl.concat(hits).unique()).cast(out_schema)
+
+    tabs = [
+        b
+        for b in ray.data.read_parquet(files)
+        .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    ]
+    if not tabs:
+        return empty
+    return pl.from_arrow(pa.concat_tables(tabs)).unique()
+
+
+def _filter_lineage_dirs(lineage_dir: str, deleted: pl.DataFrame) -> None:
+    """Drop lineage rows whose HEAD is a deleted fact, rewriting each
+    affected generation directory in place (write-new → swap; a crashed
+    swap is healed by :func:`_heal_lineage_dirs` on the next retraction).
+    """
+    import shutil
+
+    import ray
+    import ray.data
+
+    from .util import polars_to_arrow_string
+
+    if not os.path.isdir(lineage_dir) or deleted.height == 0:
+        return
+    dref = ray.put(deleted.select(FACT_COLS))
+    for gd in sorted(os.listdir(lineage_dir)):
+        if not gd.startswith("gen=") or gd.endswith((".new", ".old")):
+            continue
+        d = os.path.join(lineage_dir, gd)
+        files = _lineage_files(d)
+        if not files:
+            continue
+
+        def keep(batch: pa.Table) -> pa.Table:
+            blk = pl.from_arrow(batch)
+            kept = blk.join(ray.get(dref), on=FACT_COLS, how="anti")
+            return polars_to_arrow_string(kept).cast(batch.schema)
+
+        filtered = (
+            ray.data.read_parquet(files)
+            .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+        )
+        from .util import drop_empty_blocks
+
+        filtered = drop_empty_blocks(filtered)
+        new_dir = d + ".new"
+        shutil.rmtree(new_dir, ignore_errors=True)
+        os.makedirs(new_dir, exist_ok=True)
+        if filtered is not None and filtered.count() > 0:
+            filtered.write_parquet(new_dir)
+        old_dir = d + ".old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.rename(d, old_dir)
+        os.rename(new_dir, d)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
+
+def _heal_lineage_dirs(lineage_dir: str) -> None:
+    """Repair a half-finished :func:`_filter_lineage_dirs` swap: an
+    orphan ``gen=K.old`` with no ``gen=K`` is renamed back (the filter
+    re-runs idempotently); stray ``.new``/``.old`` leftovers are
+    dropped."""
+    import shutil
+
+    if not os.path.isdir(lineage_dir):
+        return
+    for gd in sorted(os.listdir(lineage_dir)):
+        d = os.path.join(lineage_dir, gd)
+        if gd.endswith(".old"):
+            base = d[: -len(".old")]
+            if not os.path.isdir(base):
+                os.rename(d, base)
+            else:
+                shutil.rmtree(d, ignore_errors=True)
+        elif gd.endswith(".new"):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def remove_premises_store(
+    premises_ds,
+    rules: Sequence[Rule],
+    store_path: str,
+    *,
+    num_partitions: int = 32,
+    salt_factor: int = 1,
+    max_iterations: int = 10_000,
+    broadcast_rows: int = 500_000,
+    max_overdelete: int = 5_000_000,
+    dict_encode: bool = True,
+    compact_every: Optional[int] = 64,
+):
+    """DRed-style retraction (delete + rederive, Gupta/Mumick/
+    Subrahmanian, SIGMOD 1993) over a live :func:`infer_store` fixpoint
+    built with ``with_lineage=True``:
+
+    1. **Overdelete** — a forward walk over the recorded lineage marks
+       every fact whose (first-recorded) derivation transitively used a
+       retracted premise (:func:`_scan_lineage_dependents`, one
+       streaming lineage scan per dependency level).
+    2. **Delete** — the retracted premises plus the overdeleted set are
+       physically removed (:meth:`TripleStore.delete_facts`, atomic
+       manifest swap) along with their lineage rows.
+    3. **Rederive** — one semi-naive round over the REMAINING store
+       (delta = whole remainder — the standard DRed rederivation,
+       restricted by insert-if-absent to facts actually missing) puts
+       back everything still derivable another way, then the resumed
+       fixpoint propagates (cost scales with the retracted closure, not
+       the store).
+
+    The result equals a from-scratch ``infer_store`` over the surviving
+    premises (asserted by tests) — including the subtle case where a
+    retracted premise is itself re-derivable from the remaining facts
+    (it stays, as a DERIVED fact).  The overdeleted set is held as a
+    driver frame bounded by ``max_overdelete`` rows (~32 bytes/row of
+    Int64 ids — the retraction batch's blast radius, independent of the
+    evaluator's ``broadcast_rows`` regime bound); larger blast radii
+    raise rather than silently degrade."""
+    import ray.data
+
+    from .eval_hybrid import run_iteration_hybrid
+    from .eval_shuffle import IncrementalMatches, collect_to_polars, run_iteration_core
+    from .state import TripleStore
+
+    value_type = "int64" if dict_encode else "string"
+    store = TripleStore(store_path, num_partitions=num_partitions, value_type=value_type)
+    if not store.generations:
+        raise ValueError(f"no store at {store_path}")
+    if store.value_type != value_type:
+        raise ValueError(
+            f"store at {store_path} is {store.value_type}-typed; "
+            f"pass dict_encode={store.value_type == 'int64'}"
+        )
+    store.check_hash_pin()
+    lineage_dir = os.path.join(store_path, "lineage")
+    if not os.path.isdir(lineage_dir):
+        raise ValueError(
+            "remove_premises_store requires a store built with with_lineage=True "
+            "(retraction needs the recorded derivations to walk)"
+        )
+    _heal_lineage_dirs(lineage_dir)
+    rules = list(rules)
+    eng_rules = _encode_rules_hash(rules) if dict_encode else rules
+    fact_dtype = pl.Int64 if dict_encode else pl.Utf8
+
+    if isinstance(premises_ds, pa.Table):
+        premises_ds = ray.data.from_arrow(premises_ds)
+    prem_df = collect_to_polars(premises_ds.select_columns(FACT_COLS))
+    if prem_df.width == 0:
+        prem_df = pl.DataFrame(schema={c: pl.Utf8 for c in FACT_COLS})
+    prem_df = prem_df.select(FACT_COLS).unique()
+    if dict_encode:
+        prem_df = prem_df.with_columns(
+            [
+                pl.col(c).cast(pl.Utf8).hash(seed=0).reinterpret(signed=True).alias(c)
+                for c in FACT_COLS
+            ]
+        )
+    if prem_df.height > max_overdelete:
+        raise ValueError(
+            "retraction batch exceeds max_overdelete; split it into smaller batches"
+        )
+
+    # 1. overdeletion: iterate lineage dependency levels
+    deleted = prem_df
+    frontier = prem_df
+    while frontier.height:
+        heads = _scan_lineage_dependents(lineage_dir, frontier, eng_rules, fact_dtype)
+        fresh = heads.join(deleted, on=FACT_COLS, how="anti") if heads.height else heads
+        if fresh.height == 0:
+            break
+        deleted = pl.concat([deleted, fresh])
+        if deleted.height > max_overdelete:
+            raise ValueError(
+                "overdeletion frontier exceeds max_overdelete — the retracted "
+                "closure is too large for the driver-resident walk; retract in "
+                "smaller batches or rebuild the store from surviving premises"
+            )
+        frontier = fresh
+
+    # 2. physical delete (facts + lineage heads)
+    res = store.delete_facts(deleted)
+    if res["deleted"] == 0:
+        return store
+    _filter_lineage_dirs(lineage_dir, deleted)
+
+    # 3. rederive: one semi-naive round with delta = the whole remainder
+    plans = compile_rules(eng_rules)
+    fact_pa = pa.int64() if dict_encode else pa.string()
+    pin_schema = pa.schema([(c, fact_pa) for c in FACT_COLS]).append(
+        pa.field("lkey", pa.string())
+    )
+    last_meta = store.generations[-1].get("metrics", {})
+    start_round = last_meta.get("round", len(store.generations) - 1) + 1
+    inc = IncrementalMatches(plans, broadcast_rows)
+    remaining = store.count()
+    new = None
+    if remaining == 0:
+        return store
+    if remaining <= broadcast_rows:
+        full_df = collect_to_polars(store.dataset())
+        if full_df.width == 0:
+            full_df = pl.DataFrame(schema={c: fact_dtype for c in FACT_COLS})
+        full_df = full_df.select(FACT_COLS)
+        inc.advance_small(full_df)
+        new = run_iteration_hybrid(
+            full_df,
+            plans,
+            inc,
+            lambda: store.dataset().materialize(),
+            full_small=full_df,
+            with_lineage=True,
+            broadcast_rows=broadcast_rows,
+            num_partitions=num_partitions,
+            salt_factor=salt_factor,
+            pin_schema=pin_schema,
+            fact_dtype=fact_dtype,
+        )
+    else:
+        full_ds = store.dataset().materialize()
+        empty_ds = ray.data.from_arrow(store.quad_schema().empty_table())
+        inc.advance(full_ds)
+        new = run_iteration_core(
+            full_ds,
+            empty_ds,
+            full_ds,
+            plans,
+            with_lineage=True,
+            num_partitions=num_partitions,
+            salt_factor=salt_factor,
+            pin_schema=pin_schema,
+            match_cache=inc.cache(),
+        )
+    import shutil
+
+    if isinstance(new, pl.DataFrame) and new.height:
+        gen = store.next_gen
+        d = os.path.join(lineage_dir, f"gen={gen:05d}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        new.select([*FACT_COLS, "lkey"]).write_parquet(os.path.join(d, "lineage.parquet"))
+        store.add_small(
+            new.select(FACT_COLS), extra={"round": start_round, "evaluator": "rederive"}
+        )
+    elif new is not None and not isinstance(new, pl.DataFrame):
+        cnt = new.count()
+        if cnt:
+            gen = store.next_gen
+            d = os.path.join(lineage_dir, f"gen={gen:05d}")
+            shutil.rmtree(d, ignore_errors=True)
+            new.write_parquet(d)
+            store.add(
+                new.select_columns(FACT_COLS),
+                precleaned=True,
+                extra={"round": start_round, "evaluator": "rederive"},
+            )
+        else:
+            new = None
+    if new is None or (isinstance(new, pl.DataFrame) and new.height == 0):
+        return store
+
+    # propagate: resumed fixpoint continues from the rederived delta
+    return infer_store(
+        ray.data.from_arrow(store.quad_schema().empty_table()),
+        rules,
+        store_path,
+        num_partitions=num_partitions,
+        salt_factor=salt_factor,
+        max_iterations=max_iterations,
+        resume=True,
+        with_lineage=True,
+        broadcast_rows=broadcast_rows,
+        dict_encode=dict_encode,
+        compact_every=compact_every,
+    )
+
+
 def _walk_lineage_generations(
     lineage_dir: str,
     goals: set,

@@ -426,6 +426,96 @@ class TripleStore:
         self._write_manifest()
         return metrics
 
+    def delete_facts(self, facts_df) -> Dict:
+        """Physically remove the given quads (a driver-small polars
+        frame — the engine bounds retraction batches) from every
+        generation that holds any of them.
+
+        Same commit discipline as :meth:`compact`: each affected
+        generation is rewritten FILTERED into a fresh generation
+        directory (monotonic number), one atomic manifest write swaps
+        all of them in (list positions, ``round`` metrics and the
+        premise/derived boundary are preserved), and the old
+        directories are removed only after the commit.  Untouched
+        generations are probed (one broadcast semi-join scan) but never
+        rewritten.  Returns ``{"deleted": n, "gens_rewritten": [...]}``.
+        """
+        import shutil
+
+        import polars as pl
+        import ray
+        import ray.data
+
+        from ..util import drop_empty_blocks
+
+        if facts_df.height == 0:
+            return {"deleted": 0, "gens_rewritten": []}
+        cast_t = pl.Int64 if self.value_type == "int64" else pl.Utf8
+        fdf = facts_df.select(
+            [pl.col(c).cast(cast_t) for c in QUAD_COLS]
+        ).unique()
+        fref = ray.put(fdf)
+
+        def hits_fn(batch: pa.Table) -> pa.Table:
+            blk = pl.from_arrow(batch).select(QUAD_COLS)
+            h = blk.join(ray.get(fref), on=QUAD_COLS, how="semi")
+            return pa.table({"n": pa.array([h.height], pa.int64())})
+
+        def keep_fn(batch: pa.Table) -> pa.Table:
+            blk = pl.from_arrow(batch).select(QUAD_COLS)
+            kept = blk.join(ray.get(fref), on=QUAD_COLS, how="anti")
+            return kept.to_arrow().cast(self.quad_schema())
+
+        new_entries = list(self.generations)
+        rewritten: List[int] = []
+        old_dirs: List[str] = []
+        deleted_total = 0
+        for i, g in enumerate(self.generations):
+            if g["rows"] == 0:
+                continue
+            gen_ds = self.dataset(first_gen=i, last_gen=i)
+            n_hits = sum(
+                b["n"][0].as_py()
+                for b in gen_ds.map_batches(
+                    hits_fn, batch_format="pyarrow", zero_copy_batch=True
+                ).iter_batches(batch_size=None, batch_format="pyarrow")
+                if b.num_rows and b.num_columns
+            )
+            if n_hits == 0:
+                continue
+            new_gen = self.next_gen + len(rewritten)
+            new_dir = os.path.join(self.path, f"gen={new_gen:05d}")
+            shutil.rmtree(new_dir, ignore_errors=True)  # stale crashed attempt
+            kept_ds = gen_ds.map_batches(
+                keep_fn, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+            kept_ds = drop_empty_blocks(kept_ds)
+            kept_rows = 0
+            if kept_ds is not None:
+                parted = kept_ds.map_batches(
+                    _hash_part_fn(self.num_partitions),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                parted.write_parquet(new_dir, partition_cols=["part"])
+                kept_rows = kept_ds.count()
+            entry = dict(new_entries[i])
+            entry["gen"] = new_gen
+            entry["rows"] = int(kept_rows)
+            entry["metrics"] = {**entry.get("metrics", {}), "deleted": int(n_hits)}
+            new_entries[i] = entry
+            rewritten.append(new_gen)
+            old_dirs.append(os.path.join(self.path, f"gen={g['gen']:05d}"))
+            deleted_total += n_hits
+        if not rewritten:
+            return {"deleted": 0, "gens_rewritten": []}
+        self.manifest["generations"] = new_entries
+        self.manifest["next_gen"] = max(self.next_gen, rewritten[-1] + 1)
+        self._write_manifest()  # atomic commit point
+        for d in old_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return {"deleted": int(deleted_total), "gens_rewritten": rewritten}
+
     def compact(self, first_gen: int = 0) -> None:
         """Rewrite generations ``[first_gen:]`` (list positions) as ONE
         new generation — bounds the store's file count on long fixpoints

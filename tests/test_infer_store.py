@@ -419,3 +419,100 @@ def test_add_premises_store_string_typed(tmp_path):
         engine.add_premises_store(
             _premises_table(facts[:1]), ancestry_rules(), path, num_partitions=4
         )
+
+
+def test_remove_premises_store_matches_full_recompute(tmp_path):
+    """DRed retraction: break the ring, the closure must shrink to the
+    remaining path's reachability — byte-equal to a fresh fixpoint over
+    the surviving premises."""
+    n = 8
+    facts = ancestry_facts(n)
+    keep, drop = facts[:6], facts[6:]  # remove 2 edges -> path 0..6
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts), ancestry_rules(), path,
+        num_partitions=4, with_lineage=True,
+    )
+    s2 = engine.remove_premises_store(
+        _premises_table(drop), ancestry_rules(), path, num_partitions=4
+    )
+    got = _decoded_set(s2)
+    full = engine.infer_store(
+        _premises_table(keep), ancestry_rules(), str(tmp_path / "full"),
+        num_partitions=4, with_lineage=True,
+    )
+    assert got == _decoded_set(full)
+    # sanity: the ring closure (all pairs) strictly shrank
+    assert got < set(facts) | ancestry_expected(n)
+
+
+def test_remove_premises_rederivable_premise_stays(tmp_path):
+    """Retracting a premise that is ALSO derivable from surviving facts
+    keeps it in the closure (as a derived fact) — the subtle DRed case."""
+    from rify_ray import B, Rule, U
+
+    DG = "default_graph"
+    rules = [
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), B(DG)]],
+            [[U("a"), B("ancestor"), U("b"), B(DG)]],
+        )
+    ]
+    facts = [
+        ("x", "parent", "y", DG),
+        ("x", "ancestor", "y", DG),  # redundant premise, also derivable
+    ]
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts), rules, path, num_partitions=4, with_lineage=True
+    )
+    s2 = engine.remove_premises_store(
+        _premises_table([("x", "ancestor", "y", DG)]), rules, path, num_partitions=4
+    )
+    assert _decoded_set(s2) == {("x", "parent", "y", DG), ("x", "ancestor", "y", DG)}
+
+
+def test_remove_premises_store_requires_lineage(tmp_path):
+    facts = ancestry_facts(4)
+    path = str(tmp_path / "kg")
+    engine.infer_store(_premises_table(facts), ancestry_rules(), path, num_partitions=4)
+    with pytest.raises(ValueError, match="with_lineage"):
+        engine.remove_premises_store(
+            _premises_table(facts[:1]), ancestry_rules(), path, num_partitions=4
+        )
+
+
+def test_remove_premises_store_noop_for_absent_facts(tmp_path):
+    facts = ancestry_facts(5)
+    path = str(tmp_path / "kg")
+    s1 = engine.infer_store(
+        _premises_table(facts), ancestry_rules(), path,
+        num_partitions=4, with_lineage=True,
+    )
+    want = _decoded_set(s1)
+    s2 = engine.remove_premises_store(
+        _premises_table([("ghost", "parent", "nobody", "default_graph")]),
+        ancestry_rules(), path, num_partitions=4,
+    )
+    assert _decoded_set(s2) == want
+
+
+def test_remove_premises_store_shuffle_rederive_branch(tmp_path):
+    """broadcast_rows below the store size pins the distributed
+    rederivation round (run_iteration_core with delta = remainder)."""
+    n = 7
+    facts = ancestry_facts(n)
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts), ancestry_rules(), path,
+        num_partitions=4, with_lineage=True,
+    )
+    s2 = engine.remove_premises_store(
+        _premises_table(facts[5:]), ancestry_rules(), path,
+        num_partitions=4, broadcast_rows=10,
+    )
+    full = engine.infer_store(
+        _premises_table(facts[:5]), ancestry_rules(), str(tmp_path / "full"),
+        num_partitions=4, with_lineage=True,
+    )
+    assert _decoded_set(s2) == _decoded_set(full)
