@@ -1301,7 +1301,7 @@ def add_premises_store(
     num_partitions: int = 32,
     salt_factor: int = 1,
     max_iterations: int = 10_000,
-    with_lineage: bool = False,
+    with_lineage: Optional[bool] = None,
     broadcast_rows: int = 500_000,
     dict_encode: bool = True,
     compact_every: Optional[int] = 64,
@@ -1340,6 +1340,11 @@ def add_premises_store(
 
     value_type = "int64" if dict_encode else "string"
     store = TripleStore(store_path, num_partitions=num_partitions, value_type=value_type)
+    if with_lineage is None:
+        # auto-detect: a lineage-tracked store must KEEP recording
+        # lineage through incremental rounds, or later prove_store /
+        # retraction calls would silently miss the new derivations
+        with_lineage = os.path.isdir(os.path.join(store_path, "lineage"))
     if not store.generations:
         return infer_store(
             new_premises_ds,

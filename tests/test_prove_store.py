@@ -174,3 +174,36 @@ def test_prove_store_lineage_sweep_scans_each_generation_once(tmp_path):
     assert gens_scanned == sorted(gens_scanned, reverse=True)
     assert len(gens_scanned) == len(set(gens_scanned)), "each gen scanned at most once"
     assert len(gens_scanned) <= len(lineage_gens)
+
+
+def test_prove_store_after_incremental_maintenance(tmp_path):
+    """Lineage stays consistent across the full maintenance lifecycle:
+    build with lineage → add premises (lineage auto-continues) → prove a
+    fact only derivable through the added premises → retract → the
+    now-underivable goal exhausts, a surviving goal still proves."""
+    facts = ancestry_facts(8)
+    rules = ancestry_rules()
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _tbl(facts[:6]), rules, path, num_partitions=4, with_lineage=True
+    )
+    engine.add_premises_store(_tbl(facts[6:]), rules, path, num_partitions=4)
+    # ring now closed: node_3 reaches node_1 only THROUGH the added edges
+    wrap_goal = ("node_3", "ancestor", "node_1", DG)
+    proof = engine.prove_store(_tbl(facts), [wrap_goal], rules, path, num_partitions=4)
+    v = engine.validate(rules, proof)
+    assert wrap_goal in v.implied
+    assert v.assumed <= set(facts)
+    # retract the ring-closing edges again
+    engine.remove_premises_store(_tbl(facts[6:]), rules, path, num_partitions=4)
+    with pytest.raises(ExhaustedSearchSpace):
+        engine.prove_store(
+            _tbl(facts[:6]), [wrap_goal], rules, path, num_partitions=4
+        )
+    path_goal = ("node_0", "ancestor", "node_3", DG)
+    proof2 = engine.prove_store(
+        _tbl(facts[:6]), [path_goal], rules, path, num_partitions=4
+    )
+    v2 = engine.validate(rules, proof2)
+    assert path_goal in v2.implied
+    assert v2.assumed <= set(facts[:6])
