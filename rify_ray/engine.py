@@ -1328,6 +1328,13 @@ def add_premises_store(
     dictionary with the same pinned hash kernel and full collision
     checking (:func:`_extend_store_terms`).
 
+    Caveat (fact-set semantics, like the reference): a "new" premise
+    that is already DERIVED in the store adds no information and is
+    anti-joined away — its premise-ness is not recorded, so a later
+    :func:`remove_premises_store` that overdeletes its derivation also
+    removes it.  Re-add it afterwards if it must outlive its
+    derivation.
+
     A fresh/empty ``store_path`` falls through to plain
     :func:`infer_store`."""
     import pyarrow.compute as pc
@@ -1717,6 +1724,15 @@ def remove_premises_store(
         raise ValueError(
             "retraction batch exceeds max_overdelete; split it into smaller batches"
         )
+    plans = compile_rules(eng_rules)
+    # an unconditional rule's head holds with NO premises — retracting it
+    # is a no-op (rounds never re-fire empty bodies, so it would not be
+    # rederived; src/infer.rs:36-50 fires them exactly once up front)
+    uncond = _fire_unconditional(plans, False, fact_dtype)
+    if uncond.height:
+        prem_df = prem_df.join(uncond.select(FACT_COLS), on=FACT_COLS, how="anti")
+        if prem_df.height == 0:
+            return store
 
     # 1. overdeletion: iterate lineage dependency levels
     deleted = prem_df
@@ -1742,7 +1758,6 @@ def remove_premises_store(
     _filter_lineage_dirs(lineage_dir, deleted)
 
     # 3. rederive: one semi-naive round with delta = the whole remainder
-    plans = compile_rules(eng_rules)
     fact_pa = pa.int64() if dict_encode else pa.string()
     pin_schema = pa.schema([(c, fact_pa) for c in FACT_COLS]).append(
         pa.field("lkey", pa.string())

@@ -516,3 +516,96 @@ def test_remove_premises_store_shuffle_rederive_branch(tmp_path):
         num_partitions=4, with_lineage=True,
     )
     assert _decoded_set(s2) == _decoded_set(full)
+
+
+def test_remove_premises_unconditional_head_survives(tmp_path):
+    """Retracting a fact that an EMPTY-BODY rule implies is a no-op:
+    the fact holds with no premises at all (src/infer.rs:36-50)."""
+    from rify_ray import B, Rule, U
+
+    DG = "default_graph"
+    rules = [
+        Rule.create([], [[B("the"), B("sky"), B("is_blue"), B(DG)]]),
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), B(DG)]],
+            [[U("a"), B("ancestor"), U("b"), B(DG)]],
+        ),
+    ]
+    facts = [("x", "parent", "y", DG), ("the", "sky", "is_blue", DG)]
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts), rules, path, num_partitions=4, with_lineage=True
+    )
+    s2 = engine.remove_premises_store(
+        _premises_table([("the", "sky", "is_blue", DG)]), rules, path, num_partitions=4
+    )
+    assert ("the", "sky", "is_blue", DG) in _decoded_set(s2)
+
+
+def test_maintenance_lifecycle_matches_local_oracle_random(tmp_path):
+    """Seeded random instances through the full maintenance lifecycle:
+    build a lineage-tracked store from half the facts, ADD the rest
+    (incremental continuation), then RETRACT a random subset (DRed) —
+    after each step the store's full fact set must equal the local
+    rify-semantics oracle over the premises that are currently in."""
+    import random
+
+    from rify_ray import local
+    from rify_ray.model import B, Rule, U, UnboundImplied
+
+    TERMS = ["t0", "t1", "t2", "t3"]
+    PREDS = ["p0", "p1"]
+    GRAPHS = ["g0"]
+    VARS = ["x", "y", "z"]
+
+    def rand_atom(rng, allowed_vars):
+        atom, used = [], set()
+        for _ in range(4):
+            if rng.random() < 0.5:
+                v = rng.choice(allowed_vars)
+                if v not in used:
+                    used.add(v)
+                    atom.append(U(v))
+                    continue
+            atom.append(B(rng.choice(TERMS + PREDS + GRAPHS)))
+        return atom, used
+
+    def oracle_full(facts, rules):
+        prem = sorted(set(facts))
+        return set(prem) | set(map(tuple, local.infer(prem, rules)))
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        facts = [
+            (rng.choice(TERMS), rng.choice(PREDS), rng.choice(TERMS), rng.choice(GRAPHS))
+            for _ in range(rng.randint(6, 10))
+        ]
+        facts = sorted(set(facts))
+        rules = []
+        while len(rules) < 2:
+            body_atoms, used = [], set()
+            for _ in range(rng.randint(1, 2)):
+                a, u = rand_atom(rng, VARS)
+                body_atoms.append(a)
+                used |= u
+            head, _hu = rand_atom(rng, sorted(used) or VARS)
+            try:
+                rules.append(Rule.create(body_atoms, [head]))
+            except UnboundImplied:
+                continue
+        half = len(facts) // 2
+        path = str(tmp_path / f"kg{seed}")
+        engine.infer_store(
+            _premises_table(facts[:half]), rules, path,
+            num_partitions=4, with_lineage=True,
+        )
+        s = engine.add_premises_store(
+            _premises_table(facts[half:]), rules, path, num_partitions=4
+        )
+        assert _decoded_set(s) == oracle_full(facts, rules), ("add", seed)
+        drop = [f for f in facts if rng.random() < 0.4] or facts[:1]
+        s = engine.remove_premises_store(
+            _premises_table(drop), rules, path, num_partitions=4
+        )
+        remaining = [f for f in facts if f not in set(drop)]
+        assert _decoded_set(s) == oracle_full(remaining, rules), ("remove", seed)
