@@ -174,6 +174,9 @@ def run_queries() -> dict:
         "docs_redact",
         "docs_stratified_sample",
         "docs_quality_filter",
+        "docs_ngram_decontaminate",
+        "docs_pack_bins",
+        "text_winnow_fp",
         "ngram_top20",
         "events_window_counts",
         "events_hopping_counts",

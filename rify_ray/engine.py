@@ -1191,22 +1191,21 @@ def infer_store(
             else:
                 small_delta = None
                 inc.advance(delta_ds)
-        # bound on-disk file count for long fixpoints: fold the derived
-        # generations into one.  Compaction starts PAST the last premise
-        # generation (position 0 and any incremental ``premise-add``), so
-        # the derived/premise boundary — and ``dataset(derived_only=True)``
-        # — survives.  Disk-only; in-memory delta/full datasets stream on.
+        # bound on-disk file count for long fixpoints: fold every
+        # maximal run of consecutive DERIVED generations into one.
+        # Premise generations (position 0 and incremental premise-adds)
+        # keep their positions, so the derived/premise boundary — and
+        # ``dataset(derived_only=True)`` — survives, and derived runs
+        # committed before a later premise-add still get folded.
+        # Disk-only; in-memory delta/full datasets stream on.
         if compact_every:
-            base = 1 + max(
-                (
-                    i
-                    for i, g in enumerate(store.generations)
-                    if g.get("metrics", {}).get("evaluator") == "premise-add"
-                ),
-                default=0,
+            n_derived = sum(
+                1
+                for i, g in enumerate(store.generations)
+                if i > 0 and g.get("metrics", {}).get("evaluator") != "premise-add"
             )
-            if len(store.generations) - base >= compact_every:
-                store.compact(first_gen=base)
+            if n_derived >= compact_every:
+                store.compact_derived()
     if remaining is not None:
         return (store, remaining.height == 0)
     return store
@@ -1450,7 +1449,19 @@ def add_premises_store(
             new_premises_ds = new_premises_ds.map_batches(
                 _hash_encode_quads_fn(), batch_format="pyarrow", zero_copy_batch=True
             )
-        joined = new_premises_ds.join(
+        from .util import distinct
+
+        # one in-batch distinct + ONE anti-join against the store; the
+        # result is then precleaned so store.add skips its own (second)
+        # full-store anti-join exchange
+        deduped = distinct(
+            new_premises_ds.select_columns(FACT_COLS),
+            FACT_COLS,
+            schema=store.quad_schema(),
+        )
+        if deduped is None:
+            return store
+        joined = deduped.join(
             store.dataset().materialize(),
             "left_anti",
             num_partitions,
@@ -1461,7 +1472,7 @@ def add_premises_store(
             return store
         store.add(
             joined.select_columns(FACT_COLS),
-            precleaned=False,
+            precleaned=True,
             extra={"round": start_round, "evaluator": "premise-add"},
         )
 
@@ -1707,6 +1718,34 @@ def remove_premises_store(
     eng_rules = _encode_rules_hash(rules) if dict_encode else rules
     fact_dtype = pl.Int64 if dict_encode else pl.Utf8
 
+    # complete a pending retraction a crashed prior call left behind
+    # (marker written before its first destructive step), then reopen
+    # the store — the resumed fixpoint works on a fresh manifest
+    pending_marker = os.path.join(store_path, "retract_pending.parquet")
+    if os.path.exists(pending_marker):
+        pending = pl.read_parquet(pending_marker).select(FACT_COLS)
+        pending = pending.with_columns([pl.col(c).cast(fact_dtype) for c in FACT_COLS])
+        _retract_finish(
+            store,
+            pending,
+            rules,
+            compile_rules(eng_rules),
+            store_path,
+            lineage_dir,
+            dict_encode=dict_encode,
+            fact_dtype=fact_dtype,
+            broadcast_rows=broadcast_rows,
+            num_partitions=num_partitions,
+            salt_factor=salt_factor,
+            max_iterations=max_iterations,
+            compact_every=compact_every,
+            resuming=True,
+        )
+        os.remove(pending_marker)
+        store = TripleStore(
+            store_path, num_partitions=num_partitions, value_type=value_type
+        )
+
     if isinstance(premises_ds, pa.Table):
         premises_ds = ray.data.from_arrow(premises_ds)
     prem_df = collect_to_polars(premises_ds.select_columns(FACT_COLS))
@@ -1751,13 +1790,75 @@ def remove_premises_store(
             )
         frontier = fresh
 
-    # 2. physical delete (facts + lineage heads)
+    # 2+3: physical delete + rederive, crash-resumable via the pending
+    # marker: the overdeleted set is durably recorded BEFORE any
+    # destructive step, so a crash anywhere in the tail re-runs it
+    # idempotently on the next call
+    marker = os.path.join(store_path, "retract_pending.parquet")
+    from .util import polars_to_arrow_string as _pas
+
+    import pyarrow.parquet as _pq
+
+    tmp = marker + ".tmp"
+    _pq.write_table(_pas(deleted.select(FACT_COLS)), tmp)
+    os.replace(tmp, marker)
+    out = _retract_finish(
+        store,
+        deleted,
+        rules,
+        plans,
+        store_path,
+        lineage_dir,
+        dict_encode=dict_encode,
+        fact_dtype=fact_dtype,
+        broadcast_rows=broadcast_rows,
+        num_partitions=num_partitions,
+        salt_factor=salt_factor,
+        max_iterations=max_iterations,
+        compact_every=compact_every,
+        resuming=False,
+    )
+    os.remove(marker)
+    return out
+
+
+def _retract_finish(
+    store,
+    deleted: pl.DataFrame,
+    rules: Sequence[Rule],
+    plans,
+    store_path: str,
+    lineage_dir: str,
+    *,
+    dict_encode: bool,
+    fact_dtype,
+    broadcast_rows: int,
+    num_partitions: int,
+    salt_factor: int,
+    max_iterations: int,
+    compact_every: Optional[int],
+    resuming: bool,
+):
+    """The destructive tail of :func:`remove_premises_store` — every
+    step is idempotent so a crashed attempt re-runs safely under the
+    pending marker: ``delete_facts`` is a no-op for already-absent
+    facts, the lineage filter drops only rows whose head is deleted,
+    the rederive round inserts-if-absent, and the resumed fixpoint
+    continues from wherever the last attempt stopped.  ``resuming``
+    forces the full tail even when nothing is left to delete (the
+    prior attempt may have crashed after the delete but before the
+    rederive)."""
+    import ray.data
+
+    from .eval_hybrid import run_iteration_hybrid
+    from .eval_shuffle import IncrementalMatches, collect_to_polars, run_iteration_core
+
     res = store.delete_facts(deleted)
-    if res["deleted"] == 0:
+    if res["deleted"] == 0 and not resuming:
         return store
     _filter_lineage_dirs(lineage_dir, deleted)
 
-    # 3. rederive: one semi-naive round with delta = the whole remainder
+    # rederive: one semi-naive round with delta = the whole remainder
     fact_pa = pa.int64() if dict_encode else pa.string()
     pin_schema = pa.schema([(c, fact_pa) for c in FACT_COLS]).append(
         pa.field("lkey", pa.string())
@@ -1829,7 +1930,13 @@ def remove_premises_store(
         else:
             new = None
     if new is None or (isinstance(new, pl.DataFrame) and new.height == 0):
-        return store
+        if not resuming:
+            # nothing rederived and nothing was in flight: the remainder
+            # of a complete closure minus a deleted cone is still closed
+            return store
+        # resuming: the crashed attempt may have committed a rederive
+        # generation and died mid-propagation — fall through to the
+        # resumed fixpoint (cheap no-op when already complete)
 
     # propagate: resumed fixpoint continues from the rederived delta
     return infer_store(

@@ -164,24 +164,17 @@ def _preagg_count(
 
     parts = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    n = parts.count()
-    if n == 0:
-        return ray.data.from_arrow(schema.empty_table())
-    if not forced_shuffle and n <= driver_rows_bound:
-        tabs = [
-            b
-            for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
-            if b.num_rows and b.num_columns
-        ]
-        df = (
-            plr.from_arrow(pa.concat_tables(tabs))
-            .group_by(key_cols)
-            .agg(plr.col("cnt").sum().alias(count_col))
-        )
-        return ray.data.from_arrow(df.to_arrow().cast(schema))
-    out = parts.groupby(key_cols).sum("cnt")
-    return _clean_groupby_output(out, schema, {count_col: "sum(cnt)"})
+    )
+    # the adaptive final merge is exactly the partial-sum fold
+    return _preagg_sum(
+        parts,
+        key_cols,
+        schema,
+        "cnt",
+        count_col,
+        driver_rows_bound=driver_rows_bound,
+        forced_shuffle=forced_shuffle,
+    )
 
 
 def top_users_by_events(sf_dir: str, k: int = 10, *, forced_shuffle: bool = False):

@@ -58,10 +58,14 @@ def write_partitioned_parquet(
                 os.path.join(path, name, "_SUCCESS")
             ):
                 done.append(int(name.split("=", 1)[1]))
-    # wipe partial output of incomplete buckets (Ray appends UUID-named
-    # files — a crashed attempt must not leave duplicates behind)
+    # wipe partial output of incomplete buckets AND any crash-leftover
+    # Ray staging dirs (the hive-style `__bucket=K` dirs a crashed
+    # attempt leaves before the rename below) — Ray appends UUID-named
+    # files, so stale dirs would publish duplicates on resume
     for name in list(os.listdir(path)):
-        if name.startswith("bucket="):
+        if name.startswith(f"{BUCKET_COL}="):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        elif name.startswith("bucket="):
             b = int(name.split("=", 1)[1])
             if b not in done:
                 shutil.rmtree(os.path.join(path, name), ignore_errors=True)
@@ -85,6 +89,19 @@ def write_partitioned_parquet(
     bucketed = bucketed.materialize()
     rows = bucketed.count()
     written: List[int] = []
+    if rows == 0 and not done:
+        # a successful write of an EMPTY dataset must still be readable:
+        # persist the schema (sans bucket col) so read_partitioned_parquet
+        # can return an empty Dataset instead of failing
+        import pyarrow.parquet as pq
+
+        # a fully-empty materialized pipeline may carry no schema; fall
+        # back to the input dataset's
+        sch = bucketed.schema() or ds.schema()
+        schema = pa.schema([f for f in sch.base_schema if f.name != BUCKET_COL])
+        tmp = os.path.join(path, "_empty.parquet.tmp")
+        pq.write_table(schema.empty_table(), tmp)
+        os.replace(tmp, os.path.join(path, "_empty.parquet"))
     if rows:
         bucketed.write_parquet(path, partition_cols=[BUCKET_COL])
         for name in os.listdir(path):
@@ -118,5 +135,8 @@ def read_partitioned_parquet(path: str, columns: Optional[List[str]] = None):
             os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
         )
     if not files:
+        empty = os.path.join(path, "_empty.parquet")
+        if os.path.exists(empty):
+            return ray.data.read_parquet([empty], columns=columns)
         raise FileNotFoundError(f"no complete buckets under {path}")
     return ray.data.read_parquet(files, columns=columns)

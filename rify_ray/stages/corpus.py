@@ -333,18 +333,17 @@ def redact(docs_ds, pattern: str, replacement: str = "[REDACTED]", *, text_col: 
 
     One vectorized ``replace_substring_regex`` kernel per batch — a pure
     streaming map, no shuffle, no state; the shape a 100 TB scrub pass
-    (emails, phone numbers, keys) runs as.  Both Arrow and DuckDB use
-    RE2, so ``regexp_replace(text, pattern, replacement, 'g')`` is the
-    exact SQL twin."""
+    (emails, phone numbers, keys) runs as.  The row shape is preserved:
+    ``text_col`` is replaced in place and every other column passes
+    through.  Both Arrow and DuckDB use RE2, so ``regexp_replace(text,
+    pattern, replacement, 'g')`` is the exact SQL twin."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-                "text": pc.replace_substring_regex(
-                    batch[text_col], pattern, replacement
-                ),
-            }
+        idx = batch.column_names.index(text_col)
+        return batch.set_column(
+            idx,
+            text_col,
+            pc.replace_substring_regex(batch[text_col], pattern, replacement),
         )
 
     return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -426,31 +425,36 @@ def quantile_threshold(
             }
         )
 
-    hist: dict = {}
+    vs_parts, cs_parts = [], []
     for b in ds.map_batches(
         block_hist, batch_format="pyarrow", zero_copy_batch=True
     ).iter_batches(batch_size=None, batch_format="pyarrow"):
         if b.num_rows == 0 or b.num_columns == 0:
             continue
-        vs = b["v"].to_numpy(zero_copy_only=False)
-        cs = b["cnt"].to_numpy(zero_copy_only=False)
-        for v, c in zip(vs, cs):
-            hist[int(v)] = hist.get(int(v), 0) + int(c)
-        if len(hist) > driver_values_bound:
+        vs_parts.append(np.asarray(b["v"].to_numpy(zero_copy_only=False), np.int64))
+        cs_parts.append(np.asarray(b["cnt"].to_numpy(zero_copy_only=False), np.int64))
+        if sum(p.size for p in vs_parts) > driver_values_bound:
             raise ValueError(
                 "quantile_threshold: value domain exceeds driver bound; "
                 "use a mergeable quantile sketch for unbounded domains"
             )
-    if not hist:
+    if not vs_parts:
         raise ValueError("quantile_threshold on an empty dataset")
-    n = sum(hist.values())
+    # vectorized merge: sort distinct values once, fold counts natively
+    vs = np.concatenate(vs_parts)
+    cs = np.concatenate(cs_parts)
+    uniq, inv = np.unique(vs, return_inverse=True)
+    if uniq.size > driver_values_bound:
+        raise ValueError(
+            "quantile_threshold: value domain exceeds driver bound; "
+            "use a mergeable quantile sketch for unbounded domains"
+        )
+    counts = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(counts, inv, cs)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
     idx = max(0, int(np.ceil(q * n)) - 1)
-    cum = 0
-    for v in sorted(hist):
-        cum += hist[v]
-        if cum > idx:
-            return v
-    return max(hist)
+    return int(uniq[np.searchsorted(cum, idx, side="right")])
 
 
 def repetition_stats_fn(text_col: str = "text"):

@@ -561,6 +561,75 @@ class TripleStore:
         for d in old_dirs:
             shutil.rmtree(d, ignore_errors=True)
 
+    def compact_derived(self) -> None:
+        """Fold every maximal run of CONSECUTIVE derived generations
+        (list positions > 0 not marked ``evaluator: premise-add``) into
+        one generation each — bounds the file count of a long-lived
+        store that interleaves incremental premise-adds with derived
+        rounds, where :meth:`compact` past the last premise generation
+        would leave earlier derived runs exempt forever.  The premise
+        generations keep their positions, so
+        ``dataset(derived_only=True)`` is unaffected.  Same crash
+        discipline as :meth:`compact`: merged dirs are written first,
+        ONE manifest write commits all runs, old dirs are removed after.
+        """
+        import shutil
+
+        runs: List[List[int]] = []
+        cur: List[int] = []
+        for i, g in enumerate(self.generations):
+            derived = i > 0 and g.get("metrics", {}).get("evaluator") != "premise-add"
+            if derived:
+                cur.append(i)
+            else:
+                if len(cur) > 1:
+                    runs.append(cur)
+                cur = []
+        if len(cur) > 1:
+            runs.append(cur)
+        if not runs:
+            return
+        next_gen = self.next_gen
+        old_dirs: List[str] = []
+        replacements = []
+        for run in runs:
+            ds = self.dataset(first_gen=run[0], last_gen=run[-1]).materialize()
+            gen = next_gen
+            next_gen += 1
+            gen_dir = os.path.join(self.path, f"gen={gen:05d}")
+            shutil.rmtree(gen_dir, ignore_errors=True)
+            parted = ds.map_batches(
+                _hash_part_fn(self.num_partitions),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            parted.write_parquet(gen_dir, partition_cols=["part"])
+            total = sum(self.generations[i]["rows"] for i in run)
+            mm: Dict = {"compacted_from": len(run)}
+            last_round = self.generations[run[-1]].get("metrics", {}).get("round")
+            if last_round is not None:
+                mm["round"] = last_round
+            replacements.append((run, {"gen": gen, "rows": int(total), "metrics": mm}))
+            old_dirs.extend(
+                os.path.join(self.path, f"gen={self.generations[i]['gen']:05d}")
+                for i in run
+            )
+        run_head = {run[0]: entry for run, entry in replacements}
+        covered = {i for run, _e in replacements for i in run}
+        out = []
+        for i, g in enumerate(self.generations):
+            if i in run_head:
+                out.append(run_head[i])
+            elif i in covered:
+                continue
+            else:
+                out.append(g)
+        self.manifest["generations"] = out
+        self.manifest["next_gen"] = next_gen
+        self._write_manifest()
+        for d in old_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
     def file_count(self) -> int:
         """Number of committed parquet files (compaction trigger input)."""
         n = 0

@@ -609,3 +609,94 @@ def test_maintenance_lifecycle_matches_local_oracle_random(tmp_path):
         )
         remaining = [f for f in facts if f not in set(drop)]
         assert _decoded_set(s) == oracle_full(remaining, rules), ("remove", seed)
+
+
+def test_remove_premises_store_crash_resume(tmp_path):
+    """A crash between the physical delete and the rederive step must
+    not lose still-derivable facts: the pending marker makes the next
+    retraction call finish the tail (the reviewer's A->B / C->B case)."""
+    import os
+
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    from rify_ray import B, Rule, U
+    from rify_ray.util import polars_to_arrow_string
+
+    DG = "default_graph"
+    rules = [
+        Rule.create([[U("x"), B("a"), U("y"), B(DG)]],
+                    [[U("x"), B("b"), U("y"), B(DG)]]),
+        Rule.create([[U("x"), B("c"), U("y"), B(DG)]],
+                    [[U("x"), B("b"), U("y"), B(DG)]]),
+    ]
+    facts = [("n1", "a", "n2", DG), ("n1", "c", "n2", DG)]
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts), rules, path, num_partitions=4, with_lineage=True
+    )
+    # simulate the crashed attempt: overdeleted set = {A-premise, B-derived}
+    # recorded in the marker, delete committed, then "crash" (no lineage
+    # filter, no rederive)
+    from rify_ray.state import TripleStore
+
+    store = TripleStore(path, num_partitions=4, value_type="int64")
+    dead = pl.DataFrame(
+        {c: [v] for c, v in zip(["s", "p", "o", "g"], ("n1", "a", "n2", DG))}
+    ).vstack(
+        pl.DataFrame(
+            {c: [v] for c, v in zip(["s", "p", "o", "g"], ("n1", "b", "n2", DG))}
+        )
+    ).with_columns(
+        [pl.col(c).hash(seed=0).reinterpret(signed=True) for c in ["s", "p", "o", "g"]]
+    )
+    pq.write_table(polars_to_arrow_string(dead), os.path.join(path, "retract_pending.parquet"))
+    store.delete_facts(dead)
+    # intermediate (crashed) state really is missing the derivable fact
+    mid = {(r["s"], r["p"], r["o"], r["g"]) for r in store.decoded_dataset().take_all()}
+    assert ("n1", "b", "n2", DG) not in mid
+    # ANY later retraction call first completes the pending tail
+    s2 = engine.remove_premises_store(
+        _premises_table([("ghost", "a", "ghost", DG)]), rules, path, num_partitions=4
+    )
+    assert not os.path.exists(os.path.join(path, "retract_pending.parquet"))
+    assert _decoded_set(s2) == {("n1", "c", "n2", DG), ("n1", "b", "n2", DG)}
+
+
+def test_compact_derived_folds_runs_across_premise_adds(tmp_path):
+    """Derived generations committed BEFORE a later premise-add must
+    still be compactable; premise generations keep their positions."""
+    facts = ancestry_facts(8)
+    path = str(tmp_path / "kg")
+    s = engine.infer_store(
+        _premises_table(facts[:6]), ancestry_rules(), path,
+        num_partitions=4, compact_every=None,
+    )
+    s = engine.add_premises_store(
+        _premises_table(facts[6:]), ancestry_rules(), path,
+        num_partitions=4, compact_every=None,
+    )
+    want = _decoded_set(s)
+    evals = [g.get("metrics", {}).get("evaluator") for g in s.generations]
+    assert "premise-add" in evals
+    n_derived_before = sum(
+        1 for i, g in enumerate(s.generations)
+        if i > 0 and g.get("metrics", {}).get("evaluator") != "premise-add"
+    )
+    assert n_derived_before > 2  # rounds on both sides of the premise-add
+    s.compact_derived()
+    # each maximal derived run folded to one generation
+    evals_after = [g.get("metrics", {}).get("evaluator") for g in s.generations]
+    assert "premise-add" in evals_after  # boundary survives
+    n_derived_after = sum(
+        1 for i, g in enumerate(s.generations)
+        if i > 0 and g.get("metrics", {}).get("evaluator") != "premise-add"
+    )
+    assert n_derived_after < n_derived_before
+    assert _decoded_set(s) == want
+    # derived_only excludes position 0 and the premise-add generation
+    derived_only = {
+        (r["s"], r["p"], r["o"], r["g"])
+        for r in s.decoded_dataset(derived_only=True).take_all()
+    }
+    assert derived_only == want - set(facts)

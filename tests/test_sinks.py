@@ -90,3 +90,37 @@ def test_read_requires_complete_bucket(tmp_path):
         os.remove(os.path.join(path, name, "_SUCCESS"))
     with pytest.raises(FileNotFoundError):
         read_partitioned_parquet(path)
+
+
+def test_resume_wipes_crashed_staging_dirs(tmp_path):
+    """A crash can leave Ray's hive staging dir (__bucket=K) behind; a
+    resumed write must wipe it or the rename publishes duplicates."""
+    import shutil
+
+    from rify_ray.sinks import BUCKET_COL, write_partitioned_parquet
+
+    path = str(tmp_path / "out")
+    write_partitioned_parquet(_ds(), path, key_cols=["k"], num_buckets=8)
+    # simulate the crash: bucket 3 unmarked, plus a stale staging dir
+    # holding a copy of its data (what a mid-write crash leaves)
+    crashed = os.path.join(path, "bucket=3")
+    os.remove(os.path.join(crashed, "_SUCCESS"))
+    staging = os.path.join(path, f"{BUCKET_COL}=3")
+    os.makedirs(staging)
+    for f in os.listdir(crashed):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(crashed, f), os.path.join(staging, "stale-" + f))
+    write_partitioned_parquet(_ds(), path, key_cols=["k"], num_buckets=8)
+    # exactly-once: the stale staging files must not have been published
+    assert _read_all(path) == [(i, f"v{i}") for i in range(200)]
+
+
+def test_empty_write_reads_back_empty(tmp_path):
+    from rify_ray.sinks import read_partitioned_parquet, write_partitioned_parquet
+
+    path = str(tmp_path / "out")
+    m = write_partitioned_parquet(_ds(0), path, key_cols=["k"], num_buckets=4)
+    assert m["rows_written"] == 0
+    out = read_partitioned_parquet(path)
+    assert out.count() == 0
+    assert set(out.schema().base_schema.names) == {"k", "v"}
