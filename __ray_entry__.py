@@ -610,6 +610,31 @@ def _q_docs_pack_bins(sf_dir: str):
     )
 
 
+def _q_events_value_p50_sketch(sf_dir: str):
+    """Approximate global median of the event value (integer cents) via
+    the deterministic Munro-Paterson mergeable quantile sketch — the
+    unbounded-domain scale path for quantiles.  Rows-only by design
+    (approximate); rank error is pinned by
+    ``test_mp_quantile_sketch_rank_error_and_determinism``."""
+    import ray.data
+
+    from rify_ray.stages.corpus import MPQuantileSketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch["value"], pa.float64())
+        c = pc.floor(pc.add(pc.multiply(v, pa.scalar(100.0)), pa.scalar(0.5)))
+        return pa.table({"cents": pc.cast(c, pa.int64())})
+
+    sk = MPQuantileSketch.from_dataset(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "cents",
+        k=256,
+    )
+    return pa.table({"p50_cents_est": pa.array([sk.quantile(0.5)], pa.int64())})
+
+
 def _q_events_hopping_counts(sf_dir: str):
     from rify_ray.pipelines.relational import events_hopping_counts
 
@@ -967,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_decontaminate": _q_docs_ngram_decontaminate,
         "docs_pack_bins": _q_docs_pack_bins,
         "events_hopping_counts": _q_events_hopping_counts,
+        "events_value_p50_sketch": _q_events_value_p50_sketch,
         "embed_norm_top10": _q_embed_norm_top10,
         "ngram_top20": _q_ngram_top20,
         "events_window_counts": _q_events_window_counts,

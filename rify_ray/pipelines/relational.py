@@ -374,8 +374,9 @@ def grouped_quantiles(
 
     One ``groupby(key)`` exchange; per-group work is a single sort.
     Partitioning assumption: one key's values fit in a worker — for
-    heavy keys swap in a mergeable quantile sketch (KLL / t-digest),
-    which trades exactness for constant per-block state like
+    heavy keys swap in the mergeable deterministic quantile sketch
+    (:class:`rify_ray.stages.corpus.MPQuantileSketch`), which trades
+    exactness for constant per-block state like
     :func:`rify_ray.stages.corpus.hll_distinct` does for counts."""
     import numpy as np
 

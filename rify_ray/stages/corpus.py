@@ -413,8 +413,9 @@ def quantile_threshold(
     count, the same mergeable-aggregate shape as :func:`hll_distinct`.
     The driver folds histograms and walks the cumulative counts to the
     quantile.  Raises if the merged domain exceeds
-    ``driver_values_bound`` (an unbounded domain needs a KLL/t-digest
-    sketch instead — same per-block reduction, approximate walk)."""
+    ``driver_values_bound`` — for unbounded domains use
+    :class:`MPQuantileSketch` (same per-block reduction shape,
+    approximate walk)."""
 
     def block_hist(batch: pa.Table) -> pa.Table:
         vc = pc.value_counts(pc.cast(batch[value_col], pa.int64()))
@@ -621,3 +622,122 @@ def pack_bins(
         ).cast(out_schema)
 
     return docs_ds.groupby(strata_col).map_groups(kernel, batch_format="pyarrow")
+
+
+# Deterministic mergeable quantile sketch (Munro & Paterson, "Selection
+# and sorting with limited storage", TCS 1980): buffers of k sorted
+# values per level, weight 2^level; two buffers at a level merge-sort
+# and keep alternate elements, carrying to the next level.  Fully
+# deterministic (no RNG — retry-stable like everything else here);
+# rank error grows O(log^2(n/k)/k), tested empirically.
+
+
+def _mp_push(levels: dict, level: int, buf: np.ndarray) -> None:
+    """Push one sorted buffer; collapse pairwise while a level holds two."""
+    while level in levels:
+        other = levels.pop(level)
+        merged = np.sort(np.concatenate([other, buf]), kind="mergesort")
+        buf = merged[1::2]  # keep odd positions (deterministic MP choice)
+        level += 1
+    levels[level] = buf
+
+
+def _mp_block_sketch(values: np.ndarray, k: int) -> dict:
+    """Sketch of one block: feed k-sized sorted chunks through the
+    collapse cascade; returns {level: sorted ndarray}."""
+    levels: dict = {}
+    v = np.sort(values, kind="mergesort")
+    for off in range(0, v.size, k):
+        chunk = v[off : off + k]
+        if chunk.size == k:
+            _mp_push(levels, 0, chunk)
+        else:
+            # undersized tail stays at level 0 weight by keeping it as
+            # its own buffer at a sentinel "loose" level below collapse
+            levels.setdefault(-1, np.zeros(0, dtype=v.dtype))
+            levels[-1] = np.sort(
+                np.concatenate([levels[-1], chunk]), kind="mergesort"
+            )
+            if levels[-1].size >= k:
+                full = levels[-1]
+                levels[-1] = full[k:]
+                _mp_push(levels, 0, full[:k])
+    return levels
+
+
+class MPQuantileSketch:
+    """Driver-side merged Munro-Paterson sketch with a quantile query.
+
+    ``from_dataset`` reduces each block to (level, value) rows inside
+    ``map_batches`` — O(k log(rows/k)) values leave each block no matter
+    how big the block is, the same constant-state discipline as
+    :func:`hll_distinct` — then merges the per-block buffers on the
+    driver.  This is the documented scale path for
+    :func:`quantile_threshold` / grouped quantiles when the value
+    domain is unbounded or a key is too heavy to sort."""
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.levels: dict = {}
+
+    def merge_buffer(self, level: int, buf: np.ndarray) -> None:
+        if level < 0:
+            loose = self.levels.pop(-1, np.zeros(0, dtype=np.int64))
+            loose = np.sort(np.concatenate([loose, buf]), kind="mergesort")
+            while loose.size >= self.k:
+                _mp_push(self.levels, 0, loose[: self.k])
+                loose = loose[self.k :]
+            if loose.size:
+                self.levels[-1] = loose
+            return
+        _mp_push(self.levels, level, np.sort(buf, kind="mergesort"))
+
+    def quantile(self, q: float) -> int:
+        """Approximate ``quantile_disc``-style value at rank ceil(q*n)."""
+        vals, wts = [], []
+        for level, buf in self.levels.items():
+            if buf.size == 0:
+                continue
+            vals.append(buf)
+            wts.append(np.full(buf.size, 1 if level < 0 else 2**level, np.int64))
+        if not vals:
+            raise ValueError("empty sketch")
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="mergesort")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        idx = max(0, int(np.ceil(q * n)) - 1)
+        return int(v[np.searchsorted(cum, idx, side="right")])
+
+    @classmethod
+    def from_dataset(cls, ds, col: str, *, k: int = 256) -> "MPQuantileSketch":
+        def block(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                pc.cast(batch[col], pa.int64()).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            levels = _mp_block_sketch(ids, k)
+            lv, vv = [], []
+            for level, buf in levels.items():
+                lv.extend([level] * buf.size)
+                vv.extend(buf.tolist())
+            return pa.table(
+                {
+                    "level": pa.array(lv, pa.int32()),
+                    "value": pa.array(vv, pa.int64()),
+                }
+            )
+
+        sk = cls(k=k)
+        for b in ds.map_batches(
+            block, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_rows == 0 or b.num_columns == 0:
+                continue
+            lvl = np.asarray(b["level"].to_numpy(zero_copy_only=False), np.int32)
+            val = np.asarray(b["value"].to_numpy(zero_copy_only=False), np.int64)
+            for level in np.unique(lvl):
+                sk.merge_buffer(int(level), val[lvl == level])
+        return sk

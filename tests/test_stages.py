@@ -1099,3 +1099,28 @@ def test_winnow_fingerprint_overlap_property():
     }
     assert by_id[0]["digest"] != by_id[2]["digest"]
     assert by_id[0]["n_selected"] > 0
+
+
+def test_mp_quantile_sketch_rank_error_and_determinism():
+    import ray.data
+
+    from rify_ray.stages.corpus import MPQuantileSketch
+
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 1_000_000, size=120_000).astype(np.int64)
+    tbl = pa.table({"v": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    sk = MPQuantileSketch.from_dataset(ds, "v", k=256)
+    srt = np.sort(vals)
+    n = vals.size
+    for q in [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+        est = sk.quantile(q)
+        # rank error bound: the estimate's true rank must be within 2%
+        rank = np.searchsorted(srt, est, side="right")
+        assert abs(rank / n - q) < 0.02, (q, rank / n)
+    # deterministic (no RNG anywhere): a second pass gives identical output
+    sk2 = MPQuantileSketch.from_dataset(ray.data.from_arrow(tbl), "v", k=256)
+    assert all(sk.quantile(q) == sk2.quantile(q) for q in [0.25, 0.5, 0.9])
+    # constant-state reduction: far fewer values than rows survive per sketch
+    total = sum(b.size for b in sk.levels.values())
+    assert total < 10_000
