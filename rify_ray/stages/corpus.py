@@ -741,3 +741,69 @@ class MPQuantileSketch:
             for level in np.unique(lvl):
                 sk.merge_buffer(int(level), val[lvl == level])
         return sk
+
+
+def grouped_quantile_sketch(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    qs: Sequence[float],
+    out_names: Sequence[str],
+    k: int = 256,
+):
+    """Approximate per-key quantiles via per-block Munro-Paterson
+    partial sketches — the HEAVY-KEY scale path
+    :func:`rify_ray.pipelines.relational.grouped_quantiles` documents:
+    a key too large to sort in one worker never materializes; each
+    block contributes O(k log(block/k)) (key, level, value) rows and
+    the single ``groupby(key)`` exchange merges sketches, not values.
+
+    Deterministic end to end (no RNG), so results are retry-stable;
+    rank error matches :class:`MPQuantileSketch`."""
+    qs = list(qs)
+    names = list(out_names)
+
+    def block(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch[key_col], pa.string()).to_numpy(zero_copy_only=False)
+        vals = np.asarray(
+            pc.cast(batch[value_col], pa.int64()).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        out_k, out_l, out_v = [], [], []
+        order = np.argsort(keys, kind="mergesort")
+        keys_s, vals_s = keys[order], vals[order]
+        bounds = np.flatnonzero(
+            np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
+        ).tolist() + [keys_s.size]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            levels = _mp_block_sketch(vals_s[lo:hi], k)
+            for level, buf in levels.items():
+                out_k.extend([keys_s[lo]] * buf.size)
+                out_l.extend([level] * buf.size)
+                out_v.extend(buf.tolist())
+        return pa.table(
+            {
+                key_col: pa.array(out_k, pa.string()),
+                "level": pa.array(out_l, pa.int32()),
+                "value": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+    out_schema = pa.schema(
+        [(key_col, pa.string())] + [(n, pa.int64()) for n in names]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        sk = MPQuantileSketch(k=k)
+        lvl = np.asarray(group["level"].to_numpy(zero_copy_only=False), np.int32)
+        val = np.asarray(group["value"].to_numpy(zero_copy_only=False), np.int64)
+        for level in np.unique(lvl):
+            sk.merge_buffer(int(level), val[lvl == level])
+        cols = {key_col: pa.array([group[key_col][0].as_py()], pa.string())}
+        for q, name in zip(qs, names):
+            cols[name] = pa.array([sk.quantile(q)], pa.int64())
+        return pa.table(cols).cast(out_schema)
+
+    return parts.groupby(key_col).map_groups(merge, batch_format="pyarrow")

@@ -1124,3 +1124,28 @@ def test_mp_quantile_sketch_rank_error_and_determinism():
     # constant-state reduction: far fewer values than rows survive per sketch
     total = sum(b.size for b in sk.levels.values())
     assert total < 10_000
+
+
+def test_grouped_quantile_sketch_close_to_exact():
+    import ray.data
+
+    from rify_ray.stages.corpus import grouped_quantile_sketch
+
+    rng = np.random.default_rng(5)
+    n = 60_000
+    keys = rng.choice(["a", "b", "c"], size=n)
+    vals = (rng.normal(5000, 1500, size=n)).astype(np.int64) + np.where(
+        keys == "b", 10_000, 0
+    )
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    rows = grouped_quantile_sketch(
+        ray.data.from_arrow(tbl), key_col="k", value_col="v",
+        qs=[0.5, 0.9], out_names=["p50", "p90"], k=256,
+    ).take_all()
+    got = {r["k"]: (r["p50"], r["p90"]) for r in rows}
+    assert set(got) == {"a", "b", "c"}
+    for key in "abc":
+        sub = np.sort(vals[keys == key])
+        for est, q in zip(got[key], [0.5, 0.9]):
+            rank = np.searchsorted(sub, est, side="right")
+            assert abs(rank / sub.size - q) < 0.03, (key, q, rank / sub.size)
