@@ -533,6 +533,25 @@ def _q_docs_stratified_sample(sf_dir: str):
     )
 
 
+MIXTURE_RATES = {"src0": 50, "src1": 25, "src2": 10}
+
+
+def _q_docs_mixture_sample(sf_dir: str):
+    import ray.data
+
+    from rify_ray.stages.corpus import mixture_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source"],
+        override_num_blocks=32,
+    )
+    out = mixture_sample(docs, MIXTURE_RATES, default_pct=5)
+    return pa.concat_tables(
+        t for t in out.iter_batches(batch_size=None, batch_format="pyarrow") if t.num_rows
+    )
+
+
 def _q_docs_quality_filter(sf_dir: str):
     """Quantile-gated quality filter: keep documents whose stopword
     density is at or above the corpus median — the score is a streaming
@@ -989,6 +1008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_redact": _q_docs_redact,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_quality_filter": _q_docs_quality_filter,
+        "docs_mixture_sample": _q_docs_mixture_sample,
         "docs_ngram_decontaminate": _q_docs_ngram_decontaminate,
         "docs_pack_bins": _q_docs_pack_bins,
         "events_hopping_counts": _q_events_hopping_counts,
@@ -1217,6 +1237,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY source "
             "ORDER BY (doc_id * 2654435761 % 4294967296), doc_id) <= 5"
+        ),
+        "docs_mixture_sample": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE (doc_id * 2654435761 % 4294967296) % 100 < "
+            "CASE source "
+            + " ".join(f"WHEN '{s}' THEN {p}" for s, p in sorted(MIXTURE_RATES.items()))
+            + " ELSE 5 END"
         ),
         "docs_quality_filter": (
             "WITH s AS (" + _quality_sql() + ") "

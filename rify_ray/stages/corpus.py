@@ -807,3 +807,43 @@ def grouped_quantile_sketch(
         return pa.table(cols).cast(out_schema)
 
     return parts.groupby(key_col).map_groups(merge, batch_format="pyarrow")
+
+
+def mixture_sample(
+    docs_ds,
+    rates: dict,
+    *,
+    default_pct: int = 0,
+    mod: int = 100,
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+):
+    """Deterministic mixture weighting: keep each row with a per-stratum
+    rate (``rates[source]`` percent, ``default_pct`` for unlisted
+    strata) — how a training mix up-/down-weights sources while staying
+    retry-stable (same Knuth hash as :func:`stable_sample`, no RNG).
+
+    The rate lookup is one vectorized ``index_in`` + ``take`` against
+    the broadcast rates table per batch; the filter itself is the
+    stable-sample kernel.  SQL twin: ``CASE source ... END`` threshold
+    per row."""
+    keys = sorted(rates)
+    key_arr = pa.array(keys, pa.string())
+    pct_arr = np.asarray([rates[s] for s in keys] + [default_pct], dtype=np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            pc.cast(batch[key_col], pa.int64()).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        if ids.size and int(ids.max()) >= _KNUTH_MOD:
+            raise ValueError("mixture_sample requires ids < 2^32 for exact int64 hashing")
+        idx = pc.index_in(pc.cast(batch[strata_col], pa.string()), value_set=key_arr)
+        idx_np = np.asarray(
+            pc.fill_null(idx, len(keys)).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        thresholds = pct_arr[idx_np]
+        keep = (ids * _KNUTH % _KNUTH_MOD) % mod < thresholds
+        return batch.filter(pa.array(keep))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

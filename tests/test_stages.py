@@ -1149,3 +1149,34 @@ def test_grouped_quantile_sketch_close_to_exact():
         for est, q in zip(got[key], [0.5, 0.9]):
             rank = np.searchsorted(sub, est, side="right")
             assert abs(rank / sub.size - q) < 0.03, (key, q, rank / sub.size)
+
+
+def test_mixture_sample_rates_and_determinism():
+    import ray.data
+
+    from rify_ray.stages.corpus import _KNUTH, _KNUTH_MOD, mixture_sample
+
+    n = 300
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
+        }
+    )
+    rates = {"s0": 50, "s1": 10}  # s2 unlisted -> default 0
+
+    def run():
+        rows = mixture_sample(
+            ray.data.from_arrow(tbl), rates, default_pct=0
+        ).take_all()
+        return sorted((r["source"], r["doc_id"]) for r in rows)
+
+    got = run()
+    want = sorted(
+        (f"s{i % 3}", i)
+        for i in range(n)
+        if (i * _KNUTH % _KNUTH_MOD) % 100 < rates.get(f"s{i % 3}", 0)
+    )
+    assert got == want
+    assert not any(s == "s2" for s, _ in got)
+    assert got == run()  # retry-stable
