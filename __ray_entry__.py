@@ -414,6 +414,34 @@ def _q_dedup_clusters_minhash(sf_dir: str):
     return _collect_clusters(duplicate_clusters(pairs.select_columns(["id1", "id2"])))
 
 
+def _q_docs_neardup_survivors(sf_dir: str):
+    """The corpus a near-dedup pass actually keeps: MinHash-verified
+    pairs → connected components → drop every cluster member except the
+    minimum id.  Rows-only (the pair set is LSH-derived); the component
+    labeling and survivor selection are pinned by the cluster tests."""
+    from rify_ray.stages.dedup import minhash_verified_pairs, neardup_survivors
+
+    pairs = minhash_verified_pairs(_docs_ds(sf_dir), threshold=0.5)
+    out = neardup_survivors(_docs_ds(sf_dir), pairs.select_columns(["id1", "id2"]))
+
+    def ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64())})
+
+    out = out.map_batches(ids, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.concat_tables(
+        t for t in out.iter_batches(batch_size=None, batch_format="pyarrow") if t.num_rows
+    )
+
+
+def _q_source_stats(sf_dir: str):
+    from rify_ray.pipelines.relational import source_stats
+
+    out = source_stats(sf_dir)
+    return pa.concat_tables(
+        t for t in out.iter_batches(batch_size=None, batch_format="pyarrow") if t.num_rows
+    )
+
+
 def _q_text_token_counts(sf_dir: str):
     from rify_ray.stages.text import text_stage, token_count_fn
 
@@ -993,6 +1021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_clusters_exact": _q_dedup_clusters_exact,
         "dedup_clusters_minhash": _q_dedup_clusters_minhash,
+        "docs_neardup_survivors": _q_docs_neardup_survivors,
+        "source_stats": _q_source_stats,
         "cc_label_groups": _q_cc_label_groups,
         "text_token_counts": _q_text_token_counts,
         "text_char_stats": _q_text_char_stats,
@@ -1134,6 +1164,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM ordered a JOIN ordered b ON a.rn < b.rn"
         ),
         "dedup_exact_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "source_stats": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens, "
+            "CAST(sum(length(text)) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY source"
+        ),
         "dedup_clusters_exact": (
             "SELECT d.doc_id AS doc_id, m.cluster_id AS cluster_id "
             "FROM documents d JOIN (SELECT text, min(doc_id) AS cluster_id, "

@@ -659,3 +659,82 @@ def events_hopping_counts(
         "n_events",
         forced_shuffle=forced_shuffle,
     )
+
+
+def source_stats(sf_dir: str, *, forced_shuffle: bool = False):
+    """Per-source corpus rollup (n_docs, total tokens, total chars) —
+    the mix-composition dashboard numbers.  One per-block polars
+    combiner folds each block to distinct sources BEFORE the exchange;
+    the adaptive merge then sums partials (driver fold below the bound,
+    ``groupby().sum`` above)."""
+    import polars as plr
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"], override_num_blocks=32
+    )
+    part_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("sum_tokens", pa.int64()),
+            ("sum_chars", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        toks = pc.cast(pc.count_substring_regex(batch["text"], r"\S+"), pa.int64())
+        chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        df = (
+            plr.from_arrow(
+                pa.table(
+                    {
+                        "source": pc.cast(batch["source"], pa.string()),
+                        "toks": toks,
+                        "chars": chars,
+                    }
+                )
+            )
+            .group_by("source")
+            .agg(
+                plr.len().alias("n_docs"),
+                plr.col("toks").sum().alias("sum_tokens"),
+                plr.col("chars").sum().alias("sum_chars"),
+            )
+        )
+        return df.to_arrow().cast(part_schema)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = parts.materialize()
+    n = parts.count()
+    schema = part_schema
+    if n == 0:
+        return ray.data.from_arrow(schema.empty_table())
+    if not forced_shuffle and n <= 2_000_000:
+        tabs = [
+            b
+            for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        df = (
+            plr.from_arrow(pa.concat_tables(tabs))
+            .group_by("source")
+            .agg(
+                plr.col("n_docs").sum(),
+                plr.col("sum_tokens").sum(),
+                plr.col("sum_chars").sum(),
+            )
+        )
+        return ray.data.from_arrow(df.to_arrow().cast(schema))
+    out = parts.groupby("source").sum(["n_docs", "sum_tokens", "sum_chars"])
+    return _clean_groupby_output(
+        out,
+        schema,
+        {
+            "n_docs": "sum(n_docs)",
+            "sum_tokens": "sum(sum_tokens)",
+            "sum_chars": "sum(sum_chars)",
+        },
+    )

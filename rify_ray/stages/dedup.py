@@ -1528,3 +1528,49 @@ def _empty_embed_pairs():
             [("id1", pa.int64()), ("id2", pa.int64()), ("cosine", pa.float64())]
         ).empty_table()
     )
+
+
+def neardup_survivors(
+    docs_ds,
+    pairs_ds,
+    *,
+    key_col: str = "doc_id",
+    broadcast_rows: int = 2_000_000,
+):
+    """The end-to-end near-dedup output a training pipeline actually
+    keeps: given the verified duplicate-pair stream, drop every cluster
+    member except the minimum id (``duplicate_clusters``' canonical
+    label) and return the surviving rows of ``docs_ds``.
+
+    Victims (cluster members other than the label) are a small fraction
+    of the corpus by construction; below ``broadcast_rows`` they ship as
+    one broadcast ``is_in`` filter (no shuffle of the corpus), above it
+    the filter degrades to a ``left_anti`` hash join."""
+    import ray
+    import ray.data
+
+    clusters = duplicate_clusters(pairs_ds)
+    victims_tabs = []
+    for b in clusters.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows == 0 or b.num_columns == 0:
+            continue
+        mask = pc.invert(pc.equal(b["doc_id"], b["cluster_id"]))
+        victims_tabs.append(b.filter(mask).select(["doc_id"]))
+    n_victims = sum(t.num_rows for t in victims_tabs)
+    if n_victims == 0:
+        return docs_ds
+    if n_victims <= broadcast_rows:
+        victims = pa.concat_tables(victims_tabs)["doc_id"].combine_chunks()
+        vref = ray.put(victims)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            v = ray.get(vref)
+            return batch.filter(
+                pc.invert(pc.is_in(pc.cast(batch[key_col], pa.int64()), value_set=v))
+            )
+
+        return docs_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    victims_ds = ray.data.from_arrow(
+        pa.concat_tables(victims_tabs).rename_columns([key_col])
+    )
+    return docs_ds.join(victims_ds, "left_anti", 32, on=(key_col,))

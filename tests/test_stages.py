@@ -1180,3 +1180,24 @@ def test_mixture_sample_rates_and_determinism():
     assert got == want
     assert not any(s == "s2" for s, _ in got)
     assert got == run()  # retry-stable
+
+
+def test_neardup_survivors_keeps_min_per_cluster():
+    import ray.data
+
+    from rify_ray.stages.dedup import neardup_survivors
+
+    docs = _docs(["a", "b", "c", "d", "e"])
+    # pairs chain 0-1-3 into one cluster; 2 and 4 untouched
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {"id1": pa.array([0, 1], pa.int64()), "id2": pa.array([1, 3], pa.int64())}
+        )
+    )
+    out = neardup_survivors(docs, pairs).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 2, 4]
+    # empty pair set keeps the corpus untouched
+    empty = ray.data.from_arrow(
+        pa.table({"id1": pa.array([], pa.int64()), "id2": pa.array([], pa.int64())})
+    )
+    assert len(neardup_survivors(_docs(["x", "y"]), empty).take_all()) == 2
