@@ -178,8 +178,11 @@ def run_queries() -> dict:
         "docs_pack_bins",
         "text_winnow_fp",
         "ngram_top20",
+        "docs_mixture_sample",
+        "source_stats",
         "events_window_counts",
         "events_hopping_counts",
+        "events_value_p50_sketch",
         "events_asof_prior_purchase",
         "events_range_purchases_24h",
         "events_value_quantiles",

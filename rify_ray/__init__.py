@@ -36,9 +36,21 @@ from .model import (
 # points (they accept lists of quads like the reference, plus Arrow
 # tables / polars frames / ray Datasets); the faithful single-process
 # oracle stays available as rify_ray.local
-from .engine import infer, prove, validate
+from .engine import (
+    add_premises_store,
+    infer,
+    infer_store,
+    prove,
+    prove_store,
+    remove_premises_store,
+    validate,
+)
 
 __all__ = [
+    "add_premises_store",
+    "infer_store",
+    "prove_store",
+    "remove_premises_store",
     "B",
     "U",
     "Entity",

@@ -554,17 +554,21 @@ def _preagg_sum(
     ds,
     key_cols: List[str],
     schema: pa.Schema,
-    value_col: str,
-    out_col: str,
+    value_col,
+    out_col,
     *,
     driver_rows_bound: int = 2_000_000,
     forced_shuffle: bool = False,
 ):
-    """Like :func:`_preagg_count` but summing an existing partial-count
-    column — for inputs that are ALREADY per-block partials (the
-    combiner-of-combiners shape)."""
+    """Like :func:`_preagg_count` but summing existing partial columns
+    — for inputs that are ALREADY per-block partials (the
+    combiner-of-combiners shape).  ``value_col``/``out_col`` may be a
+    single name or parallel lists for multi-metric rollups."""
     import polars as plr
     import ray.data
+
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
 
     parts = ds.materialize()
     n = parts.count()
@@ -579,11 +583,18 @@ def _preagg_sum(
         df = (
             plr.from_arrow(pa.concat_tables(tabs))
             .group_by(key_cols)
-            .agg(plr.col(value_col).sum().alias(out_col))
+            .agg(
+                *[
+                    plr.col(v).sum().alias(o)
+                    for v, o in zip(value_cols, out_cols)
+                ]
+            )
         )
         return ray.data.from_arrow(df.to_arrow().cast(schema))
-    out = parts.groupby(key_cols).sum(value_col)
-    return _clean_groupby_output(out, schema, {out_col: f"sum({value_col})"})
+    out = parts.groupby(key_cols).sum(value_cols)
+    return _clean_groupby_output(
+        out, schema, {o: f"sum({v})" for v, o in zip(value_cols, out_cols)}
+    )
 
 
 def events_hopping_counts(
@@ -707,34 +718,7 @@ def source_stats(sf_dir: str, *, forced_shuffle: bool = False):
         return df.to_arrow().cast(part_schema)
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    parts = parts.materialize()
-    n = parts.count()
-    schema = part_schema
-    if n == 0:
-        return ray.data.from_arrow(schema.empty_table())
-    if not forced_shuffle and n <= 2_000_000:
-        tabs = [
-            b
-            for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
-            if b.num_rows and b.num_columns
-        ]
-        df = (
-            plr.from_arrow(pa.concat_tables(tabs))
-            .group_by("source")
-            .agg(
-                plr.col("n_docs").sum(),
-                plr.col("sum_tokens").sum(),
-                plr.col("sum_chars").sum(),
-            )
-        )
-        return ray.data.from_arrow(df.to_arrow().cast(schema))
-    out = parts.groupby("source").sum(["n_docs", "sum_tokens", "sum_chars"])
-    return _clean_groupby_output(
-        out,
-        schema,
-        {
-            "n_docs": "sum(n_docs)",
-            "sum_tokens": "sum(sum_tokens)",
-            "sum_chars": "sum(sum_chars)",
-        },
+    cols = ["n_docs", "sum_tokens", "sum_chars"]
+    return _preagg_sum(
+        parts, ["source"], part_schema, cols, cols, forced_shuffle=forced_shuffle
     )

@@ -37,6 +37,21 @@ _KNUTH = 2654435761
 _KNUTH_MOD = 4294967296
 
 
+def _knuth_hash(batch: pa.Table, key_col: str) -> np.ndarray:
+    """The ONE place encoding the deterministic sampling hash (guard
+    included) — shared by stable/stratified/mixture sampling so the
+    semantics cannot drift between them."""
+    ids = np.asarray(
+        pc.cast(batch[key_col], pa.int64()).to_numpy(zero_copy_only=False),
+        dtype=np.int64,
+    )
+    if ids.size and int(ids.max()) >= _KNUTH_MOD:
+        raise ValueError(
+            f"deterministic sampling requires {key_col} < 2^32 for exact int64 hashing"
+        )
+    return ids * _KNUTH % _KNUTH_MOD
+
+
 def stable_sample(docs_ds, *, pct: int = 10, mod: int = 100, key_col: str = "doc_id"):
     """Deterministic hash sample: keep rows whose Knuth multiplicative
     hash of ``key_col`` mod ``mod`` falls below ``pct``.
@@ -47,13 +62,7 @@ def stable_sample(docs_ds, *, pct: int = 10, mod: int = 100, key_col: str = "doc
     2^32 so the int64 product is exact (asserted per batch)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(
-            pc.cast(batch[key_col], pa.int64()).to_numpy(zero_copy_only=False),
-            dtype=np.int64,
-        )
-        if ids.size and int(ids.max()) >= _KNUTH_MOD:
-            raise ValueError("stable_sample requires ids < 2^32 for exact int64 hashing")
-        keep = (ids * _KNUTH % _KNUTH_MOD) % mod < pct
+        keep = _knuth_hash(batch, key_col) % mod < pct
         return batch.filter(pa.array(keep))
 
     return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -369,15 +378,9 @@ def stratified_sample(
     (key * 2654435761 % 4294967296), key) <= k``."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(
-            pc.cast(batch[key_col], pa.int64()).to_numpy(zero_copy_only=False),
-            dtype=np.int64,
+        return batch.append_column(
+            "_h", pa.array(_knuth_hash(batch, key_col), pa.int64())
         )
-        if ids.size and int(ids.max()) >= _KNUTH_MOD:
-            raise ValueError(
-                "stratified_sample requires ids < 2^32 for exact int64 hashing"
-            )
-        return batch.append_column("_h", pa.array(ids * _KNUTH % _KNUTH_MOD, pa.int64()))
 
     hashed = docs_ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
     out = grouped_topk(
@@ -677,6 +680,11 @@ class MPQuantileSketch:
     domain is unbounded or a key is too heavy to sort."""
 
     def __init__(self, k: int = 256):
+        # buffers are always exactly k long when they collapse, so every
+        # 2k-merge keeps k elements and total weight is preserved; an odd
+        # k would let alternate-element selection drop mass
+        if k < 2 or k % 2:
+            raise ValueError("MPQuantileSketch requires an even k >= 2")
         self.k = k
         self.levels: dict = {}
 
@@ -736,11 +744,18 @@ class MPQuantileSketch:
         ).iter_batches(batch_size=None, batch_format="pyarrow"):
             if b.num_rows == 0 or b.num_columns == 0:
                 continue
-            lvl = np.asarray(b["level"].to_numpy(zero_copy_only=False), np.int32)
-            val = np.asarray(b["value"].to_numpy(zero_copy_only=False), np.int64)
-            for level in np.unique(lvl):
-                sk.merge_buffer(int(level), val[lvl == level])
+            sk.merge_level_rows(
+                np.asarray(b["level"].to_numpy(zero_copy_only=False), np.int32),
+                np.asarray(b["value"].to_numpy(zero_copy_only=False), np.int64),
+            )
         return sk
+
+    def merge_level_rows(self, lvl: np.ndarray, val: np.ndarray) -> None:
+        """Merge serialized (level, value) sketch rows — the single
+        place that understands the wire format per-block sketches and
+        :func:`grouped_quantile_sketch` groups travel in."""
+        for level in np.unique(lvl):
+            self.merge_buffer(int(level), val[lvl == level])
 
 
 def grouped_quantile_sketch(
@@ -797,10 +812,10 @@ def grouped_quantile_sketch(
 
     def merge(group: pa.Table) -> pa.Table:
         sk = MPQuantileSketch(k=k)
-        lvl = np.asarray(group["level"].to_numpy(zero_copy_only=False), np.int32)
-        val = np.asarray(group["value"].to_numpy(zero_copy_only=False), np.int64)
-        for level in np.unique(lvl):
-            sk.merge_buffer(int(level), val[lvl == level])
+        sk.merge_level_rows(
+            np.asarray(group["level"].to_numpy(zero_copy_only=False), np.int32),
+            np.asarray(group["value"].to_numpy(zero_copy_only=False), np.int64),
+        )
         cols = {key_col: pa.array([group[key_col][0].as_py()], pa.string())}
         for q, name in zip(qs, names):
             cols[name] = pa.array([sk.quantile(q)], pa.int64())
@@ -832,18 +847,13 @@ def mixture_sample(
     pct_arr = np.asarray([rates[s] for s in keys] + [default_pct], dtype=np.int64)
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(
-            pc.cast(batch[key_col], pa.int64()).to_numpy(zero_copy_only=False),
-            dtype=np.int64,
-        )
-        if ids.size and int(ids.max()) >= _KNUTH_MOD:
-            raise ValueError("mixture_sample requires ids < 2^32 for exact int64 hashing")
+        h = _knuth_hash(batch, key_col)
         idx = pc.index_in(pc.cast(batch[strata_col], pa.string()), value_set=key_arr)
         idx_np = np.asarray(
             pc.fill_null(idx, len(keys)).to_numpy(zero_copy_only=False), dtype=np.int64
         )
         thresholds = pct_arr[idx_np]
-        keep = (ids * _KNUTH % _KNUTH_MOD) % mod < thresholds
+        keep = h % mod < thresholds
         return batch.filter(pa.array(keep))
 
     return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1536,31 +1536,46 @@ def neardup_survivors(
     *,
     key_col: str = "doc_id",
     broadcast_rows: int = 2_000_000,
+    num_partitions: Optional[int] = None,
 ):
     """The end-to-end near-dedup output a training pipeline actually
     keeps: given the verified duplicate-pair stream, drop every cluster
     member except the minimum id (``duplicate_clusters``' canonical
     label) and return the surviving rows of ``docs_ds``.
 
-    Victims (cluster members other than the label) are a small fraction
-    of the corpus by construction; below ``broadcast_rows`` they ship as
-    one broadcast ``is_in`` filter (no shuffle of the corpus), above it
-    the filter degrades to a ``left_anti`` hash join."""
+    The victim set (cluster members other than the label) stays a
+    Dataset end to end; below ``broadcast_rows`` victims it collapses
+    to one broadcast ``is_in`` filter (no shuffle of the corpus), above
+    it the filter runs as a ``left_anti`` hash join whose partition
+    count is sized to the cluster (a partition count far above the CPU
+    count can starve Ray's join aggregators)."""
     import ray
     import ray.data
 
     clusters = duplicate_clusters(pairs_ds)
-    victims_tabs = []
-    for b in clusters.iter_batches(batch_size=None, batch_format="pyarrow"):
-        if b.num_rows == 0 or b.num_columns == 0:
-            continue
-        mask = pc.invert(pc.equal(b["doc_id"], b["cluster_id"]))
-        victims_tabs.append(b.filter(mask).select(["doc_id"]))
-    n_victims = sum(t.num_rows for t in victims_tabs)
+
+    def victims_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([(key_col, pa.int64())]).empty_table()
+        mask = pc.invert(pc.equal(batch["doc_id"], batch["cluster_id"]))
+        return pa.table(
+            {key_col: pc.cast(batch.filter(mask)["doc_id"], pa.int64())}
+        )
+
+    victims_ds = clusters.map_batches(
+        victims_fn, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_victims = victims_ds.count()
     if n_victims == 0:
         return docs_ds
     if n_victims <= broadcast_rows:
-        victims = pa.concat_tables(victims_tabs)["doc_id"].combine_chunks()
+        victims = pa.concat_arrays(
+            [
+                b[key_col].combine_chunks()
+                for b in victims_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+                if b.num_rows and b.num_columns
+            ]
+        )
         vref = ray.put(victims)
 
         def keep(batch: pa.Table) -> pa.Table:
@@ -1570,7 +1585,6 @@ def neardup_survivors(
             )
 
         return docs_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-    victims_ds = ray.data.from_arrow(
-        pa.concat_tables(victims_tabs).rename_columns([key_col])
-    )
-    return docs_ds.join(victims_ds, "left_anti", 32, on=(key_col,))
+    if num_partitions is None:
+        num_partitions = max(4, min(32, int(ray.cluster_resources().get("CPU", 8))))
+    return docs_ds.join(victims_ds, "left_anti", num_partitions, on=(key_col,))

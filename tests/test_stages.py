@@ -1201,3 +1201,21 @@ def test_neardup_survivors_keeps_min_per_cluster():
         pa.table({"id1": pa.array([], pa.int64()), "id2": pa.array([], pa.int64())})
     )
     assert len(neardup_survivors(_docs(["x", "y"]), empty).take_all()) == 2
+
+
+def test_neardup_survivors_left_anti_branch():
+    """broadcast_rows=0 pins the Dataset left_anti path with a partition
+    count sized to the cluster (a count far above the CPU count would
+    starve Ray's join aggregators)."""
+    import ray.data
+
+    from rify_ray.stages.dedup import neardup_survivors
+
+    docs = _docs(["a", "b", "c", "d", "e"])
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {"id1": pa.array([0, 1], pa.int64()), "id2": pa.array([1, 3], pa.int64())}
+        )
+    )
+    out = neardup_survivors(docs, pairs, broadcast_rows=0, num_partitions=4).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 2, 4]
