@@ -958,6 +958,23 @@ def _q_minhash_verified(sf_dir: str):
     return pa.concat_tables(batches)
 
 
+def _q_dedup_ngram_jaccard(sf_dir: str):
+    from rify_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs_ds(sf_dir))
+    batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return pa.schema(
+            [
+                ("id1", pa.int64()),
+                ("id2", pa.int64()),
+                ("inter_n", pa.int64()),
+                ("union_n", pa.int64()),
+            ]
+        ).empty_table()
+    return pa.concat_tables(batches)
+
+
 def _q_simhash_neardup(sf_dir: str):
     from rify_ray.stages.dedup import simhash_candidates
 
@@ -1064,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top3": _q_knn_ivf_top3,
         "minhash_candidates": _q_minhash_candidates,
         "minhash_verified": _q_minhash_verified,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "simhash_neardup": _q_simhash_neardup,
         "embed_neardup": _q_embed_neardup,
         "multimodal_decode": _q_multimodal_decode,
@@ -1164,6 +1182,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM ordered a JOIN ordered b ON a.rn < b.rn"
         ),
         "dedup_exact_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # exact n-gram-Jaccard near-dup: char-5 shingles, candidates share
+        # >=1 shingle with document frequency <= 50, threshold 4/5 compared
+        # by integer cross-multiplication (mirrors ngram_jaccard_pairs)
+        "dedup_ngram_jaccard": (
+            "WITH sh AS ("
+            "SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s "
+            "FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i "
+            "FROM documents)), "
+            "df AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50), "
+            "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "JOIN df ON df.s = a.s), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "JOIN cand c ON c.id1 = a.doc_id AND c.id2 = b.doc_id GROUP BY 1, 2) "
+            "SELECT i.id1, i.id2, CAST(i.i AS BIGINT) AS inter_n, "
+            "CAST(s1.n + s2.n - i.i AS BIGINT) AS union_n "
+            "FROM inter i JOIN sizes s1 ON s1.doc_id = i.id1 "
+            "JOIN sizes s2 ON s2.doc_id = i.id2 "
+            "WHERE 5 * i.i >= 4 * (s1.n + s2.n - i.i)"
+        ),
         "source_stats": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens, "

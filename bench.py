@@ -197,6 +197,7 @@ def run_queries() -> dict:
         "embed_norm_top10",
         "minhash_candidates",
         "minhash_verified",
+        "dedup_ngram_jaccard",
         "simhash_neardup",
         "embed_neardup",
         "multimodal_decode",

@@ -215,20 +215,28 @@ def minhash_band_fn(*, num_perm: int = 64, bands: int = 16):
 
 
 def _salted_bucket_pairs(
-    band: np.ndarray, bkey: np.ndarray, ids: np.ndarray, max_bucket_size: int
+    band: np.ndarray, bkey: np.ndarray, ids: np.ndarray, max_bucket_size: int,
+    oversized: str = "salt",
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Vectorized pair expansion over MANY buckets at once.
 
     Input: parallel arrays of (band, bkey, doc_id) rows (any order).
     Buckets above ``max_bucket_size`` (boilerplate clusters whose O(n²)
-    expansion would dominate the job) are SALTED into id-sorted
-    subgroups of at most ``max_bucket_size`` members; pairs are emitted
-    within each subgroup plus one BRIDGE pair linking consecutive
-    subgroups — so a hot bucket still forms one connected component
-    (transitive dedup/clustering loses nothing), while the pairwise
-    expansion stays O(bucket · max_bucket_size) instead of O(bucket²).
-    Cross-subgroup pairs are the only ones skipped, and they are
-    COUNTED: the returned stats record
+    expansion would dominate the job) are, per ``oversized``:
+
+    - ``"salt"`` (default): SALTED into id-sorted subgroups of at most
+      ``max_bucket_size`` members; pairs are emitted within each
+      subgroup plus one BRIDGE pair linking consecutive subgroups — so
+      a hot bucket still forms one connected component (transitive
+      dedup/clustering loses nothing), while the pairwise expansion
+      stays O(bucket · max_bucket_size) instead of O(bucket²).
+      Cross-subgroup pairs are the only ones skipped.
+    - ``"drop"``: excluded entirely — the semantics of a document-
+      frequency cap (a bucket key shared by more than ``max_bucket_size``
+      documents is boilerplate and generates NO candidates), exactly
+      mirroring a SQL ``HAVING count(*) <= max`` filter.
+
+    Either way every skipped pair is COUNTED: the returned stats record
     ``{n_buckets, oversized_buckets, emitted_pairs, dropped_pairs}``.
 
     No per-bucket Python dispatch: groups are delimited with one
@@ -247,6 +255,29 @@ def _salted_bucket_pairs(
     new_bucket[1:] = (b2[1:] != b2[:-1]) | (k2[1:] != k2[:-1])
     starts = np.flatnonzero(new_bucket)
     sizes = np.diff(np.append(starts, n))
+    if oversized == "drop":
+        total_buckets = int(starts.size)
+        n_over = int((sizes > max_bucket_size).sum())
+        possible_all = int((sizes.astype(np.int64) * (sizes - 1) // 2).sum())
+        keep_rows = np.repeat(sizes <= max_bucket_size, sizes)
+        b2, k2, v = b2[keep_rows], k2[keep_rows], v[keep_rows]
+        n = v.size
+        if n == 0:
+            return empty, empty, {
+                "n_buckets": total_buckets, "oversized_buckets": n_over,
+                "emitted_pairs": 0, "dropped_pairs": possible_all,
+            }
+        new_bucket = np.ones(n, dtype=bool)
+        new_bucket[1:] = (b2[1:] != b2[:-1]) | (k2[1:] != k2[:-1])
+        starts = np.flatnonzero(new_bucket)
+        sizes = np.diff(np.append(starts, n))
+        # remaining buckets all fit: subgroup machinery degenerates to
+        # plain per-bucket expansion, no bridges fire
+        id1, id2, stats = _salted_bucket_pairs(b2, k2, v, max_bucket_size)
+        stats["n_buckets"] = total_buckets
+        stats["oversized_buckets"] = n_over
+        stats["dropped_pairs"] = possible_all - int(id1.size)
+        return id1, id2, stats
     # position within bucket; subgroup boundaries every max_bucket_size
     pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
     new_sub = new_bucket | (pos % max_bucket_size == 0)
@@ -288,6 +319,7 @@ def _expand_bucket_pairs(
     driver_pair_bound: int = 20_000_000,
     num_parts: int = 64,
     stats_out: Optional[dict] = None,
+    oversized: str = "salt",
 ):
     """(band, bkey, doc_id) rows → distinct candidate pairs (id1 < id2).
 
@@ -338,25 +370,38 @@ def _expand_bucket_pairs(
         nb = np.ones(n, dtype=bool)
         nb[1:] = (bb[1:] != bb[:-1]) | (kk[1:] != kk[:-1])
         sizes = np.diff(np.append(np.flatnonzero(nb), n)).astype(np.int64)
-        n_sub = -(-sizes // max_bucket_size)  # ceil — salt subgroups per bucket
-        rem = sizes - (n_sub - 1) * max_bucket_size
-        est = int(
-            (
-                (n_sub - 1) * (max_bucket_size * (max_bucket_size - 1) // 2)
-                + rem * (rem - 1) // 2
-                + (n_sub - 1)  # bridge pairs
-            ).sum()
-        )
+        if oversized == "drop":
+            kept = sizes[sizes <= max_bucket_size]
+            est = int((kept * (kept - 1) // 2).sum())
+        else:
+            n_sub = -(-sizes // max_bucket_size)  # ceil — salt subgroups per bucket
+            rem = sizes - (n_sub - 1) * max_bucket_size
+            est = int(
+                (
+                    (n_sub - 1) * (max_bucket_size * (max_bucket_size - 1) // 2)
+                    + rem * (rem - 1) // 2
+                    + (n_sub - 1)  # bridge pairs
+                ).sum()
+            )
         if est <= driver_pair_bound:
-            id1, id2, stats = _salted_bucket_pairs(band, bkey, ids, max_bucket_size)
+            id1, id2, stats = _salted_bucket_pairs(
+                band, bkey, ids, max_bucket_size, oversized=oversized
+            )
             if stats_out is not None:
                 stats_out.update(stats)
             if stats["dropped_pairs"]:
-                log.warning(
-                    "LSH hot-bucket salting: %d oversized bucket(s), %d cross-subgroup "
-                    "pair(s) skipped (bridged for connectivity)",
-                    stats["oversized_buckets"], stats["dropped_pairs"],
-                )
+                if oversized == "drop":
+                    log.info(
+                        "df-capped buckets: %d bucket(s) above the cap excluded "
+                        "(%d pair(s) not generated — the documented df-cap semantic)",
+                        stats["oversized_buckets"], stats["dropped_pairs"],
+                    )
+                else:
+                    log.warning(
+                        "LSH hot-bucket salting: %d oversized bucket(s), %d cross-subgroup "
+                        "pair(s) skipped (bridged for connectivity)",
+                        stats["oversized_buckets"], stats["dropped_pairs"],
+                    )
             if id1.size == 0:
                 return None
             import polars as pl
@@ -370,8 +415,10 @@ def _expand_bucket_pairs(
         band = np.asarray(group["band"].to_numpy(zero_copy_only=False), dtype=np.int64)
         bkey = np.asarray(group["bkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
         ids = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        id1, id2, stats = _salted_bucket_pairs(band, bkey, ids, max_bucket_size)
-        if stats["dropped_pairs"]:
+        id1, id2, stats = _salted_bucket_pairs(
+            band, bkey, ids, max_bucket_size, oversized=oversized
+        )
+        if stats["dropped_pairs"] and oversized != "drop":
             logging.getLogger("rify_ray.dedup").warning(
                 "LSH hot-bucket salting (partition): %d oversized bucket(s), "
                 "%d cross-subgroup pair(s) skipped",
@@ -793,6 +840,21 @@ def _empty_verified():
     )
 
 
+def _empty_counts():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.schema(
+            [
+                ("id1", pa.int64()),
+                ("id2", pa.int64()),
+                ("inter_n", pa.int64()),
+                ("union_n", pa.int64()),
+            ]
+        ).empty_table()
+    )
+
+
 def ngram_jaccard(text1: str, text2: str, k: int = 5) -> float:
     """Exact k-char-shingle Jaccard (verification predicate)."""
     s1 = set(map(int, _shingle_hashes(text1 or "", k)))
@@ -801,6 +863,84 @@ def ngram_jaccard(text1: str, text2: str, k: int = 5) -> float:
         return 1.0
     inter = len(s1 & s2)
     return inter / (len(s1) + len(s2) - inter)
+
+
+def _shingle_rows_fn(k: int):
+    """(doc_id, text) → exploded (band=0, bkey=shingle-hash, doc_id)
+    rows, distinct shingles per doc — the bucket-keyed input shape of
+    :func:`_expand_bucket_pairs`, with the shingle itself as the bucket
+    key (exact shared-shingle candidate generation, no minhash)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        arrs = [_shingle_hashes(t or "", k) for t in batch["text"].to_pylist()]
+        lens = np.array([a.size for a in arrs], dtype=np.int64)
+        sh = (
+            np.concatenate(arrs) if arrs else np.zeros(0, dtype=np.uint64)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(np.zeros(sh.size, dtype=np.int64)),
+                "bkey": pa.array(sh),
+                "doc_id": pa.array(np.repeat(ids, lens)),
+            }
+        )
+
+    return fn
+
+
+def ngram_jaccard_pairs(
+    docs_ds,
+    *,
+    k: int = 5,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_df: int = 50,
+    driver_pairs_bound: int = 50_000,
+    num_partitions: int = 8,
+):
+    """EXACT n-gram-Jaccard near-duplicate pairs — no minhash anywhere.
+
+    The sketch-free member of the dedup family (exact / MinHash+LSH /
+    SimHash / n-gram Jaccard / embedding-cosine): candidates are pairs
+    of documents sharing at least one k-char shingle whose document
+    frequency is ≤ ``max_df`` (higher-df shingles are boilerplate whose
+    O(df²) pair expansion would dominate the job — the df cap is the
+    documented semantic, identical to a SQL ``HAVING count(*) ≤
+    max_df``, not a silent truncation: a pair whose ONLY shared
+    shingles are boilerplate generates no candidate).  Verification
+    computes the exact Jaccard over each pair's FULL shingle sets; the
+    threshold is the rational ``threshold_num/threshold_den`` compared
+    by integer cross-multiplication, so the output
+    ``(id1, id2, inter_n, union_n)`` is bit-reproducible against a SQL
+    oracle (shingles travel as 64-bit rolling hashes — distinct
+    shingles collide with probability ~n²/2⁶² per corpus, negligible
+    and documented).
+
+    Scale shape: shingle explode is a pure map; candidate generation is
+    one bucket-partitioned exchange with the df cap applied per bucket
+    (a shingle's rows co-locate, so the cap is globally exact); verify
+    touches only pair-involved docs.  100 TB knobs: ``max_df`` bounds
+    per-bucket work, ``driver_pairs_bound`` gates the driver fast path.
+    """
+    keyed = docs_ds.map_batches(
+        _shingle_rows_fn(k), batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = _expand_bucket_pairs(keyed, max_bucket_size=max_df, oversized="drop")
+    if pairs is None:
+        return _empty_counts()
+    return verify_pairs_jaccard(
+        pairs,
+        docs_ds,
+        k=k,
+        threshold=threshold_num / threshold_den,
+        num_partitions=num_partitions,
+        driver_pairs_bound=driver_pairs_bound,
+        counts=(threshold_num, threshold_den),
+    )
 
 
 def _shingle_sets_fn(k: int):
@@ -825,6 +965,22 @@ def _shingle_sets_fn(k: int):
     return fn
 
 
+def _inter_union_from_sets(sh1, sh2) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact per-pair intersection / union SIZES over sorted-unique
+    shingle-hash byte blobs — the integer-valued sibling of
+    :func:`_jaccard_from_sets` (a rational threshold compares these with
+    cross-multiplication instead of a float division at the boundary)."""
+    inter = np.empty(len(sh1), dtype=np.int64)
+    uni = np.empty(len(sh1), dtype=np.int64)
+    for i in range(len(sh1)):
+        a = np.frombuffer(sh1[i], dtype=np.uint64)
+        b = np.frombuffer(sh2[i], dtype=np.uint64)
+        ii = np.intersect1d(a, b, assume_unique=True).size
+        inter[i] = ii
+        uni[i] = a.size + b.size - ii
+    return inter, uni
+
+
 def _jaccard_from_sets(sh1, sh2) -> np.ndarray:
     jac = np.empty(len(sh1), dtype=np.float64)
     for i in range(len(sh1)):
@@ -838,7 +994,10 @@ def _jaccard_from_sets(sh1, sh2) -> np.ndarray:
     return jac
 
 
-def _verify_pairs_driver(i1: np.ndarray, i2: np.ndarray, docs_ds, *, k: int, threshold: float):
+def _verify_pairs_driver(
+    i1: np.ndarray, i2: np.ndarray, docs_ds, *, k: int, threshold: float,
+    counts: Optional[Tuple[int, int]] = None,
+):
     """Driver-side exact verify of a BOUNDED pair list (caller enforces
     the bound): ONE distributed pass computes shingle sets for only the
     docs that appear in a pair (broadcast ``is_in`` filter — O(matches)
@@ -851,7 +1010,7 @@ def _verify_pairs_driver(i1: np.ndarray, i2: np.ndarray, docs_ds, *, k: int, thr
     import ray.data
 
     if i1.size == 0:
-        return _empty_verified()
+        return _empty_counts() if counts is not None else _empty_verified()
     involved = np.unique(np.concatenate([i1, i2]))
     inv_ref = ray.put(pa.array(involved, pa.int64()))
     shingle = _shingle_sets_fn(k)
@@ -867,7 +1026,23 @@ def _verify_pairs_driver(i1: np.ndarray, i2: np.ndarray, docs_ds, *, k: int, thr
         if b.num_rows == 0 or b.num_columns == 0:
             continue
         sets.update(zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()))
-    jac = _jaccard_from_sets([sets[i] for i in i1], [sets[i] for i in i2])
+    sh1 = [sets[i] for i in i1]
+    sh2 = [sets[i] for i in i2]
+    if counts is not None:
+        num, den = counts
+        inter, uni = _inter_union_from_sets(sh1, sh2)
+        keep = den * inter >= num * uni
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id1": pa.array(i1[keep], pa.int64()),
+                    "id2": pa.array(i2[keep], pa.int64()),
+                    "inter_n": pa.array(inter[keep], pa.int64()),
+                    "union_n": pa.array(uni[keep], pa.int64()),
+                }
+            )
+        )
+    jac = _jaccard_from_sets(sh1, sh2)
     keep = jac >= threshold
     return ray.data.from_arrow(
         pa.table(
@@ -888,8 +1063,14 @@ def verify_pairs_jaccard(
     threshold: float = 0.5,
     num_partitions: int = 8,
     driver_pairs_bound: int = 50_000,
+    counts: Optional[Tuple[int, int]] = None,
 ):
     """Exact n-gram Jaccard over candidate pairs; keeps pairs ≥ threshold.
+
+    ``counts=(num, den)`` switches to the integer-exact mode: the
+    threshold is the rational num/den compared by cross-multiplication
+    (``den·|∩| ≥ num·|∪|`` — no float boundary), and the output carries
+    ``(id1, id2, inter_n, union_n)`` instead of a float ``jaccard``.
 
     A pair set at or below ``driver_pairs_bound`` verifies on the driver
     (:func:`_verify_pairs_driver` — one filtered-shingle scan, no join
@@ -900,21 +1081,24 @@ def verify_pairs_jaccard(
     pairs_ds = pairs_ds.materialize()
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
-        return _empty_verified()
+        return _empty_counts() if counts is not None else _empty_verified()
     if n_pairs <= driver_pairs_bound:
         pt = _collect_tbl(pairs_ds)
         if pt is None:
-            return _empty_verified()
+            return _empty_counts() if counts is not None else _empty_verified()
         i1 = np.asarray(pt["id1"].to_numpy(zero_copy_only=False), dtype=np.int64)
         i2 = np.asarray(pt["id2"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return _verify_pairs_driver(i1, i2, docs_ds, k=k, threshold=threshold)
+        return _verify_pairs_driver(
+            i1, i2, docs_ds, k=k, threshold=threshold, counts=counts
+        )
     return _verify_pairs_distributed(
-        pairs_ds, docs_ds, k=k, threshold=threshold, num_partitions=num_partitions
+        pairs_ds, docs_ds, k=k, threshold=threshold,
+        num_partitions=num_partitions, counts=counts,
     )
 
 
 def _verify_pairs_distributed(
-    pairs_ds, docs_ds, *, k, threshold, num_partitions, involved=None
+    pairs_ds, docs_ds, *, k, threshold, num_partitions, involved=None, counts=None
 ):
     """Distributed exact verify: shingle sets computed once per doc,
     attached to both pair sides (broadcast lookup below the bound in
@@ -942,12 +1126,26 @@ def _verify_pairs_distributed(
     sh_ds = docs_ds.map_batches(sh_fn, batch_format="pyarrow", zero_copy_batch=True)
     joined = _attach_pair_payload(pairs_ds, sh_ds, "sh", num_partitions=num_partitions)
     if joined is None:
-        return _empty_verified()
+        return _empty_counts() if counts is not None else _empty_verified()
 
     def verify(batch: pa.Table) -> pa.Table:
         ids1 = np.asarray(batch["id1"].to_numpy(zero_copy_only=False), dtype=np.int64)
         ids2 = np.asarray(batch["id2"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        jac = _jaccard_from_sets(batch["sh_id1"].to_pylist(), batch["sh_id2"].to_pylist())
+        sh1 = batch["sh_id1"].to_pylist()
+        sh2 = batch["sh_id2"].to_pylist()
+        if counts is not None:
+            num, den = counts
+            inter, uni = _inter_union_from_sets(sh1, sh2)
+            keep = den * inter >= num * uni
+            return pa.table(
+                {
+                    "id1": pa.array(ids1[keep], pa.int64()),
+                    "id2": pa.array(ids2[keep], pa.int64()),
+                    "inter_n": pa.array(inter[keep], pa.int64()),
+                    "union_n": pa.array(uni[keep], pa.int64()),
+                }
+            )
+        jac = _jaccard_from_sets(sh1, sh2)
         keep = jac >= threshold
         return pa.table(
             {

@@ -281,6 +281,79 @@ def test_ngram_jaccard_bounds():
     assert ngram_jaccard("aaaaaaa", "zzzzzzz") == 0.0
 
 
+def test_ngram_jaccard_pairs_matches_bruteforce():
+    from rify_ray.stages.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "hazy")
+    other = "completely different content about distributed dataflow engines " * 3
+    texts = [base, near, other, base + " tail", other.replace("engines", "systems")]
+    out = ngram_jaccard_pairs(
+        _docs(texts), k=5, threshold_num=1, threshold_den=2, max_df=len(texts)
+    )
+    got = {
+        (r["id1"], r["id2"]): (r["inter_n"], r["union_n"]) for r in out.take_all()
+    }
+
+    # brute force over char-5-gram sets with the same rational threshold
+    def sh(t):
+        return {t[i : i + 5] for i in range(len(t) - 4)}
+
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = sh(texts[i]), sh(texts[j])
+            inter = len(a & b)
+            uni = len(a | b)
+            if 2 * inter >= uni and inter > 0:
+                expect[(i, j)] = (inter, uni)
+    assert got == expect
+
+
+def test_ngram_jaccard_pairs_df_cap_drops_boilerplate():
+    from rify_ray.stages.dedup import ngram_jaccard_pairs
+
+    # every doc shares the boilerplate prefix; distinct tails.  With
+    # max_df below the corpus size every shared shingle is boilerplate,
+    # so NO candidates are generated (the documented df-cap semantic,
+    # not a silent truncation of true pairs)
+    boiler = "all rights reserved copyright notice footer text here "
+    texts = [boiler + f"unique tail number {i} content" for i in range(6)]
+    out = ngram_jaccard_pairs(
+        _docs(texts), k=5, threshold_num=1, threshold_den=100, max_df=3
+    )
+    assert out.take_all() == []
+    # raising the cap above the corpus size restores the pairs
+    out2 = ngram_jaccard_pairs(
+        _docs(texts), k=5, threshold_num=1, threshold_den=100, max_df=6
+    )
+    assert len(out2.take_all()) == 15  # all C(6,2) pairs share the prefix
+
+
+def test_salted_bucket_pairs_drop_mode():
+    import numpy as np
+
+    from rify_ray.stages.dedup import _salted_bucket_pairs
+
+    # bucket A: 3 members (kept), bucket B: 5 members (dropped at cap 4)
+    band = np.zeros(8, dtype=np.int64)
+    bkey = np.array([1, 1, 1, 2, 2, 2, 2, 2], dtype=np.int64)
+    ids = np.arange(8, dtype=np.int64)
+    id1, id2, stats = _salted_bucket_pairs(band, bkey, ids, 4, oversized="drop")
+    pairs = set(zip(id1.tolist(), id2.tolist()))
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+    assert stats["n_buckets"] == 2
+    assert stats["oversized_buckets"] == 1
+    assert stats["emitted_pairs"] == 3
+    # dropped = C(5,2) = 10 (no bridges in drop mode)
+    assert stats["dropped_pairs"] == 10
+    # salt mode on the same input keeps bucket B connected via a bridge
+    s1, s2, sstats = _salted_bucket_pairs(band, bkey, ids, 4, oversized="salt")
+    spairs = set(zip(s1.tolist(), s2.tolist()))
+    assert {(0, 1), (0, 2), (1, 2)}.issubset(spairs)
+    assert (6, 7) in spairs  # bridge pair into the overflow subgroup
+
+
 def test_simhash_near_duplicates():
     from rify_ray.stages.dedup import simhash_candidates
 
