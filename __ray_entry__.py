@@ -222,6 +222,54 @@ def _q_kg_customer_region_store(sf_dir: str):
         return _collect(store.decoded_dataset(first_gen=1))
 
 
+def _bgp_pattern():
+    from rify_ray import B, U
+
+    return [
+        [U("c"), B("in_nation"), U("n"), B(DG)],
+        [U("n"), B("in_region"), U("r"), B(DG)],
+    ]
+
+
+def _q_kg_bgp_customer_region(sf_dir: str):
+    """Conjunctive (basic-graph-pattern) QUERY — no inference: enumerate
+    all (customer, nation, region) assignments satisfying the two-atom
+    pattern over the premise quads via ``engine.query`` (the reference's
+    ``Reasoner::apply`` as a one-shot public operation)."""
+    from rify_ray import engine
+    from rify_ray.pipelines.relational import customer_nation_quads, nation_region_quads
+    from rify_ray.util import polars_to_arrow_string
+
+    quads = _collect_quads(customer_nation_quads(sf_dir), nation_region_quads(sf_dir))
+    out = engine.query(quads, _bgp_pattern())
+    return polars_to_arrow_string(out)
+
+
+def _q_kg_bgp_store(sf_dir: str):
+    """The same basic-graph-pattern query on the STORE-RESIDENT path:
+    the pattern matches as streaming filtered projections of the
+    dict-encoded parquet generations, joins are hash-shuffle exchanges,
+    bindings decode through the store dictionary — same SQL oracle as
+    ``kg_bgp_customer_region``."""
+    import tempfile
+
+    import ray.data
+
+    from rify_ray import engine
+    from rify_ray.pipelines.relational import customer_nation_quads, nation_region_quads
+    from rify_ray.util import polars_to_arrow_string
+
+    quads = _collect_quads(customer_nation_quads(sf_dir), nation_region_quads(sf_dir))
+    with tempfile.TemporaryDirectory() as d:
+        store = engine.infer_store(
+            ray.data.from_arrow(polars_to_arrow_string(quads)),
+            _rules_in_region(),
+            f"{d}/kg",
+            num_partitions=8,
+        )
+        return _collect(engine.query_store(store, _bgp_pattern(), num_partitions=8))
+
+
 def _q_kg_customer_region_incr(sf_dir: str):
     """Incremental view maintenance, oracle-checked: half the customer
     facts build the store fixpoint, the other half arrive later via
@@ -1030,6 +1078,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_customer_region": _q_kg_customer_region,
         "kg_customer_region_store": _q_kg_customer_region_store,
         "kg_customer_region_incr": _q_kg_customer_region_incr,
+        "kg_bgp_customer_region": _q_kg_bgp_customer_region,
+        "kg_bgp_store": _q_kg_bgp_store,
         "kg_customer_region_retract": _q_kg_customer_region_retract,
         "kg_conational": _q_kg_conational,
         "kg_conational_store": _q_kg_conational_store,
@@ -1159,6 +1209,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "WHERE c_custkey % 2 = 0"
+        ),
+        # basic-graph-pattern query (no inference): bindings of
+        # [?c in_nation ?n] & [?n in_region ?r] over the premise quads
+        "kg_bgp_customer_region": (
+            "SELECT 'c:' || c_custkey AS c, 'n:' || n_nationkey AS n, "
+            "'r:' || n_regionkey AS r "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "kg_bgp_store": (
+            "SELECT 'c:' || c_custkey AS c, 'n:' || n_nationkey AS n, "
+            "'r:' || n_regionkey AS r "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey"
         ),
         "kg_conational": (
             "WITH ents AS ("

@@ -162,6 +162,8 @@ def run_queries() -> dict:
         "kg_nation_chain_closure",
         "kg_customer_region_incr",
         "kg_customer_region_retract",
+        "kg_bgp_customer_region",
+        "kg_bgp_store",
         "dedup_exact_docs",
         "text_token_counts",
         "text_lang_id",

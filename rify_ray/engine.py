@@ -749,6 +749,177 @@ def infer(
     return out
 
 
+def query(
+    premises: QuadsLike,
+    pattern: Sequence,
+    *,
+    dict_encode: bool = True,
+):
+    """Answer a conjunctive (basic-graph) pattern against a fact set:
+    all satisfying variable assignments, one column per variable.
+
+    This is the reference's conjunctive-body enumeration —
+    ``Reasoner::apply`` (``/root/reference/src/reasoner.rs:161-197``)
+    with its greedy fewest-matches-first atom ordering
+    (``pop_strictest_requirement``, ``src/reasoner.rs:235-243``) —
+    exposed as a one-shot public operation instead of only inside the
+    fixpoint loop.  No inference happens: run :func:`infer` /
+    :func:`infer_store` first and query the closure (for a
+    store-resident closure use :func:`query_store`, the scale path).
+
+    ``pattern`` is a list of 4-slot atoms exactly like a rule body
+    (``U`` variables / ``B`` constants; a variable repeated within one
+    atom is an intra-atom equality constraint).  Returns a polars frame
+    whose columns are the variable names in first-appearance order
+    (``src/rule.rs:170-177``); rows are the distinct assignments (the
+    fact set is deduped first, and projecting ALL pattern variables
+    keeps join outputs duplicate-free by construction).  List-of-tuples
+    input returns a list of ``{var: term}`` dicts (terms decoded like
+    :func:`infer`).  A pattern with no variables returns a one-row
+    ``matched`` boolean.  Like :func:`infer`, this is the
+    driver-resident API — the binding enumeration runs as one fused
+    lazy polars query over the collected fact set."""
+    from .eval_broadcast import eval_chain
+    from .plan import compile_rule, vcol
+
+    rule = Rule.create(pattern, ())  # validates atom shapes
+    if not rule.if_all:
+        raise ValueError("pattern must contain at least one atom")
+    df, encoded = _to_polars(premises)
+    df = df.unique(subset=FACT_COLS)
+    if encoded:
+        rule = _encode_rule(rule)
+    terms = None
+    if dict_encode:
+        terms = _build_terms_df(df, [rule])
+        df = _encode_quads_df(df, terms)
+        rule = _encode_rules_ids([rule], terms)[0]
+    plan = compile_rule(0, rule)
+    var_names = [str(v) for v in plan.cano_vars]
+    vcols = [vcol(i) for i in range(len(var_names))]
+    lz = eval_chain(df, df, df, plan, plan.chains[0])
+    if not var_names:
+        matched = lz is not None and lz.collect(engine="streaming").height > 0
+        return pl.DataFrame({"matched": [matched]})
+    if lz is None:
+        bdf = pl.DataFrame(schema={c: df.schema["s"] for c in vcols})
+    else:
+        bdf = lz.collect(engine="streaming").select(vcols)
+    if terms is not None:
+        for c in vcols:
+            bdf = (
+                bdf.join(terms, left_on=c, right_on="tid", how="left")
+                .drop(c)
+                .rename({"term": c})
+            )
+        bdf = bdf.select(vcols)
+    bdf = bdf.rename(dict(zip(vcols, var_names)))
+    if isinstance(premises, (list, tuple)):
+        rows = [
+            {v: (decode_term(t) if encoded else t) for v, t in zip(var_names, r)}
+            for r in bdf.iter_rows()
+        ]
+        return rows
+    return bdf
+
+
+def query_store(
+    store,
+    pattern: Sequence,
+    *,
+    num_partitions: int = 32,
+    broadcast_terms_rows: int = 20_000_000,
+    first_gen: int = 0,
+    derived_only: bool = False,
+    decode: bool = True,
+):
+    """Conjunctive pattern query over a materialized
+    :class:`rify_ray.state.TripleStore` — the scale path of
+    :func:`query`: each atom matches as a streaming filtered projection
+    of the store's parquet generations, the chain is a sequence of
+    hash-shuffle joins, and only the BINDINGS flow between steps (the
+    fact set never lands on the driver).  Atoms repeated across the
+    pattern reuse one match scan (same memoization as the fixpoint's
+    chains).  Returns a Dataset with one column per pattern variable
+    (first-appearance order); ``decode=True`` (default) joins term ids
+    back to strings via the store dictionary (broadcast gather below
+    ``broadcast_terms_rows``, distributed hash joins above —
+    :meth:`TripleStore.decode_columns`).  ``store`` may be a
+    :class:`TripleStore` or its path."""
+    import ray.data
+
+    from .eval_shuffle import _drop_empty_blocks, _match_batch_fn, shuffle_join
+    from .plan import compile_rule, vcol
+    from .state.store import TripleStore
+
+    if isinstance(store, str):
+        store = TripleStore(store)
+    rule = Rule.create(pattern, ())
+    if not rule.if_all:
+        raise ValueError("pattern must contain at least one atom")
+    rule = _encode_rule(rule)  # JSON-encode non-string constants
+    if store.value_type == "int64":
+        store.check_hash_pin()
+        rule = _encode_rules_hash([rule])[0]
+    plan = compile_rule(0, rule)
+    chain = plan.chains[0]
+    var_names = [str(v) for v in plan.cano_vars]
+    vcols = [vcol(i) for i in range(len(var_names))]
+    facts_ds = store.dataset(first_gen=first_gen, derived_only=derived_only)
+
+    match_cache: Dict[Any, Any] = {}
+    bindings = None
+    bound_cols: List[str] = []
+    satisfied = True
+    for atom_i in chain.order:
+        atom = plan.body[atom_i]
+        key = atom.slots
+        if key in match_cache:
+            m = match_cache[key]
+        else:
+            m = facts_ds.map_batches(
+                _match_batch_fn(atom), batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+            m = _drop_empty_blocks(m)
+            match_cache[key] = m
+        if m is None:
+            satisfied = False
+            break
+        if not atom.var_indices:
+            continue  # all-constant presence probe passed (rows > 0)
+        m_cols = [vcol(i) for i in atom.var_indices]
+        if bindings is None:
+            bindings, bound_cols = m, m_cols
+            continue
+        shared = [c for c in m_cols if c in bound_cols]
+        bindings = shuffle_join(
+            bindings, m, shared, num_partitions, 1, probe_salt_cols=bound_cols
+        )
+        if bindings is None:
+            satisfied = False
+            break
+        bound_cols = bound_cols + [c for c in m_cols if c not in bound_cols]
+    if not var_names:
+        return ray.data.from_arrow(pa.table({"matched": pa.array([satisfied])}))
+    out_type = pa.string() if (decode and store.value_type == "int64") else (
+        pa.int64() if store.value_type == "int64" else pa.string()
+    )
+    if not satisfied or bindings is None:
+        return ray.data.from_arrow(
+            pa.schema([(nm, out_type) for nm in var_names]).empty_table()
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({nm: batch[vc] for nm, vc in zip(var_names, vcols)})
+
+    out = bindings.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    if decode and store.value_type == "int64":
+        out = store.decode_columns(
+            out, var_names, broadcast_terms_rows=broadcast_terms_rows
+        )
+    return out
+
+
 def infer_store(
     premises_ds,
     rules: Sequence[Rule],

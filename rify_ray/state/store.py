@@ -195,10 +195,21 @@ class TripleStore:
         ds = self.dataset(**kw)
         if self.value_type != "int64" or not os.path.isdir(self.terms_dir):
             return ds
-        import polars as pl
-        import ray
+        return self.decode_columns(
+            ds, QUAD_COLS, broadcast_terms_rows=broadcast_terms_rows
+        )
 
-        from ..util import polars_to_arrow_string
+    def decode_columns(
+        self, ds, cols: List[str], *, broadcast_terms_rows: int = 20_000_000
+    ):
+        """Join term-id columns ``cols`` of ``ds`` back to term strings
+        via this store's dictionary; other columns pass through.  Same
+        two regimes as :meth:`decoded_dataset` (which delegates here
+        with the quad columns): broadcast sorted-dictionary gather below
+        ``broadcast_terms_rows``, distributed hash joins above.  Used by
+        :func:`rify_ray.engine.query_store` to decode BINDING columns
+        (named per pattern variable, not s/p/o/g)."""
+        import ray
 
         files = sorted(
             os.path.join(self.terms_dir, n)
@@ -207,7 +218,7 @@ class TripleStore:
         )
         n_terms = self.manifest.get("terms", {}).get("n_terms")
         if n_terms is not None and n_terms > broadcast_terms_rows:
-            return self._decoded_dataset_joins(ds, files)
+            return self._decoded_dataset_joins(ds, files, cols)
         import pyarrow.parquet as pq
 
         import numpy as np
@@ -226,12 +237,13 @@ class TripleStore:
                 .combine_chunks(),
             )
         )
+        decode_cols = list(cols)
 
         def decode(batch: pa.Table) -> pa.Table:
             tid_sorted, term_arr = ray.get(ref)
-            extra = [c for c in batch.column_names if c not in QUAD_COLS]
-            cols = {}
-            for c in QUAD_COLS:
+            extra = [c for c in batch.column_names if c not in decode_cols]
+            out = {}
+            for c in decode_cols:
                 ids = np.asarray(
                     pc.cast(batch[c], pa.int64()).to_numpy(zero_copy_only=False),
                     dtype=np.int64,
@@ -239,33 +251,34 @@ class TripleStore:
                 pos = np.searchsorted(tid_sorted, ids)
                 pos_c = np.minimum(pos, tid_sorted.size - 1)
                 valid = tid_sorted[pos_c] == ids  # left-join nulls for unknown ids
-                cols[c] = term_arr.take(
+                out[c] = term_arr.take(
                     pa.array(pos_c, pa.int64(), mask=~valid)
                 )
             for e in extra:
-                cols[e] = batch[e]
-            return pa.table(cols)
+                out[e] = batch[e]
+            return pa.table(out)
 
         return ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def _decoded_dataset_joins(self, ds, term_files: List[str]):
+    def _decoded_dataset_joins(self, ds, term_files: List[str], cols=None):
         """Decode via distributed hash joins — the big-dictionary path.
-        Each quad column joins against the (term, tid) Dataset; blocks
+        Each id column joins against the (term, tid) Dataset; blocks
         are materialized + empty-stripped between joins (Ray 2.49 chained
         lazy joins break on empty-schema blocks)."""
         import ray.data
 
         from ..util import drop_empty_blocks, ensure_schema_fn
 
+        cols = list(cols) if cols is not None else list(QUAD_COLS)
         out = ds.materialize()
-        extra = [c for c in out.schema().names if c not in QUAD_COLS]
-        for c in QUAD_COLS:
+        extra = [c for c in out.schema().names if c not in cols]
+        for c in cols:
             terms_ds = ray.data.read_parquet(term_files)
             stripped = drop_empty_blocks(out)
             if stripped is None:
                 return ray.data.from_arrow(
                     pa.schema(
-                        [(q, pa.string()) for q in QUAD_COLS]
+                        [(q, pa.string()) for q in cols]
                         + [(e, out.schema().field(e).type) for e in extra]
                     ).empty_table()
                 )
@@ -284,10 +297,10 @@ class TripleStore:
         stripped = drop_empty_blocks(out)
         if stripped is None:
             return ray.data.from_arrow(
-                pa.schema([(q, pa.string()) for q in QUAD_COLS]).empty_table()
+                pa.schema([(q, pa.string()) for q in cols]).empty_table()
             )
         schema = pa.schema(
-            [(q, pa.string()) for q in QUAD_COLS]
+            [(q, pa.string()) for q in cols]
             + [(e, stripped.schema().field(e).type) for e in extra]
         )
         return stripped.map_batches(
