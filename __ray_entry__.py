@@ -907,6 +907,24 @@ def _q_orders_by_status_priority(sf_dir: str):
     return _collect(orders_by_status_priority(sf_dir))
 
 
+def _q_orders_rollup(sf_dir: str):
+    from rify_ray.pipelines.relational import orders_rollup
+
+    return _collect(orders_rollup(sf_dir))
+
+
+def _q_events_type_pivot(sf_dir: str):
+    from rify_ray.pipelines.relational import events_type_pivot
+
+    return _collect(events_type_pivot(sf_dir))
+
+
+def _q_events_user_running(sf_dir: str):
+    from rify_ray.pipelines.relational import events_user_running
+
+    return _collect(events_user_running(sf_dir))
+
+
 def _q_segment_order_counts(sf_dir: str):
     from rify_ray.pipelines.relational import segment_order_counts
 
@@ -1121,6 +1139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "top_users_by_events": _q_top_users_by_events,
         "orders_by_status_priority": _q_orders_by_status_priority,
+        "orders_rollup": _q_orders_rollup,
+        "events_type_pivot": _q_events_type_pivot,
+        "events_user_running": _q_events_user_running,
         "segment_order_counts": _q_segment_order_counts,
         "lineitem_pricing_cents": _q_lineitem_pricing_cents,
         "events_sessionize": _q_events_sessionize,
@@ -1445,6 +1466,32 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_status_priority": (
             "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM orders GROUP BY 1, 2"
+        ),
+        # ROLLUP levels labeled 'ALL'; cents rounded per row then summed
+        # as integers (order-independent), mirroring orders_rollup
+        "orders_rollup": (
+            "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+        ),
+        "events_type_pivot": (
+            "SELECT user_id, "
+            "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click, "
+            "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error, "
+            "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase, "
+            "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup, "
+            "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view "
+            "FROM events GROUP BY user_id"
+        ),
+        "events_user_running": (
+            "SELECT event_id, user_id, "
+            "CAST(row_number() OVER w AS BIGINT) AS run_n, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS run_cents "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)"
         ),
         "segment_order_counts": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders "

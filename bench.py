@@ -194,6 +194,9 @@ def run_queries() -> dict:
         "top_users_by_events",
         "segment_order_counts",
         "lineitem_pricing_cents",
+        "orders_rollup",
+        "events_type_pivot",
+        "events_user_running",
         "knn_cosine_top5",
         "knn_lsh_top3",
         "embed_norm_top10",

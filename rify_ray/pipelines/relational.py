@@ -10,7 +10,7 @@ n:{nationkey}``.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -721,4 +721,208 @@ def source_stats(sf_dir: str, *, forced_shuffle: bool = False):
     cols = ["n_docs", "sum_tokens", "sum_chars"]
     return _preagg_sum(
         parts, ["source"], part_schema, cols, cols, forced_shuffle=forced_shuffle
+    )
+
+
+def orders_rollup(sf_dir: str, *, forced_shuffle: bool = False):
+    """``GROUP BY ROLLUP(o_orderstatus, o_orderpriority)``: order counts
+    + integer-cent revenue at the (status, priority), (status, ALL) and
+    (ALL, ALL) levels, rollup slots labeled ``'ALL'``.
+
+    Scale shape: the input crosses ONE exchange — the finest-level
+    pre-aggregated merge (per-block partials mean distinct keys per
+    block travel, not one row per order); the coarser rollup levels
+    derive from that finest aggregate (|status| × |priority| rows — the
+    rollup dimensions are low-cardinality by construction) on the
+    driver, never from a second pass over the input.  Cents are rounded
+    PER ROW then summed as Int64, so the result is independent of float
+    summation order."""
+    import polars as plr
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    keys = ["o_orderstatus", "o_orderpriority"]
+    schema = pa.schema(
+        [
+            ("o_orderstatus", pa.string()),
+            ("o_orderpriority", pa.string()),
+            ("n_orders", pa.int64()),
+            ("sum_cents", pa.int64()),
+        ]
+    )
+    part_schema = pa.schema(
+        [
+            ("o_orderstatus", pa.string()),
+            ("o_orderpriority", pa.string()),
+            ("cnt", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64()
+        )
+        df = (
+            plr.from_arrow(
+                pa.table(
+                    {
+                        "o_orderstatus": pc.cast(batch["o_orderstatus"], pa.string()),
+                        "o_orderpriority": pc.cast(batch["o_orderpriority"], pa.string()),
+                        "cents": cents,
+                    }
+                )
+            )
+            .group_by(keys)
+            .agg(plr.len().alias("cnt"), plr.col("cents").sum().alias("cents"))
+        )
+        return df.select([*keys, "cnt", "cents"]).to_arrow().cast(part_schema)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    fine = _preagg_sum(
+        parts,
+        keys,
+        schema,
+        ["cnt", "cents"],
+        ["n_orders", "sum_cents"],
+        forced_shuffle=forced_shuffle,
+    )
+    tabs = [
+        b
+        for b in fine.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    ]
+    if not tabs:
+        return ray.data.from_arrow(schema.empty_table())
+    df = plr.from_arrow(pa.concat_tables(tabs))
+    aggs = [
+        plr.col("n_orders").sum().alias("n_orders"),
+        plr.col("sum_cents").sum().alias("sum_cents"),
+    ]
+    lvl1 = df.group_by("o_orderstatus").agg(*aggs).with_columns(
+        plr.lit("ALL").alias("o_orderpriority")
+    )
+    lvl0 = df.select(aggs).with_columns(
+        plr.lit("ALL").alias("o_orderstatus"), plr.lit("ALL").alias("o_orderpriority")
+    )
+    out = plr.concat([x.select(schema.names) for x in (df, lvl1, lvl0)])
+    return ray.data.from_arrow(out.to_arrow().cast(schema))
+
+
+def events_type_pivot(
+    sf_dir: str,
+    types: Sequence[str] = ("click", "error", "purchase", "signup", "view"),
+    *,
+    forced_shuffle: bool = False,
+):
+    """Pivot ``event_type`` into per-user count columns (conditional
+    aggregation over a FIXED, caller-declared column set — a pivot whose
+    output schema depends on observed data would need a separate
+    distinct pass; declaring ``types`` keeps it one streaming exchange
+    of per-block partial pivots)."""
+    import polars as plr
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    n_cols = [f"n_{t}" for t in types]
+    schema = pa.schema([("user_id", pa.int64())] + [(c, pa.int64()) for c in n_cols])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        df = (
+            plr.from_arrow(
+                pa.table(
+                    {
+                        "user_id": pc.cast(batch["user_id"], pa.int64()),
+                        "event_type": pc.cast(batch["event_type"], pa.string()),
+                    }
+                )
+            )
+            .group_by("user_id")
+            .agg(
+                *[
+                    (plr.col("event_type") == t).sum().cast(plr.Int64).alias(c)
+                    for t, c in zip(types, n_cols)
+                ]
+            )
+        )
+        return df.select(schema.names).to_arrow().cast(schema)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _preagg_sum(
+        parts, ["user_id"], schema, n_cols, n_cols, forced_shuffle=forced_shuffle
+    )
+
+
+def events_user_running(sf_dir: str, *, forced_shuffle: bool = False):
+    """Per-user RUNNING aggregates — the cumulative-window operator:
+    for every event, its 1-based position and the running integer-cent
+    value sum within its user's timeline ordered by (ts, event_id) (the
+    unique id breaks timestamp ties deterministically — SQL
+    ``SUM(...) OVER (PARTITION BY user_id ORDER BY ts, event_id)``).
+
+    Partitioning: per-user grouping through the adaptive
+    ``util.grouped_apply`` (driver argsort below the broadcast bound,
+    one ``groupby.map_groups`` hash exchange above); the per-group
+    running fold is a vectorized numpy lexsort + cumsum — window state
+    never leaves the group."""
+    import numpy as np
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("run_n", pa.int64()),
+            ("run_cents", pa.int64()),
+        ]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+                ),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def running(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        eid = np.asarray(group["event_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ts = np.asarray(group["ts_us"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cents = np.asarray(group["cents"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        uid = group["user_id"][0].as_py()
+        order = np.lexsort((eid, ts))
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(np.full(n, uid, dtype=np.int64)),
+                "run_n": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "run_cents": pa.array(np.cumsum(cents[order]), pa.int64()),
+            }
+        )
+
+    from ..util import grouped_apply
+
+    return grouped_apply(
+        prepped, "user_id", running, out_schema, forced_shuffle=forced_shuffle
     )

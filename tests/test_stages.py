@@ -733,6 +733,42 @@ def test_preagg_counts_match_forced_shuffle():
     )
 
 
+def test_rollup_pivot_running_match_forced_shuffle():
+    """Driver-fold vs distributed branches of the new relational ops
+    agree exactly; rollup levels are internally consistent."""
+    sf = "/root/testdata/sf0.001"
+    from rify_ray.pipelines.relational import (
+        events_type_pivot,
+        events_user_running,
+        orders_rollup,
+    )
+
+    def rows(ds):
+        return sorted(tuple(r.values()) for r in ds.take_all())
+
+    roll = rows(orders_rollup(sf))
+    assert roll == rows(orders_rollup(sf, forced_shuffle=True))
+    # grand total row equals the sum of the finest level
+    fine = [r for r in roll if "ALL" not in (r[0], r[1])]
+    total = [r for r in roll if r[0] == "ALL" and r[1] == "ALL"]
+    assert len(total) == 1
+    assert total[0][2] == sum(r[2] for r in fine)
+    assert total[0][3] == sum(r[3] for r in fine)
+
+    piv = rows(events_type_pivot(sf))
+    assert piv == rows(events_type_pivot(sf, forced_shuffle=True))
+    run = rows(events_user_running(sf))
+    assert run == rows(events_user_running(sf, forced_shuffle=True))
+    # running counts per user end at the user's event count
+    import collections
+
+    per_user = collections.Counter(r[1] for r in run)
+    max_run = collections.defaultdict(int)
+    for r in run:
+        max_run[r[1]] = max(max_run[r[1]], r[2])
+    assert dict(per_user) == dict(max_run)
+
+
 def test_asof_join_backward_inner_and_left():
     import ray.data
 
