@@ -1,6 +1,8 @@
-"""Data sources: parquet readers and the deterministic synthetic
-Common-Crawl-style pages table (BASELINE.json ``input_hint``)."""
+"""Data sources: parquet readers, the deterministic synthetic
+Common-Crawl-style pages table (BASELINE.json ``input_hint``), and the
+N-Quads RDF interchange reader/writer."""
 
+from .nquads import json_to_term, read_nquads, term_to_json, write_nquads
 from .pages import ALIAS_INDEX, PREDICATE_PHRASES, expected_page_triples, pages_dataset, pages_table
 
 __all__ = [
@@ -9,4 +11,8 @@ __all__ = [
     "expected_page_triples",
     "ALIAS_INDEX",
     "PREDICATE_PHRASES",
+    "read_nquads",
+    "write_nquads",
+    "term_to_json",
+    "json_to_term",
 ]
