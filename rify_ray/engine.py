@@ -1662,144 +1662,361 @@ def add_premises_store(
     )
 
 
-def _lineage_files(lineage_dir: str) -> List[str]:
-    return sorted(
-        os.path.join(root, n)
-        for root, _dirs, names in os.walk(lineage_dir)
-        for n in names
-        if n.endswith(".parquet")
-    )
+def _lineage_gen_files(lineage_dir: str, min_gen: Optional[int] = None):
+    """``[(gen_number, file_path)]`` for every committed lineage parquet,
+    optionally restricted to generations ``>= min_gen`` (dependence rows
+    never live in an earlier generation than the fact they use — rounds
+    are monotone — so the overdeletion walk scans a shrinking suffix)."""
+    out = []
+    if not os.path.isdir(lineage_dir):
+        return out
+    for gd in sorted(os.listdir(lineage_dir)):
+        if not gd.startswith("gen=") or gd.endswith((".new", ".old")):
+            continue
+        gen = int(gd[len("gen="):])
+        if min_gen is not None and gen < min_gen:
+            continue
+        d = os.path.join(lineage_dir, gd)
+        for root, _dirs, names in os.walk(d):
+            out.extend(
+                (gen, os.path.join(root, n)) for n in names if n.endswith(".parquet")
+            )
+    return out
 
 
-def _scan_lineage_dependents(
-    lineage_dir: str, frontier: pl.DataFrame, walk_rules: Sequence[Rule], fact_dtype
+def _lineage_row_count(lineage_dir: str) -> int:
+    """Total recorded derivations — parquet footers only, no data read."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for _g, f in _lineage_gen_files(lineage_dir))
+
+
+def _read_lineage_driver(lineage_dir: str) -> pl.DataFrame:
+    """All lineage rows as one driver polars frame with a ``gen`` column
+    (the generation-directory number) — the driver-resident regime of the
+    overdeletion walk and lineage filter."""
+    import pyarrow.parquet as pq
+
+    frames = []
+    for gen, f in _lineage_gen_files(lineage_dir):
+        t = pq.read_table(f)
+        frames.append(pl.from_arrow(t).with_columns(pl.lit(gen, dtype=pl.Int64).alias("gen")))
+    if not frames:
+        return pl.DataFrame(schema={"gen": pl.Int64})
+    return pl.concat(frames, how="vertical_relaxed")
+
+
+def _dependents_in_frame(
+    blk: pl.DataFrame, frontier: pl.DataFrame, walk_rules: Sequence[Rule], fact_dtype
 ) -> pl.DataFrame:
-    """Forward dependence scan (the DRed overdeletion step): one
-    streaming pass over the per-generation lineage parquet returning the
-    HEAD quads of every recorded derivation whose reconstructed body
-    contains a frontier fact.
+    """HEAD quads (plus their lineage ``gen`` when the frame carries one)
+    of every recorded derivation in ``blk`` whose reconstructed body
+    contains a frontier fact — the vectorized body reconstruction shared
+    by the driver-resident and distributed overdeletion scans.
 
-    Body reconstruction is vectorized per rule: the lkey splits into
-    (rule_index, instantiations), each body atom's columns are either a
-    rule constant literal or an instantiation column, and one semi-join
-    against the broadcast frontier finds the dependents — no Python
-    per-row decode."""
-    import ray
-    import ray.data
-
-    files = _lineage_files(lineage_dir)
-    empty = pl.DataFrame(schema={c: fact_dtype for c in FACT_COLS})
-    if not files or frontier.height == 0:
-        return empty
-    out_schema = pa.schema(
-        [(c, pa.int64() if fact_dtype == pl.Int64 else pa.string()) for c in FACT_COLS]
+    Per rule: the lkey splits into (rule_index, instantiations), each
+    body atom's columns are either a rule constant literal or an
+    instantiation column, and one semi-join against the frontier finds
+    the dependents — no Python per-row decode."""
+    keep_cols = [*FACT_COLS] + (["gen"] if "gen" in blk.columns else [])
+    empty = pl.DataFrame(
+        schema={c: (pl.Int64 if c == "gen" else fact_dtype) for c in keep_cols}
     )
-    fref = ray.put(frontier.select(FACT_COLS))
+    if blk.height == 0 or frontier.height == 0:
+        return empty
+    fr = frontier.select(FACT_COLS)
     var_pos = [
         {name: k for k, name in enumerate(r.canonical_unbound())} for r in walk_rules
     ]
-
-    def probe(batch: pa.Table) -> pa.Table:
-        blk = pl.from_arrow(batch)
-        if blk.height == 0:
-            return out_schema.empty_table()
-        blk = blk.with_columns(pl.col("lkey").str.split(LKEY_SEP).alias("_parts"))
-        blk = blk.with_columns(
-            pl.col("_parts").list.get(0).cast(pl.Int64).alias("_ri")
+    blk = blk.with_columns(pl.col("lkey").str.split(LKEY_SEP).alias("_parts"))
+    blk = blk.with_columns(pl.col("_parts").list.get(0).cast(pl.Int64).alias("_ri"))
+    hits = []
+    for ri in blk["_ri"].unique().to_list():
+        rule = walk_rules[ri]
+        vp = var_pos[ri]
+        sub = blk.filter(pl.col("_ri") == ri)
+        sub = sub.with_columns(
+            [
+                pl.col("_parts").list.get(k + 1).cast(fact_dtype).alias(f"_v{k}")
+                for k in range(len(vp))
+            ]
         )
-        fr = ray.get(fref)
-        hits = []
-        for ri in blk["_ri"].unique().to_list():
-            rule = walk_rules[ri]
-            vp = var_pos[ri]
-            sub = blk.filter(pl.col("_ri") == ri)
-            sub = sub.with_columns(
-                [
-                    pl.col("_parts").list.get(k + 1).cast(fact_dtype).alias(f"_v{k}")
-                    for k in range(len(vp))
-                ]
+        for atom in rule.if_all:
+            exprs = []
+            for j, e in enumerate(atom):
+                if e.is_unbound():
+                    exprs.append(pl.col(f"_v{vp[e.value]}").alias(f"_p_{FACT_COLS[j]}"))
+                else:
+                    exprs.append(
+                        pl.lit(e.value, dtype=fact_dtype).alias(f"_p_{FACT_COLS[j]}")
+                    )
+            cand = sub.select([*[pl.col(c) for c in keep_cols], *exprs])
+            hit = cand.join(
+                fr.rename({c: f"_p_{c}" for c in FACT_COLS}),
+                on=[f"_p_{c}" for c in FACT_COLS],
+                how="semi",
             )
-            for atom in rule.if_all:
-                exprs = []
-                for j, e in enumerate(atom):
-                    if e.is_unbound():
-                        exprs.append(pl.col(f"_v{vp[e.value]}").alias(f"_p_{FACT_COLS[j]}"))
-                    else:
-                        exprs.append(
-                            pl.lit(e.value, dtype=fact_dtype).alias(f"_p_{FACT_COLS[j]}")
-                        )
-                cand = sub.select([*[pl.col(c) for c in FACT_COLS], *exprs])
-                hit = cand.join(
-                    fr.rename({c: f"_p_{c}" for c in FACT_COLS}),
-                    on=[f"_p_{c}" for c in FACT_COLS],
-                    how="semi",
-                )
-                if hit.height:
-                    hits.append(hit.select(FACT_COLS))
-        if not hits:
-            return out_schema.empty_table()
-        from .util import polars_to_arrow_string
-
-        return polars_to_arrow_string(pl.concat(hits).unique()).cast(out_schema)
-
-    tabs = [
-        b
-        for b in ray.data.read_parquet(files)
-        .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-        if b.num_rows and b.num_columns
-    ]
-    if not tabs:
+            if hit.height:
+                hits.append(hit.select(keep_cols))
+    if not hits:
         return empty
-    return pl.from_arrow(pa.concat_tables(tabs)).unique()
+    return pl.concat(hits).unique()
 
 
-def _filter_lineage_dirs(lineage_dir: str, deleted: pl.DataFrame) -> None:
-    """Drop lineage rows whose HEAD is a deleted fact, rewriting each
-    affected generation directory in place (write-new → swap; a crashed
-    swap is healed by :func:`_heal_lineage_dirs` on the next retraction).
-    """
-    import shutil
+def _scan_lineage_dependents(
+    lineage_dir: str,
+    frontier: pl.DataFrame,
+    walk_rules: Sequence[Rule],
+    fact_dtype,
+    *,
+    min_gen: Optional[int] = None,
+    head_probe: Optional[pl.DataFrame] = None,
+) -> Tuple[pl.DataFrame, set]:
+    """Distributed overdeletion scan: ONE streaming pass over the
+    per-generation lineage parquet of generations ``>= min_gen``
+    returning ``(dependent heads with their gen, head-row gens of
+    head_probe)``.
 
+    ``min_gen`` prunes the walk: a derivation's body facts always live
+    in an earlier-or-equal generation than the derivation's own row, so
+    dependents of a frontier found at generations ``G`` can only be
+    recorded at generations ``>= min(G)``.  ``head_probe`` piggybacks the
+    lookup of which generations hold lineage rows for the given facts
+    (needed to bound the later lineage filter to affected generations)
+    onto the same pass."""
     import ray
     import ray.data
 
     from .util import polars_to_arrow_string
 
+    gen_files = _lineage_gen_files(lineage_dir, min_gen)
+    empty = pl.DataFrame(
+        schema={**{c: fact_dtype for c in FACT_COLS}, "gen": pl.Int64}
+    )
+    if not gen_files or (frontier.height == 0 and head_probe is None):
+        return empty, set()
+    fact_pa = pa.int64() if fact_dtype == pl.Int64 else pa.string()
+    out_schema = pa.schema(
+        [(c, fact_pa) for c in FACT_COLS]
+        + [("gen", pa.int64()), ("_is_head", pa.bool_())]
+    )
+    fref = ray.put(frontier.select(FACT_COLS))
+    href = ray.put(head_probe.select(FACT_COLS)) if head_probe is not None else None
+    gen_expr = (
+        pl.col("path")
+        .str.extract_all(r"gen=(\d+)")
+        .list.last()
+        .str.strip_prefix("gen=")
+        .cast(pl.Int64)
+        .alias("gen")
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        blk = pl.from_arrow(batch)
+        if blk.height == 0:
+            return out_schema.empty_table()
+        blk = blk.with_columns(gen_expr)
+        outs = []
+        deps = _dependents_in_frame(blk, ray.get(fref), walk_rules, fact_dtype)
+        if deps.height:
+            outs.append(deps.with_columns(pl.lit(False).alias("_is_head")))
+        if href is not None:
+            heads = blk.join(ray.get(href), on=FACT_COLS, how="semi")
+            if heads.height:
+                outs.append(
+                    heads.select([*FACT_COLS, "gen"])
+                    .unique()
+                    .with_columns(pl.lit(True).alias("_is_head"))
+                )
+        if not outs:
+            return out_schema.empty_table()
+        return polars_to_arrow_string(pl.concat(outs)).cast(out_schema)
+
+    tabs = [
+        b
+        for b in ray.data.read_parquet([f for _g, f in gen_files], include_paths=True)
+        .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    ]
+    if not tabs:
+        return empty, set()
+    allrows = pl.from_arrow(pa.concat_tables(tabs))
+    head_gens = set(allrows.filter(pl.col("_is_head"))["gen"].to_list())
+    deps = allrows.filter(~pl.col("_is_head")).drop("_is_head").unique()
+    return deps, head_gens
+
+
+def _overdelete_walk(
+    lineage_dir: str,
+    prem_df: pl.DataFrame,
+    walk_rules: Sequence[Rule],
+    fact_dtype,
+    max_overdelete: int,
+    *,
+    lineage_df: Optional[pl.DataFrame] = None,
+) -> Tuple[pl.DataFrame, List[int]]:
+    """DRed overdeletion: iterate lineage dependency levels from the
+    retracted premises; returns ``(deleted facts, affected lineage
+    generations)``.  With ``lineage_df`` (the whole lineage driver-
+    resident) each level is a polars pass; otherwise each level is one
+    distributed scan pruned to generations ``>= min(gen)`` of the
+    previous level's fresh heads (level 0 scans everything — a premise's
+    position is unknown, and a premise retracted after being rederived
+    HAS a lineage row whose generation the filter must know)."""
+    deleted = prem_df
+    frontier = prem_df
+    affected: set = set()
+    min_gen: Optional[int] = None
+    first = True
+    while frontier.height:
+        if lineage_df is not None:
+            src = (
+                lineage_df
+                if min_gen is None
+                else lineage_df.filter(pl.col("gen") >= min_gen)
+            )
+            heads = _dependents_in_frame(src, frontier, walk_rules, fact_dtype)
+            if first:
+                affected |= set(
+                    lineage_df.join(prem_df, on=FACT_COLS, how="semi")["gen"].to_list()
+                )
+        else:
+            heads, head_gens = _scan_lineage_dependents(
+                lineage_dir,
+                frontier,
+                walk_rules,
+                fact_dtype,
+                min_gen=min_gen,
+                head_probe=prem_df if first else None,
+            )
+            affected |= head_gens
+        first = False
+        fresh = (
+            heads.join(deleted, on=FACT_COLS, how="anti") if heads.height else heads
+        )
+        if fresh.height == 0:
+            break
+        affected |= set(fresh["gen"].to_list())
+        deleted = pl.concat([deleted, fresh.select(FACT_COLS)])
+        if deleted.height > max_overdelete:
+            raise ValueError(
+                "overdeletion frontier exceeds max_overdelete — the retracted "
+                "closure is too large for the driver-resident walk; retract in "
+                "smaller batches or rebuild the store from surviving premises"
+            )
+        frontier = fresh.select(FACT_COLS)
+        min_gen = int(fresh["gen"].min())
+    return deleted, sorted(affected)
+
+
+def _swap_lineage_dir(d: str) -> None:
+    """Atomic-enough ``.new`` → live swap (a crashed swap is healed by
+    :func:`_heal_lineage_dirs` on the next retraction)."""
+    import shutil
+
+    old_dir = d + ".old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(d, old_dir)
+    os.rename(d + ".new", d)
+    shutil.rmtree(old_dir, ignore_errors=True)
+
+
+def _filter_lineage_dirs(
+    lineage_dir: str,
+    deleted: pl.DataFrame,
+    *,
+    affected_gens: Optional[List[int]] = None,
+    lineage_df: Optional[pl.DataFrame] = None,
+    driver_rows: int = 2_000_000,
+) -> None:
+    """Drop lineage rows whose HEAD is a deleted fact.
+
+    Only ``affected_gens`` (the generations the overdeletion walk saw
+    deleted heads in) are rewritten — every other generation provably
+    holds none.  Below ``driver_rows`` total lineage rows the filter
+    runs in driver polars (``lineage_df`` reuses the frame the walk
+    already loaded); above, ONE distributed pass over the affected
+    generations' files writes the filtered rows hive-partitioned by
+    source generation, then plain renames swap each directory in
+    (write-new → swap; a crashed swap is healed by
+    :func:`_heal_lineage_dirs` on the next retraction)."""
+    import shutil
+
+    from .util import polars_to_arrow_string
+
     if not os.path.isdir(lineage_dir) or deleted.height == 0:
         return
+    gen_files = _lineage_gen_files(lineage_dir)
+    if affected_gens is not None:
+        keep_set = set(affected_gens)
+        gen_files = [(g, f) for g, f in gen_files if g in keep_set]
+    if not gen_files:
+        return
+    gens = sorted({g for g, _f in gen_files})
+
+    if lineage_df is None and _lineage_row_count(lineage_dir) <= driver_rows:
+        lineage_df = _read_lineage_driver(lineage_dir)
+
+    if lineage_df is not None:
+        del_keys = deleted.select(FACT_COLS)
+        for g in gens:
+            d = os.path.join(lineage_dir, f"gen={g:05d}")
+            sub = lineage_df.filter(pl.col("gen") == g)
+            kept = sub.join(del_keys, on=FACT_COLS, how="anti").drop("gen")
+            new_dir = d + ".new"
+            shutil.rmtree(new_dir, ignore_errors=True)
+            os.makedirs(new_dir, exist_ok=True)
+            if kept.height:
+                kept.write_parquet(os.path.join(new_dir, "lineage.parquet"))
+            _swap_lineage_dir(d)
+        return
+
+    import ray
+    import ray.data
+
     dref = ray.put(deleted.select(FACT_COLS))
-    for gd in sorted(os.listdir(lineage_dir)):
-        if not gd.startswith("gen=") or gd.endswith((".new", ".old")):
-            continue
-        d = os.path.join(lineage_dir, gd)
-        files = _lineage_files(d)
-        if not files:
-            continue
+    fact_pa = pa.int64() if deleted.schema["s"] == pl.Int64 else pa.string()
+    out_schema = pa.schema(
+        [(c, fact_pa) for c in FACT_COLS]
+        + [("lkey", pa.string()), ("_gen", pa.int64())]
+    )
+    gen_expr = (
+        pl.col("path")
+        .str.extract_all(r"gen=(\d+)")
+        .list.last()
+        .str.strip_prefix("gen=")
+        .cast(pl.Int64)
+        .alias("_gen")
+    )
 
-        def keep(batch: pa.Table) -> pa.Table:
-            blk = pl.from_arrow(batch)
-            kept = blk.join(ray.get(dref), on=FACT_COLS, how="anti")
-            return polars_to_arrow_string(kept).cast(batch.schema)
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        blk = pl.from_arrow(batch).with_columns(gen_expr)
+        kept = blk.join(ray.get(dref), on=FACT_COLS, how="anti")
+        kept = kept.select([*FACT_COLS, "lkey", "_gen"])
+        return polars_to_arrow_string(kept).cast(out_schema)
 
-        filtered = (
-            ray.data.read_parquet(files)
-            .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-            .materialize()
-        )
-        from .util import drop_empty_blocks
-
-        filtered = drop_empty_blocks(filtered)
+    tmp_out = os.path.join(lineage_dir, "_filter_tmp")
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    ray.data.read_parquet(
+        [f for _g, f in gen_files], include_paths=True
+    ).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        tmp_out, partition_cols=["_gen"]
+    )
+    for g in gens:
+        d = os.path.join(lineage_dir, f"gen={g:05d}")
         new_dir = d + ".new"
         shutil.rmtree(new_dir, ignore_errors=True)
         os.makedirs(new_dir, exist_ok=True)
-        if filtered is not None and filtered.count() > 0:
-            filtered.write_parquet(new_dir)
-        old_dir = d + ".old"
-        shutil.rmtree(old_dir, ignore_errors=True)
-        os.rename(d, old_dir)
-        os.rename(new_dir, d)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        part_dir = os.path.join(tmp_out, f"_gen={g}")
+        if os.path.isdir(part_dir):
+            for n in sorted(os.listdir(part_dir)):
+                if n.endswith(".parquet"):
+                    os.replace(os.path.join(part_dir, n), os.path.join(new_dir, n))
+        _swap_lineage_dir(d)
+    shutil.rmtree(tmp_out, ignore_errors=True)
 
 
 def _heal_lineage_dirs(lineage_dir: str) -> None:
@@ -1835,6 +2052,7 @@ def remove_premises_store(
     max_overdelete: int = 5_000_000,
     dict_encode: bool = True,
     compact_every: Optional[int] = 64,
+    rederive_bound: Optional[int] = None,
 ):
     """DRed-style retraction (delete + rederive, Gupta/Mumick/
     Subrahmanian, SIGMOD 1993) over a live :func:`infer_store` fixpoint
@@ -1842,17 +2060,23 @@ def remove_premises_store(
 
     1. **Overdelete** — a forward walk over the recorded lineage marks
        every fact whose (first-recorded) derivation transitively used a
-       retracted premise (:func:`_scan_lineage_dependents`, one
-       streaming lineage scan per dependency level).
+       retracted premise (:func:`_overdelete_walk`: driver polars when
+       the lineage fits in memory, else one pruned streaming lineage
+       scan per dependency level — each level only reads generations at
+       or after the previous level's earliest hit).
     2. **Delete** — the retracted premises plus the overdeleted set are
        physically removed (:meth:`TripleStore.delete_facts`, atomic
-       manifest swap) along with their lineage rows.
-    3. **Rederive** — one semi-naive round over the REMAINING store
-       (delta = whole remainder — the standard DRed rederivation,
-       restricted by insert-if-absent to facts actually missing) puts
-       back everything still derivable another way, then the resumed
-       fixpoint propagates (cost scales with the retracted closure, not
-       the store).
+       manifest swap) along with their lineage rows (only the
+       generations the walk saw deleted heads in are rewritten).
+    3. **Rederive** — facts in the deleted set still derivable another
+       way are put back by a HEAD-CONSTRAINED (magic-set-style) round:
+       per rule, head-variable bindings are seeded from the deleted
+       set and the body joins run as broadcast probe scans of the
+       remaining store, so the data moved scales with the deleted
+       cone, not the store (:func:`_seeded_rederive`; a full-remainder
+       semi-naive round remains as the fallback when a seeded
+       intermediate overflows its bound).  The resumed fixpoint then
+       propagates from the rederived delta.
 
     The result equals a from-scratch ``infer_store`` over the surviving
     premises (asserted by tests) — including the subtle case where a
@@ -1861,7 +2085,10 @@ def remove_premises_store(
     driver frame bounded by ``max_overdelete`` rows (~32 bytes/row of
     Int64 ids — the retraction batch's blast radius, independent of the
     evaluator's ``broadcast_rows`` regime bound); larger blast radii
-    raise rather than silently degrade."""
+    raise rather than silently degrade.  ``rederive_bound`` caps the
+    seeded rederive's intermediate binding/probe frames (default
+    ``max(broadcast_rows, 4·|deleted|)``); exceeding it falls back to
+    the full-remainder round rather than failing."""
     import ray.data
 
     from .eval_hybrid import run_iteration_hybrid
@@ -1893,9 +2120,14 @@ def remove_premises_store(
     # (marker written before its first destructive step), then reopen
     # the store — the resumed fixpoint works on a fresh manifest
     pending_marker = os.path.join(store_path, "retract_pending.parquet")
+    pending_gens = os.path.join(store_path, "retract_pending_gens.json")
     if os.path.exists(pending_marker):
         pending = pl.read_parquet(pending_marker).select(FACT_COLS)
         pending = pending.with_columns([pl.col(c).cast(fact_dtype) for c in FACT_COLS])
+        gens: Optional[List[int]] = None
+        if os.path.exists(pending_gens):
+            with open(pending_gens) as f:
+                gens = json.load(f)
         _retract_finish(
             store,
             pending,
@@ -1911,8 +2143,12 @@ def remove_premises_store(
             max_iterations=max_iterations,
             compact_every=compact_every,
             resuming=True,
+            affected_gens=gens,
+            rederive_bound=rederive_bound,
         )
         os.remove(pending_marker)
+        if os.path.exists(pending_gens):
+            os.remove(pending_gens)
         store = TripleStore(
             store_path, num_partitions=num_partitions, value_type=value_type
         )
@@ -1944,32 +2180,32 @@ def remove_premises_store(
         if prem_df.height == 0:
             return store
 
-    # 1. overdeletion: iterate lineage dependency levels
-    deleted = prem_df
-    frontier = prem_df
-    while frontier.height:
-        heads = _scan_lineage_dependents(lineage_dir, frontier, eng_rules, fact_dtype)
-        fresh = heads.join(deleted, on=FACT_COLS, how="anti") if heads.height else heads
-        if fresh.height == 0:
-            break
-        deleted = pl.concat([deleted, fresh])
-        if deleted.height > max_overdelete:
-            raise ValueError(
-                "overdeletion frontier exceeds max_overdelete — the retracted "
-                "closure is too large for the driver-resident walk; retract in "
-                "smaller batches or rebuild the store from surviving premises"
-            )
-        frontier = fresh
+    # 1. overdeletion: iterate lineage dependency levels — driver polars
+    # when the whole lineage fits, pruned distributed scans otherwise
+    lineage_df: Optional[pl.DataFrame] = None
+    if _lineage_row_count(lineage_dir) <= max(broadcast_rows, 2_000_000):
+        lineage_df = _read_lineage_driver(lineage_dir)
+    deleted, affected_gens = _overdelete_walk(
+        lineage_dir,
+        prem_df,
+        eng_rules,
+        fact_dtype,
+        max_overdelete,
+        lineage_df=lineage_df,
+    )
 
     # 2+3: physical delete + rederive, crash-resumable via the pending
-    # marker: the overdeleted set is durably recorded BEFORE any
-    # destructive step, so a crash anywhere in the tail re-runs it
-    # idempotently on the next call
+    # marker: the overdeleted set (and the affected lineage generations)
+    # is durably recorded BEFORE any destructive step, so a crash
+    # anywhere in the tail re-runs it idempotently on the next call
     marker = os.path.join(store_path, "retract_pending.parquet")
     from .util import polars_to_arrow_string as _pas
 
     import pyarrow.parquet as _pq
 
+    with open(pending_gens + ".tmp", "w") as f:
+        json.dump(affected_gens, f)
+    os.replace(pending_gens + ".tmp", pending_gens)
     tmp = marker + ".tmp"
     _pq.write_table(_pas(deleted.select(FACT_COLS)), tmp)
     os.replace(tmp, marker)
@@ -1988,9 +2224,205 @@ def remove_premises_store(
         max_iterations=max_iterations,
         compact_every=compact_every,
         resuming=False,
+        affected_gens=affected_gens,
+        lineage_df=lineage_df,
+        rederive_bound=rederive_bound,
     )
     os.remove(marker)
+    os.remove(pending_gens)
     return out
+
+
+def _seeded_rederive(
+    store,
+    deleted: pl.DataFrame,
+    plans,
+    fact_dtype,
+    *,
+    bound: int,
+) -> Optional[Tuple[pl.DataFrame, int]]:
+    """Head-constrained (magic-set-style) rederivation: compute every
+    one-step derivation over the REMAINING store whose head quad is in
+    ``deleted`` — the only facts that can be missing after an
+    overdeletion.
+
+    Per (rule, head atom): the head pattern matched against ``deleted``
+    seeds bindings for the head variables; each body atom is then ONE
+    broadcast probe scan of the store (constant/equality filters applied
+    per block, semi-joined against the current binding frame's shared
+    columns) so only rows joinable with the seeded cone ship back.  The
+    joins themselves run in driver polars on those bounded frames.
+
+    Data moved scales with the deleted cone, not the store; the store is
+    scanned once per probed body atom (constant-filtered, no exchange).
+
+    Returns ``(lineage frame (s,p,o,g,lkey), probe_rows)`` or None when
+    any probe/binding frame exceeds ``bound`` — the caller then falls
+    back to the full-remainder semi-naive round."""
+    import ray
+    import ray.data
+
+    from .eval_broadcast import match_atom, project_heads
+    from .plan import vcol
+    from .util import polars_to_arrow_string
+
+    store_ds = store.dataset().materialize()
+    fact_pa = pa.int64() if fact_dtype == pl.Int64 else pa.string()
+    probe_rows = 0
+    heads_out: List[pl.DataFrame] = []
+    del_keys = deleted.select(FACT_COLS).unique()
+
+    def probe_atom(atom, seed_small: Optional[pl.DataFrame], shared: List[str]):
+        """Matched projections of ``atom`` over the store, restricted to
+        rows semi-joinable with the (broadcast) seed on ``shared``.
+        Returns the collected distinct frame or None on overflow."""
+        out_schema = pa.schema([(vcol(i), fact_pa) for i in atom.var_indices])
+        seed_ref = ray.put(seed_small) if seed_small is not None else None
+
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return out_schema.empty_table()
+            m = match_atom(pl.from_arrow(batch), atom)
+            if m is None:
+                return out_schema.empty_table()
+            if seed_ref is not None:
+                m = m.join(ray.get(seed_ref).lazy(), on=shared, how="semi")
+            res = m.collect(engine="streaming").unique()
+            if res.height == 0:
+                return out_schema.empty_table()
+            return polars_to_arrow_string(res).cast(out_schema)
+
+        tabs = []
+        total = 0
+        for b in (
+            store_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        ):
+            if b.num_rows and b.num_columns:
+                tabs.append(b)
+                total += b.num_rows
+                if total > bound * 4:
+                    return None
+        if not tabs:
+            return pl.DataFrame(
+                schema={vcol(i): fact_dtype for i in atom.var_indices}
+            )
+        out = pl.from_arrow(pa.concat_tables(tabs)).unique()
+        if out.height > bound:
+            return None
+        return out
+
+    def atom_present(atom) -> bool:
+        """Presence probe for an all-constant body atom."""
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            m = match_atom(pl.from_arrow(batch), atom)
+            return pa.table({"n": pa.array([1 if m is not None else 0], pa.int64())})
+
+        for b in (
+            store_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        ):
+            if b.num_rows and b.num_columns and pa.compute.sum(b["n"]).as_py():
+                return True
+        return False
+
+    for plan in plans:
+        if not plan.body:
+            continue
+        for head_atom in plan.head:
+            seed_lazy = match_atom(del_keys, head_atom)
+            if seed_lazy is None:
+                continue  # no deleted fact matches this head pattern
+            seed = seed_lazy.collect(engine="streaming")
+            if "__one" in seed.columns:
+                bindings: Optional[pl.DataFrame] = None  # all-constant head
+                bound_cols: List[str] = []
+            else:
+                seed = seed.unique()
+                if seed.height == 0:
+                    continue
+                bindings = seed
+                bound_cols = list(seed.columns)
+
+            # greedy body order: atoms sharing already-bound variables
+            # first (the distributed pop_strictest_requirement analogue)
+            remaining_atoms = list(range(len(plan.body)))
+            order: List[int] = []
+            bvars = {int(c[2:]) for c in bound_cols}
+            while remaining_atoms:
+                def score(i):
+                    a = plan.body[i]
+                    shares = any(v in bvars for v in a.var_indices)
+                    return (1 if shares else 0, a.selectivity_key(frozenset(bvars)), -i)
+
+                best = max(remaining_atoms, key=score)
+                remaining_atoms.remove(best)
+                order.append(best)
+                bvars |= set(plan.body[best].var_indices)
+
+            ok = True
+            for atom_i in order:
+                atom = plan.body[atom_i]
+                m_cols = [vcol(i) for i in atom.var_indices]
+                if not m_cols:
+                    if not atom_present(atom):
+                        ok = False
+                        break
+                    continue
+                shared = [c for c in m_cols if c in bound_cols]
+                seed_small = (
+                    bindings.select(shared).unique()
+                    if (bindings is not None and shared)
+                    else None
+                )
+                matched = probe_atom(atom, seed_small, shared)
+                if matched is None:
+                    return None  # overflow → caller falls back
+                probe_rows += matched.height
+                if matched.height == 0:
+                    ok = False
+                    break
+                if bindings is None:
+                    bindings = matched
+                elif shared:
+                    bindings = bindings.join(matched, on=shared, how="inner")
+                else:
+                    bindings = bindings.join(matched, how="cross")
+                if bindings.height == 0:
+                    ok = False
+                    break
+                if bindings.height > bound:
+                    return None
+                bound_cols = bound_cols + [c for c in m_cols if c not in bound_cols]
+            if not ok:
+                continue
+            if bindings is None:
+                bindings = pl.DataFrame({"__one": [1]})
+            heads = project_heads(plan, bindings.lazy(), True, fact_dtype).collect(
+                engine="streaming"
+            )
+            if heads.height:
+                heads_out.append(heads)
+
+    empty = pl.DataFrame(
+        schema={**{c: fact_dtype for c in FACT_COLS}, "lkey": pl.Utf8}
+    )
+    if not heads_out:
+        return empty, probe_rows
+    # only deleted facts can be absent from the store; first-wins lkey
+    new = pl.concat(heads_out).join(del_keys, on=FACT_COLS, how="semi")
+    if new.height == 0:
+        return empty, probe_rows
+    new = new.group_by(FACT_COLS).agg(pl.col("lkey").min())
+    # insert-if-absent (one broadcast probe scan): a crashed prior
+    # attempt may have committed some of these already — keeps the
+    # resumed tail idempotent
+    from .eval_hybrid import anti_probe
+
+    new = anti_probe(new, store_ds)
+    return new.select([*FACT_COLS, "lkey"]), probe_rows
 
 
 def _retract_finish(
@@ -2009,6 +2441,9 @@ def _retract_finish(
     max_iterations: int,
     compact_every: Optional[int],
     resuming: bool,
+    affected_gens: Optional[List[int]] = None,
+    lineage_df: Optional[pl.DataFrame] = None,
+    rederive_bound: Optional[int] = None,
 ):
     """The destructive tail of :func:`remove_premises_store` — every
     step is idempotent so a crashed attempt re-runs safely under the
@@ -2027,21 +2462,25 @@ def _retract_finish(
     res = store.delete_facts(deleted)
     if res["deleted"] == 0 and not resuming:
         return store
-    _filter_lineage_dirs(lineage_dir, deleted)
+    _filter_lineage_dirs(
+        lineage_dir, deleted, affected_gens=affected_gens, lineage_df=lineage_df
+    )
 
-    # rederive: one semi-naive round with delta = the whole remainder
+    # rederive: head-constrained when the store is big (cost tracks the
+    # deleted cone); a plain driver round when the whole store is small
     fact_pa = pa.int64() if dict_encode else pa.string()
     pin_schema = pa.schema([(c, fact_pa) for c in FACT_COLS]).append(
         pa.field("lkey", pa.string())
     )
     last_meta = store.generations[-1].get("metrics", {})
     start_round = last_meta.get("round", len(store.generations) - 1) + 1
-    inc = IncrementalMatches(plans, broadcast_rows)
     remaining = store.count()
     new = None
+    rederive_extra: Dict[str, Any] = {"round": start_round, "evaluator": "rederive"}
     if remaining == 0:
         return store
     if remaining <= broadcast_rows:
+        inc = IncrementalMatches(plans, broadcast_rows)
         full_df = collect_to_polars(store.dataset())
         if full_df.width == 0:
             full_df = pl.DataFrame(schema={c: fact_dtype for c in FACT_COLS})
@@ -2061,20 +2500,39 @@ def _retract_finish(
             fact_dtype=fact_dtype,
         )
     else:
-        full_ds = store.dataset().materialize()
-        empty_ds = ray.data.from_arrow(store.quad_schema().empty_table())
-        inc.advance(full_ds)
-        new = run_iteration_core(
-            full_ds,
-            empty_ds,
-            full_ds,
+        seeded = _seeded_rederive(
+            store,
+            deleted,
             plans,
-            with_lineage=True,
-            num_partitions=num_partitions,
-            salt_factor=salt_factor,
-            pin_schema=pin_schema,
-            match_cache=inc.cache(),
+            fact_dtype,
+            bound=(
+                rederive_bound
+                if rederive_bound is not None
+                else max(broadcast_rows, deleted.height * 4)
+            ),
         )
+        if seeded is not None:
+            new, probe_rows = seeded
+            rederive_extra["rederive"] = "seeded"
+            rederive_extra["rederive_probe_rows"] = int(probe_rows)
+        else:
+            # fallback: the full-remainder semi-naive DRed round
+            inc = IncrementalMatches(plans, broadcast_rows)
+            full_ds = store.dataset().materialize()
+            empty_ds = ray.data.from_arrow(store.quad_schema().empty_table())
+            inc.advance(full_ds)
+            rederive_extra["rederive"] = "full-remainder"
+            new = run_iteration_core(
+                full_ds,
+                empty_ds,
+                full_ds,
+                plans,
+                with_lineage=True,
+                num_partitions=num_partitions,
+                salt_factor=salt_factor,
+                pin_schema=pin_schema,
+                match_cache=inc.cache(),
+            )
     import shutil
 
     if isinstance(new, pl.DataFrame) and new.height:
@@ -2083,9 +2541,7 @@ def _retract_finish(
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
         new.select([*FACT_COLS, "lkey"]).write_parquet(os.path.join(d, "lineage.parquet"))
-        store.add_small(
-            new.select(FACT_COLS), extra={"round": start_round, "evaluator": "rederive"}
-        )
+        store.add_small(new.select(FACT_COLS), extra=rederive_extra)
     elif new is not None and not isinstance(new, pl.DataFrame):
         cnt = new.count()
         if cnt:
@@ -2096,7 +2552,7 @@ def _retract_finish(
             store.add(
                 new.select_columns(FACT_COLS),
                 precleaned=True,
-                extra={"round": start_round, "evaluator": "rederive"},
+                extra=rederive_extra,
             )
         else:
             new = None

@@ -310,20 +310,43 @@ class TripleStore:
     def contains(self, quads: pa.Table) -> pa.Table:
         """Semi-join membership check (``Reasoner::contains``,
         src/reasoner.rs:98-101): returns the subset of ``quads`` present
-        in the store."""
-        import ray.data
+        in the store.
 
-        from ..util import drop_empty_blocks
+        The probe set is driver-resident by construction (an arrow
+        table), so this is ONE broadcast probe scan of the store — each
+        block semi-joins against the broadcast probe and ships back only
+        its hits (≤ |probe| rows total); no shuffle exchange at any store
+        size."""
+        import polars as pl
+        import ray
 
-        probe = ray.data.from_arrow(quads.select(QUAD_COLS)).materialize()
-        store = self.dataset().materialize()
-        if store.count() == 0 or probe.count() == 0:
+        if quads.num_rows == 0 or self.count() == 0:
             return self.quad_schema().empty_table()
-        hit = probe.join(store, "left_semi", 8, on=tuple(QUAD_COLS))
-        batches = list(hit.iter_batches(batch_size=None, batch_format="pyarrow"))
-        if not batches:
+        probe = pl.from_arrow(quads.select(QUAD_COLS)).unique()
+        pref = ray.put(probe)
+
+        def hits_fn(batch: pa.Table) -> pa.Table:
+            blk = pl.from_arrow(batch.select(QUAD_COLS))
+            hits = ray.get(pref).join(blk, on=QUAD_COLS, how="semi")
+            from ..util import polars_to_arrow_string
+
+            return polars_to_arrow_string(hits).cast(self.quad_schema())
+
+        tabs = [
+            b
+            for b in self.dataset()
+            .map_batches(hits_fn, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        if not tabs:
             return self.quad_schema().empty_table()
-        return pa.concat_tables(batches)
+        return (
+            pl.from_arrow(pa.concat_tables(tabs))
+            .unique()
+            .to_arrow()
+            .cast(self.quad_schema())
+        )
 
     # -- writes -------------------------------------------------------------
 
@@ -439,27 +462,46 @@ class TripleStore:
         self._write_manifest()
         return metrics
 
-    def delete_facts(self, facts_df) -> Dict:
+    def _gen_files(self, list_pos: int) -> List[str]:
+        """Concrete parquet paths of the generation at list position
+        ``list_pos``."""
+        g = self.generations[list_pos]
+        gen_dir = os.path.join(self.path, f"gen={g['gen']:05d}")
+        files: List[str] = []
+        for root, _dirs, names in os.walk(gen_dir):
+            files.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
+        return sorted(files)
+
+    def delete_facts(self, facts_df, *, driver_rows: int = 2_000_000) -> Dict:
         """Physically remove the given quads (a driver-small polars
         frame — the engine bounds retraction batches) from every
         generation that holds any of them.
+
+        Two regimes, both a FIXED number of scans (never one pair of
+        Ray jobs per generation — at a few fixed seconds per exchange
+        spin-up, a per-generation loop dominates retraction latency):
+
+        - store ≤ ``driver_rows``: the affected generations are read,
+          anti-joined and rewritten entirely in driver polars — zero
+          distributed jobs;
+        - above the bound: ONE broadcast semi-join scan over the whole
+          store (tagged with its generation via file paths) finds the
+          affected generations and per-gen hit counts, then ONE more
+          pass over only the affected generations' files rewrites them
+          filtered (each task writes straight into the new generation
+          directory derived from its block's path).
 
         Same commit discipline as :meth:`compact`: each affected
         generation is rewritten FILTERED into a fresh generation
         directory (monotonic number), one atomic manifest write swaps
         all of them in (list positions, ``round`` metrics and the
         premise/derived boundary are preserved), and the old
-        directories are removed only after the commit.  Untouched
-        generations are probed (one broadcast semi-join scan) but never
-        rewritten.  Returns ``{"deleted": n, "gens_rewritten": [...]}``.
+        directories are removed only after the commit.
+        Returns ``{"deleted": n, "gens_rewritten": [...]}``.
         """
         import shutil
 
         import polars as pl
-        import ray
-        import ray.data
-
-        from ..util import drop_empty_blocks
 
         if facts_df.height == 0:
             return {"deleted": 0, "gens_rewritten": []}
@@ -467,51 +509,18 @@ class TripleStore:
         fdf = facts_df.select(
             [pl.col(c).cast(cast_t) for c in QUAD_COLS]
         ).unique()
-        fref = ray.put(fdf)
 
-        def hits_fn(batch: pa.Table) -> pa.Table:
-            blk = pl.from_arrow(batch).select(QUAD_COLS)
-            h = blk.join(ray.get(fref), on=QUAD_COLS, how="semi")
-            return pa.table({"n": pa.array([h.height], pa.int64())})
-
-        def keep_fn(batch: pa.Table) -> pa.Table:
-            blk = pl.from_arrow(batch).select(QUAD_COLS)
-            kept = blk.join(ray.get(fref), on=QUAD_COLS, how="anti")
-            return kept.to_arrow().cast(self.quad_schema())
+        if self.count() <= driver_rows:
+            per_gen = self._delete_facts_driver(fdf)
+        else:
+            per_gen = self._delete_facts_distributed(fdf)
 
         new_entries = list(self.generations)
         rewritten: List[int] = []
         old_dirs: List[str] = []
         deleted_total = 0
-        for i, g in enumerate(self.generations):
-            if g["rows"] == 0:
-                continue
-            gen_ds = self.dataset(first_gen=i, last_gen=i)
-            n_hits = sum(
-                b["n"][0].as_py()
-                for b in gen_ds.map_batches(
-                    hits_fn, batch_format="pyarrow", zero_copy_batch=True
-                ).iter_batches(batch_size=None, batch_format="pyarrow")
-                if b.num_rows and b.num_columns
-            )
-            if n_hits == 0:
-                continue
-            new_gen = self.next_gen + len(rewritten)
-            new_dir = os.path.join(self.path, f"gen={new_gen:05d}")
-            shutil.rmtree(new_dir, ignore_errors=True)  # stale crashed attempt
-            kept_ds = gen_ds.map_batches(
-                keep_fn, batch_format="pyarrow", zero_copy_batch=True
-            ).materialize()
-            kept_ds = drop_empty_blocks(kept_ds)
-            kept_rows = 0
-            if kept_ds is not None:
-                parted = kept_ds.map_batches(
-                    _hash_part_fn(self.num_partitions),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                )
-                parted.write_parquet(new_dir, partition_cols=["part"])
-                kept_rows = kept_ds.count()
+        for i, (n_hits, new_gen, kept_rows) in sorted(per_gen.items()):
+            g = self.generations[i]
             entry = dict(new_entries[i])
             entry["gen"] = new_gen
             entry["rows"] = int(kept_rows)
@@ -528,6 +537,158 @@ class TripleStore:
         for d in old_dirs:
             shutil.rmtree(d, ignore_errors=True)
         return {"deleted": int(deleted_total), "gens_rewritten": rewritten}
+
+    def _delete_facts_driver(self, fdf) -> Dict[int, tuple]:
+        """Driver-polars regime of :meth:`delete_facts`: the whole store
+        fits ``driver_rows``, so affected generations are found, filtered
+        and rewritten without a single Ray job.  Returns
+        ``{list_pos: (n_hits, new_gen_number, kept_rows)}`` with the new
+        generation directories already written (uncommitted)."""
+        import shutil
+
+        import polars as pl
+        import pyarrow.parquet as pq
+
+        from ..util import polars_to_arrow_string
+
+        out: Dict[int, tuple] = {}
+        n_rewritten = 0
+        for i, g in enumerate(self.generations):
+            if g["rows"] == 0:
+                continue
+            files = self._gen_files(i)
+            if not files:
+                continue
+            blk = pl.from_arrow(
+                pa.concat_tables(
+                    [pq.read_table(f, columns=QUAD_COLS) for f in files],
+                    promote_options="permissive",
+                )
+            ).select(QUAD_COLS)
+            kept = blk.join(fdf, on=QUAD_COLS, how="anti")
+            n_hits = blk.height - kept.height
+            if n_hits == 0:
+                continue
+            new_gen = self.next_gen + n_rewritten
+            n_rewritten += 1
+            new_dir = os.path.join(self.path, f"gen={new_gen:05d}")
+            shutil.rmtree(new_dir, ignore_errors=True)  # stale crashed attempt
+            os.makedirs(new_dir, exist_ok=True)
+            if kept.height:
+                pq.write_table(
+                    polars_to_arrow_string(kept).cast(self.quad_schema()),
+                    os.path.join(new_dir, "data.parquet"),
+                    row_group_size=131_072,
+                )
+            out[i] = (int(n_hits), new_gen, int(kept.height))
+        return out
+
+    def _delete_facts_distributed(self, fdf) -> Dict[int, tuple]:
+        """Distributed regime of :meth:`delete_facts`: one broadcast
+        semi-join scan over the whole store (rows tagged with their
+        generation via file paths) finds affected generations, one more
+        pass over only those generations' files rewrites them filtered.
+        Each filter task writes its block directly into the (uncommitted)
+        new generation directory — no per-generation job loop."""
+        import shutil
+
+        import polars as pl
+        import ray
+        import ray.data
+
+        fref = ray.put(fdf)
+        # rows are mapped back to their generation by the gen=NNNNN path
+        # segment (robust against path normalization inside the reader);
+        # the GENERATION NUMBER is unique (monotonic, never reused), the
+        # list position is resolved on the driver
+        pos_of_gen = {g["gen"]: i for i, g in enumerate(self.generations)}
+        gen_expr = (
+            pl.col("path")
+            .str.extract_all(r"gen=(\d+)")
+            .list.last()
+            .str.strip_prefix("gen=")
+            .cast(pl.Int64)
+            .alias("_gen")
+        )
+        all_files: List[str] = []
+        file_gen: Dict[str, int] = {}
+        for i, g in enumerate(self.generations):
+            if g["rows"] == 0:
+                continue
+            for f in self._gen_files(i):
+                file_gen[f] = g["gen"]
+                all_files.append(f)
+        if not all_files:
+            return {}
+
+        def hits_fn(batch: pa.Table) -> pa.Table:
+            blk = pl.from_arrow(batch).with_columns(gen_expr)
+            h = (
+                blk.join(ray.get(fref), on=QUAD_COLS, how="semi")
+                .group_by("_gen")
+                .len(name="n")
+            )
+            return h.to_arrow().cast(pa.schema([("_gen", pa.int64()), ("n", pa.int64())]))
+
+        hit_tabs = [
+            b
+            for b in ray.data.read_parquet(all_files, include_paths=True)
+            .map_batches(hits_fn, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        if not hit_tabs:
+            return {}
+        hits = (
+            pl.from_arrow(pa.concat_tables(hit_tabs)).group_by("_gen").agg(pl.col("n").sum())
+        )
+        affected = sorted(g for g in hits["_gen"].to_list() if g in pos_of_gen)
+        n_hits_of = dict(zip(hits["_gen"].to_list(), hits["n"].to_list()))
+        if not affected:
+            return {}
+
+        # pass 2: rewrite only the affected generations, one Ray job —
+        # the filtered stream is written hive-partitioned by source
+        # generation (Ray-managed writes: retry-safe, unlike side-effect
+        # writes inside map tasks), then each partition's files move into
+        # their new generation directory with plain renames
+        new_gen_of = {g: self.next_gen + k for k, g in enumerate(affected)}
+        affected_set = set(affected)
+        affected_files = [f for f in all_files if file_gen[f] in affected_set]
+        schema = self.quad_schema()
+        out_schema = schema.append(pa.field("_gen", pa.int64()))
+
+        def filter_fn(batch: pa.Table) -> pa.Table:
+            blk = pl.from_arrow(batch).with_columns(gen_expr)
+            kept = blk.join(ray.get(fref), on=QUAD_COLS, how="anti")
+            return kept.select([*QUAD_COLS, "_gen"]).to_arrow().cast(out_schema)
+
+        tmp_out = os.path.join(self.path, "_delete_tmp")
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        ray.data.read_parquet(affected_files, include_paths=True).map_batches(
+            filter_fn, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(tmp_out, partition_cols=["_gen"])
+
+        import pyarrow.parquet as pq
+
+        kept_of: Dict[int, int] = {g: 0 for g in affected}
+        out: Dict[int, tuple] = {}
+        for g in affected:
+            ng = new_gen_of[g]
+            new_dir = os.path.join(self.path, f"gen={ng:05d}")
+            shutil.rmtree(new_dir, ignore_errors=True)  # stale crashed attempt
+            os.makedirs(new_dir, exist_ok=True)
+            part_dir = os.path.join(tmp_out, f"_gen={g}")
+            if os.path.isdir(part_dir):
+                for n in sorted(os.listdir(part_dir)):
+                    if not n.endswith(".parquet"):
+                        continue
+                    src = os.path.join(part_dir, n)
+                    kept_of[g] += pq.read_metadata(src).num_rows
+                    os.replace(src, os.path.join(new_dir, n))
+            out[pos_of_gen[g]] = (int(n_hits_of[g]), ng, kept_of[g])
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        return out
 
     def compact(self, first_gen: int = 0) -> None:
         """Rewrite generations ``[first_gen:]`` (list positions) as ONE

@@ -611,6 +611,68 @@ def test_maintenance_lifecycle_matches_local_oracle_random(tmp_path):
         assert _decoded_set(s) == oracle_full(remaining, rules), ("remove", seed)
 
 
+def _bulk_plus_redundant(n):
+    """A big ring component (bulk store rows) plus an ISOLATED two-node
+    component carrying one redundant (derivable) ancestor premise —
+    retracting it has a deterministic one-fact cone."""
+    DG = "default_graph"
+    facts = ancestry_facts(n) + [("x", "parent", "y", DG)]
+    return facts, ("x", "ancestor", "y", DG)
+
+
+def test_remove_premises_store_seeded_rederive(tmp_path):
+    """Big-store branch takes the head-constrained (seeded) rederive:
+    bindings seeded from the deleted set, probe scans bounded — the
+    committed rederive delta and probe traffic are both ≪ store size."""
+    facts, redundant = _bulk_plus_redundant(12)
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts + [redundant]), ancestry_rules(), path,
+        num_partitions=4, with_lineage=True,
+    )
+    s2 = engine.remove_premises_store(
+        _premises_table([redundant]), ancestry_rules(), path,
+        num_partitions=4, broadcast_rows=2, rederive_bound=100_000,
+    )
+    full = engine.infer_store(
+        _premises_table(facts), ancestry_rules(), str(tmp_path / "full"),
+        num_partitions=4, with_lineage=True,
+    )
+    # the retracted premise is derivable another way: it stays, derived
+    assert _decoded_set(s2) == _decoded_set(full)
+    assert tuple(redundant) in _decoded_set(s2)
+    red = [g for g in s2.generations if g.get("metrics", {}).get("evaluator") == "rederive"]
+    assert len(red) == 1
+    m = red[0]["metrics"]
+    assert m.get("rederive") == "seeded"
+    # the whole point: rederivation traffic tracks the (one-fact)
+    # deleted cone, not the store (~157 rows here)
+    assert red[0]["rows"] == 1
+    assert 0 < m["rederive_probe_rows"] < s2.count() // 10
+
+
+def test_remove_premises_store_seeded_fallback(tmp_path):
+    """A rederive_bound too small for the seeded intermediates degrades
+    to the full-remainder semi-naive round — same result."""
+    facts, redundant = _bulk_plus_redundant(8)
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts + [redundant]), ancestry_rules(), path,
+        num_partitions=4, with_lineage=True,
+    )
+    s2 = engine.remove_premises_store(
+        _premises_table([redundant]), ancestry_rules(), path,
+        num_partitions=4, broadcast_rows=2, rederive_bound=0,
+    )
+    full = engine.infer_store(
+        _premises_table(facts), ancestry_rules(), str(tmp_path / "full"),
+        num_partitions=4, with_lineage=True,
+    )
+    assert _decoded_set(s2) == _decoded_set(full)
+    red = [g for g in s2.generations if g.get("metrics", {}).get("evaluator") == "rederive"]
+    assert red and red[0]["metrics"].get("rederive") == "full-remainder"
+
+
 def test_remove_premises_store_crash_resume(tmp_path):
     """A crash between the physical delete and the rederive step must
     not lose still-derivable facts: the pending marker makes the next

@@ -79,3 +79,41 @@ def test_partition_layout_and_compact(tmp_path):
     assert len(store.generations) == 1
     got = store.dataset().count()
     assert got == 100
+
+
+@pytest.mark.parametrize("driver_rows", [2_000_000, 0])
+def test_delete_facts_both_regimes(tmp_path, driver_rows):
+    """delete_facts: driver-polars regime (store under the bound) and
+    the distributed two-pass regime (driver_rows=0) must agree — same
+    per-generation hit counts, same survivors, untouched generations
+    never rewritten."""
+    import polars as pl
+
+    store = TripleStore(str(tmp_path / f"kg{driver_rows}"), num_partitions=4)
+    g0 = [("a", "p", "b", "g"), ("b", "p", "c", "g")]
+    g1 = [("c", "p", "d", "g"), ("d", "p", "e", "g")]
+    g2 = [("e", "p", "f", "g")]
+    for q in (g0, g1, g2):
+        store.add(_quads(q))
+    victims = pl.DataFrame(
+        {
+            "s": ["a", "d", "zz"],
+            "p": ["p", "p", "p"],
+            "o": ["b", "e", "zz"],
+            "g": ["g", "g", "g"],
+        }
+    )
+    gen2_dir_before = store.generations[2]["gen"]
+    res = store.delete_facts(victims, driver_rows=driver_rows)
+    assert res["deleted"] == 2
+    assert len(res["gens_rewritten"]) == 2
+    # untouched generation keeps its directory
+    assert store.generations[2]["gen"] == gen2_dir_before
+    got = {(r["s"], r["p"], r["o"], r["g"]) for r in store.dataset().take_all()}
+    assert got == {("b", "p", "c", "g"), ("c", "p", "d", "g"), ("e", "p", "f", "g")}
+    assert store.count() == 3
+    # per-generation bookkeeping survives the rewrite
+    assert [g["rows"] for g in store.generations] == [1, 1, 1]
+    # reload from disk agrees
+    s2 = TripleStore(str(tmp_path / f"kg{driver_rows}"))
+    assert s2.count() == 3
