@@ -1387,14 +1387,16 @@ def _extend_store_terms(store, cand_terms: "pl.DataFrame") -> int:
     store's persisted ``(term, tid)`` dictionary.
 
     Candidates are probed against the existing dictionary with ONE
-    streaming scan (broadcast candidate sets, no shuffle): a hit on
-    ``term`` means the term is already registered; a hit on ``tid``
-    under a DIFFERENT term is a 64-bit collision with the existing
-    universe and raises (as does a collision inside the batch).  Fresh
-    rows land as one atomically-renamed parquet file — the decode paths
-    glob the directory, and a crashed attempt self-heals because the
-    next probe anti-joins whatever was already appended.  Returns the
-    number of appended terms (manifest meta is updated on success)."""
+    streaming scan (broadcast candidate sets, no shuffle; driver polars
+    while the dictionary is small — a distributed scan of a 15 k-row
+    dictionary costs a whole job spin-up): a hit on ``term`` means the
+    term is already registered; a hit on ``tid`` under a DIFFERENT term
+    is a 64-bit collision with the existing universe and raises (as
+    does a collision inside the batch).  Fresh rows land as one
+    atomically-renamed parquet file — the decode paths glob the
+    directory, and a crashed attempt self-heals because the next probe
+    anti-joins whatever was already appended.  Returns the number of
+    appended terms (manifest meta is updated on success)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
@@ -1417,10 +1419,10 @@ def _extend_store_terms(store, cand_terms: "pl.DataFrame") -> int:
     )
     term_arr = pc.cast(cand_terms.to_arrow()["term"], pa.string()).combine_chunks()
     tid_arr = cand_terms.to_arrow()["tid"].combine_chunks()
-    ref = ray.put((term_arr, tid_arr))
 
-    def probe(batch: pa.Table) -> pa.Table:
-        t_arr, i_arr = ray.get(ref)
+    def probe(batch: pa.Table, t_arr=None, i_arr=None) -> pa.Table:
+        if t_arr is None:
+            t_arr, i_arr = ray.get(ref)
         m = pc.or_(
             pc.is_in(pc.cast(batch["term"], pa.string()), value_set=t_arr),
             pc.is_in(pc.cast(batch["tid"], pa.int64()), value_set=i_arr),
@@ -1433,13 +1435,22 @@ def _extend_store_terms(store, cand_terms: "pl.DataFrame") -> int:
             }
         )
 
-    hits_tabs = [
-        b
-        for b in ray.data.read_parquet(files)
-        .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-        if b.num_rows and b.num_columns
-    ]
+    n_terms = store.manifest.get("terms", {}).get("n_terms", 0)
+    if n_terms <= 2_000_000:
+        hits_tabs = [
+            t
+            for t in (probe(pq.read_table(f), term_arr, tid_arr) for f in files)
+            if t.num_rows
+        ]
+    else:
+        ref = ray.put((term_arr, tid_arr))
+        hits_tabs = [
+            b
+            for b in ray.data.read_parquet(files)
+            .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
     if hits_tabs:
         hits = pl.from_arrow(pa.concat_tables(hits_tabs)).unique()
         fresh = cand_terms.join(hits.select("term"), on="term", how="anti")
