@@ -15,6 +15,7 @@ here (or in the library code it calls) calls ``ray.init()`` /
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -370,13 +371,30 @@ def _q_kg_conational_store(sf_dir: str):
         return _collect(store.decoded_dataset(first_gen=1))
 
 
+def _dump_oracle_quads(store, name: str) -> None:
+    """Persist the store's PREMISE quads (generation 0 — the
+    canonicalized page mentions) to a fixed scratch path so the DuckDB
+    oracle can run the same recursive closure over the identical input.
+    The synthetic pages are deterministic (sources/pages.py
+    ``expected_page_triples``), so the file content is identical across
+    runs — a stale file from a previous run is byte-equivalent."""
+    import pyarrow.parquet as pq
+
+    os.makedirs("/tmp/rify_ray_oracle", exist_ok=True)
+    prem = _collect(store.decoded_dataset(last_gen=0))
+    path = f"/tmp/rify_ray_oracle/{name}.parquet"
+    pq.write_table(prem, path + ".tmp")
+    os.replace(path + ".tmp", path)
+
+
 def _q_kg_pages_flagship(sf_dir: str):
     """Flagship on the store-resident (100 TB) path: pages → triples
     stream into TripleStore parquet generations → hybrid fixpoint; the
-    derived closure is generations ≥ 1.  (The driver-resident
-    kg_construct_and_infer remains available for small interactive runs;
-    both produce the identical fact set — asserted in
-    tests/test_kg_pipeline.py.)"""
+    derived closure is generations ≥ 1, oracle-checked against a DuckDB
+    recursive closure over the (dumped) canonicalized premise quads.
+    (The driver-resident kg_construct_and_infer remains available for
+    small interactive runs; both produce the identical fact set —
+    asserted in tests/test_kg_pipeline.py.)"""
     import tempfile
 
     from rify_ray.pipelines.kg import kg_construct_and_infer_store
@@ -387,6 +405,7 @@ def _q_kg_pages_flagship(sf_dir: str):
             pages_dataset(500, 50), fixtures_rules.ancestry_rules(), 50,
             f"{d}/kg", concurrency=2,
         )
+        _dump_oracle_quads(store, "flagship_premises")
         return _collect(store.decoded_dataset(first_gen=1))
 
 
@@ -964,6 +983,7 @@ def _q_kg_pages_store(sf_dir: str):
         store = engine.infer_store(
             quads, fixtures_rules.ancestry_rules(), f"{d}/kg", num_partitions=4
         )
+        _dump_oracle_quads(store, "pages_store_premises")
         return _collect(store.decoded_dataset(first_gen=1))
 
 
@@ -1204,8 +1224,30 @@ def _quality_sql() -> str:
     )
 
 
+def _pages_closure_sql(dump_name: str) -> str:
+    """DuckDB twin of the flagship: recursive ancestor closure over the
+    canonicalized premise quads the query dumps to scratch (see
+    ``_dump_oracle_quads`` — deterministic synthetic pages, so the file
+    is byte-stable across runs).  Derived set = closure minus premises,
+    mirroring ``store.decoded_dataset(first_gen=1)``."""
+    prem = f"read_parquet('/tmp/rify_ray_oracle/{dump_name}.parquet')"
+    return (
+        f"WITH RECURSIVE prem AS (SELECT s, p, o, g FROM {prem}), "
+        "base AS (SELECT DISTINCT s, o FROM prem "
+        "WHERE p IN ('parent', 'ancestor') AND g = 'default_graph'), "
+        "anc AS (SELECT s, o FROM base "
+        "UNION SELECT a.s, b.o FROM anc a JOIN base b ON a.o = b.s) "
+        "SELECT a.s AS s, 'ancestor' AS p, a.o AS o, 'default_graph' AS g "
+        "FROM anc a WHERE NOT EXISTS "
+        "(SELECT 1 FROM prem WHERE prem.s = a.s AND prem.p = 'ancestor' "
+        "AND prem.o = a.o AND prem.g = 'default_graph')"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_pages_flagship": _pages_closure_sql("flagship_premises"),
+        "kg_pages_store": _pages_closure_sql("pages_store_premises"),
         "kg_customer_region": (
             "SELECT 'c:' || c_custkey AS s, 'in_region' AS p, "
             "'r:' || r_regionkey AS o, 'default_graph' AS g "
