@@ -1377,6 +1377,11 @@ def infer_store(
             )
             if n_derived >= compact_every:
                 store.compact_derived()
+                if with_lineage:
+                    # mirror the fact-store fold: lineage directories
+                    # otherwise accumulate one per round forever, and
+                    # retraction's dependence scans walk all of them
+                    compact_lineage(lineage_dir, keep_last=1)
     if remaining is not None:
         return (store, remaining.height == 0)
     return store
@@ -1921,16 +1926,109 @@ def _overdelete_walk(
     return deleted, sorted(affected)
 
 
+_MERGED_MARKER = "_merged"
+_ABSORBS_FILE = "absorbs.json"
+
+
 def _swap_lineage_dir(d: str) -> None:
     """Atomic-enough ``.new`` → live swap (a crashed swap is healed by
-    :func:`_heal_lineage_dirs` on the next retraction)."""
+    :func:`_heal_lineage_dirs` on the next retraction).  The merged
+    marker survives the swap — a rewritten merged generation still holds
+    multi-round rows, and the backward proof walk must keep loop-scanning
+    it (:func:`_walk_lineage_generations`)."""
     import shutil
 
+    for meta in (_MERGED_MARKER, _ABSORBS_FILE):
+        src = os.path.join(d, meta)
+        dst = os.path.join(d + ".new", meta)
+        if os.path.exists(src) and not os.path.exists(dst):
+            shutil.copyfile(src, dst)
     old_dir = d + ".old"
     shutil.rmtree(old_dir, ignore_errors=True)
     os.rename(d, old_dir)
     os.rename(d + ".new", d)
     shutil.rmtree(old_dir, ignore_errors=True)
+
+
+def compact_lineage(
+    lineage_dir: str, *, keep_last: int = 1, driver_rows: int = 2_000_000
+) -> None:
+    """Fold all committed lineage generations except the newest
+    ``keep_last`` into ONE merged directory — bounds the lineage file
+    and directory count on long fixpoints the same way
+    :meth:`TripleStore.compact_derived` bounds the fact store's.
+
+    The merged directory keeps the LARGEST folded generation number, so
+    both walk orders stay sound: parents still live at numbers ≤ the
+    merged number (backward proof walk) and dependents at numbers ≥ it
+    (retraction overdeletion walk, which prunes with ``>=``).  Rows
+    from different rounds now share a directory, so a ``_merged``
+    marker tells the backward walk to loop-scan it until no new quad
+    resolves.  First-wins lkeys are preserved by a groupby-min on the
+    quad during the fold (duplicate quads only exist transiently after
+    a crashed swap; the min is the same deterministic tie-break as the
+    round dedup).
+
+    Crash discipline: the merged content is fully written to
+    ``gen=K.new`` (with an ``absorbs.json`` naming the other folded
+    directories), the swap commits it, then the absorbed directories
+    are removed; :func:`_heal_lineage_dirs` finishes either half of a
+    crashed attempt."""
+    import shutil
+
+    _heal_lineage_dirs(lineage_dir)
+    gen_files = _lineage_gen_files(lineage_dir)
+    gens = sorted({g for g, _f in gen_files})
+    victims = gens[:-keep_last] if keep_last else gens
+    if len(victims) <= 1:
+        return
+    target = victims[-1]
+    vset = set(victims)
+    files = [f for g, f in gen_files if g in vset]
+    d = os.path.join(lineage_dir, f"gen={target:05d}")
+    new_dir = d + ".new"
+    shutil.rmtree(new_dir, ignore_errors=True)
+    os.makedirs(new_dir, exist_ok=True)
+
+    n_rows = 0
+    import pyarrow.parquet as pq
+
+    for f in files:
+        n_rows += pq.read_metadata(f).num_rows
+    if n_rows <= driver_rows:
+        frames = [pl.from_arrow(pq.read_table(f)) for f in files]
+        merged = (
+            pl.concat(frames, how="vertical_relaxed")
+            .group_by(FACT_COLS)
+            .agg(pl.col("lkey").min())
+        )
+        if merged.height:
+            merged.select([*FACT_COLS, "lkey"]).write_parquet(
+                os.path.join(new_dir, "lineage.parquet")
+            )
+    else:
+        import ray.data
+
+        from .util import drop_empty_blocks
+
+        folded = (
+            ray.data.read_parquet(files)
+            .groupby(FACT_COLS, num_partitions=16)
+            .min("lkey")
+            .rename_columns({"min(lkey)": "lkey"})
+            .materialize()
+        )
+        folded = drop_empty_blocks(folded)
+        if folded is not None:
+            folded.write_parquet(new_dir)
+    with open(os.path.join(new_dir, _MERGED_MARKER), "w") as f:
+        f.write("")
+    with open(os.path.join(new_dir, _ABSORBS_FILE), "w") as f:
+        json.dump([g for g in victims if g != target], f)
+    _swap_lineage_dir(d)
+    for g in victims:
+        if g != target:
+            shutil.rmtree(os.path.join(lineage_dir, f"gen={g:05d}"), ignore_errors=True)
 
 
 def _filter_lineage_dirs(
@@ -2031,10 +2129,12 @@ def _filter_lineage_dirs(
 
 
 def _heal_lineage_dirs(lineage_dir: str) -> None:
-    """Repair a half-finished :func:`_filter_lineage_dirs` swap: an
-    orphan ``gen=K.old`` with no ``gen=K`` is renamed back (the filter
-    re-runs idempotently); stray ``.new``/``.old`` leftovers are
-    dropped."""
+    """Repair a half-finished :func:`_filter_lineage_dirs` /
+    :func:`compact_lineage` swap: an orphan ``gen=K.old`` with no
+    ``gen=K`` is renamed back (the filter re-runs idempotently); stray
+    ``.new``/``.old`` leftovers are dropped; directories a committed
+    merge absorbed (named in its ``absorbs.json``) but did not finish
+    removing are removed now."""
     import shutil
 
     if not os.path.isdir(lineage_dir):
@@ -2049,6 +2149,15 @@ def _heal_lineage_dirs(lineage_dir: str) -> None:
                 shutil.rmtree(d, ignore_errors=True)
         elif gd.endswith(".new"):
             shutil.rmtree(d, ignore_errors=True)
+    for gd in sorted(os.listdir(lineage_dir)):
+        ab = os.path.join(lineage_dir, gd, _ABSORBS_FILE)
+        if gd.startswith("gen=") and not gd.endswith((".new", ".old")) and os.path.exists(ab):
+            with open(ab) as f:
+                absorbed = json.load(f)
+            for g in absorbed:
+                shutil.rmtree(
+                    os.path.join(lineage_dir, f"gen={g:05d}"), ignore_errors=True
+                )
 
 
 def remove_premises_store(
@@ -2617,24 +2726,19 @@ def _walk_lineage_generations(
     if not os.path.isdir(lineage_dir):
         return arguments, scan_log
     gen_dirs = sorted(
-        (d for d in os.listdir(lineage_dir) if d.startswith("gen=")), reverse=True
+        (
+            d
+            for d in os.listdir(lineage_dir)
+            if d.startswith("gen=") and not d.endswith((".new", ".old"))
+        ),
+        reverse=True,
     )
     frontier = set(goals)
     seen = set(goals)
-    for gd in gen_dirs:
-        if not frontier:
-            break
-        gen_no = int(gd.split("=")[1])
-        d = os.path.join(lineage_dir, gd)
-        files = sorted(
-            os.path.join(root, n)
-            for root, _dirs, names in os.walk(d)
-            for n in names
-            if n.endswith(".parquet")
-        )
-        if not files:
-            continue
-        scan_log.append((gen_no, len(files)))
+
+    def scan_dir(files, frontier) -> bool:
+        """One probe pass of this generation's files against the current
+        frontier; returns whether any new quad resolved."""
         fact_pa = pa.int64() if dict_encode else pa.string()
         ftab = pa.table(
             {
@@ -2652,6 +2756,7 @@ def _walk_lineage_generations(
         hit = ray.data.read_parquet(files).map_batches(
             probe, batch_format="pyarrow", zero_copy_batch=True
         )
+        resolved_any = False
         for b in hit.iter_batches(batch_size=None, batch_format="pyarrow"):
             if b.num_rows == 0 or b.num_columns == 0:
                 continue
@@ -2665,6 +2770,7 @@ def _walk_lineage_generations(
                 q = (s, p, o, g)
                 if q in arguments:
                     continue
+                resolved_any = True
                 frontier.discard(q)
                 ri, inst = decode_lkey(lkey)
                 inst = tuple(inst_cast(x) for x in inst)
@@ -2678,6 +2784,31 @@ def _walk_lineage_generations(
                     if sub not in seen:
                         seen.add(sub)
                         frontier.add(sub)
+        return resolved_any
+
+    for gd in gen_dirs:
+        if not frontier:
+            break
+        gen_no = int(gd.split("=")[1])
+        d = os.path.join(lineage_dir, gd)
+        files = sorted(
+            os.path.join(root, n)
+            for root, _dirs, names in os.walk(d)
+            for n in names
+            if n.endswith(".parquet")
+        )
+        if not files:
+            continue
+        # a MERGED generation (compact_lineage) holds rows from several
+        # rounds, so a quad's parents may live in the same directory —
+        # loop-scan it until a pass resolves nothing new; unmerged
+        # generations keep the single newest→oldest pass
+        merged = os.path.exists(os.path.join(d, _MERGED_MARKER))
+        while True:
+            scan_log.append((gen_no, len(files)))
+            resolved = scan_dir(files, frontier)
+            if not (merged and resolved and frontier):
+                break
     return arguments, scan_log
 
 

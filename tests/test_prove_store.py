@@ -207,3 +207,105 @@ def test_prove_store_after_incremental_maintenance(tmp_path):
     v2 = engine.validate(rules, proof2)
     assert path_goal in v2.implied
     assert v2.assumed <= set(facts[:6])
+
+
+def _linear_chain(n):
+    """Chain premises + LINEAR recursion rules: the fixpoint needs ~n
+    rounds (one reach extension per round) — the long-fixpoint shape."""
+    from rify_ray import B, Rule, U
+
+    facts = [(f"c{i}", "parent", f"c{i+1}", DG) for i in range(n)]
+    rules = [
+        Rule.create(
+            [[U("a"), B("parent"), U("b"), B(DG)]],
+            [[U("a"), B("reach"), U("b"), B(DG)]],
+        ),
+        Rule.create(
+            [
+                [U("a"), B("parent"), U("b"), B(DG)],
+                [U("b"), B("reach"), U("c"), B(DG)],
+            ],
+            [[U("a"), B("reach"), U("c"), B(DG)]],
+        ),
+    ]
+    return facts, rules
+
+
+def _lineage_dir_count(store_path):
+    import os
+
+    d = os.path.join(store_path, "lineage")
+    return sum(
+        1
+        for g in os.listdir(d)
+        if g.startswith("gen=") and not g.endswith((".new", ".old"))
+    )
+
+
+def test_long_fixpoint_lineage_compaction_and_proof(tmp_path):
+    """100+ rounds with compaction: the lineage directory count stays
+    bounded (compact_lineage folds alongside compact_derived) and the
+    backward proof walk still resolves a whole-chain goal ACROSS the
+    merged multi-round lineage directory (the loop-scan path)."""
+    n = 110
+    facts, rules = _linear_chain(n)
+    path = str(tmp_path / "kg")
+    goal = ("c0", "reach", f"c{n}", DG)
+    proof = engine.prove_store(_tbl(facts), [goal], rules, path, num_partitions=4)
+    # the fixpoint ran >100 rounds but compaction bounds the on-disk
+    # generation count (fact store AND lineage)
+    assert _lineage_dir_count(path) < 70
+    import os
+
+    lineage = os.path.join(path, "lineage")
+    assert any(
+        os.path.exists(os.path.join(lineage, g, "_merged"))
+        for g in os.listdir(lineage)
+        if g.startswith("gen=")
+    )
+    v = engine.validate(rules, proof)
+    assert goal in v.implied
+    assert v.assumed <= set(facts)
+
+
+def test_retraction_across_compacted_lineage(tmp_path):
+    """Retract from a store whose lineage was folded by compact_lineage:
+    the overdeletion walk, the lineage filter (which must keep the
+    merged marker) and the rederive still equal a fresh recompute."""
+    n = 24
+    facts, rules = _linear_chain(n)
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _tbl(facts), rules, path, num_partitions=4,
+        with_lineage=True, compact_every=5,
+    )
+    assert _lineage_dir_count(path) < 20
+    drop = [facts[n // 2]]
+    s2 = engine.remove_premises_store(_tbl(drop), rules, path, num_partitions=4)
+    full = engine.infer_store(
+        _tbl([f for f in facts if f not in set(drop)]), rules,
+        str(tmp_path / "full"), num_partitions=4, with_lineage=True,
+    )
+    got = {
+        (r["s"], r["p"], r["o"], r["g"]) for r in s2.decoded_dataset().take_all()
+    }
+    want = {
+        (r["s"], r["p"], r["o"], r["g"]) for r in full.decoded_dataset().take_all()
+    }
+    assert got == want
+    # a goal inside the surviving prefix still proves over the filtered,
+    # merged lineage
+    goal = ("c0", "reach", f"c{n // 2}", DG)
+    from rify_ray.engine import _walk_lineage_generations, _encode_rules_hash, hash_term_ids
+    import os
+
+    terms = sorted({t for t in goal})
+    enc = dict(zip(terms, hash_term_ids(terms)))
+    args, _log = _walk_lineage_generations(
+        os.path.join(path, "lineage"),
+        {tuple(enc[t] for t in goal)},
+        _encode_rules_hash(rules),
+        int,
+        True,
+    )
+    assert tuple(enc[t] for t in goal) in args
