@@ -1103,10 +1103,11 @@ def _q_multimodal_decode(sf_dir: str):
 
     from rify_ray.stages.multimodal import media_stage, synthetic_media_table
 
-    # auto backend: the WAV rows hit the REAL stdlib-wave decoder
-    # (decoded_real=True), image/video payloads fall back to the
+    # auto backend: the WAV rows hit the REAL stdlib-wave decoder and
+    # the PNG rows the REAL vendored stdlib PNG parser
+    # (decoded_real=True); video payloads fall back to the
     # deterministic fake — both paths exercised in one query
-    media = ray.data.from_arrow(synthetic_media_table(60, real_audio=True))
+    media = ray.data.from_arrow(synthetic_media_table(60, real_audio=True, real_image=True))
     out = media_stage(media, backend="auto", concurrency=2)
     return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 

@@ -1,16 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Decoders are CAPABILITY-PROBED per actor (``probe_backends``): PIL for
-images, stdlib ``wave`` for WAV audio, ffmpeg for video.
-``backend="auto"`` uses the real decoder for a kind when its library is
-present and the payload parses, and degrades to a deterministic fake
-(digest-derived features) otherwise — the ``decoded_real`` output
-column records which path each row took.  In this container only the
-WAV decoder is real (no PIL/ffmpeg); the image/video real decoders are
-written but exercised only where their libraries exist, and
-``backend="real"`` raises ``NotImplementedError`` for a kind whose
-library is missing.
+Decoders are CAPABILITY-PROBED per actor (``probe_backends``): PIL
+(falling back to a vendored stdlib-only PNG parser — zlib inflate +
+scanline de-filtering, ``_png_decode_gray``) for images, stdlib
+``wave`` for WAV audio, ffmpeg for video.  ``backend="auto"`` uses the
+real decoder for a kind when it parses the payload, and degrades to a
+deterministic fake (digest-derived features) otherwise — the
+``decoded_real`` output column records which path each row took.  In
+this container the WAV and PNG decoders are real (no PIL/ffmpeg); the
+PIL path and the video plumbing are exercised only where their
+libraries exist, and ``backend="real"`` raises ``NotImplementedError``
+for a kind with no real decoder at all (video here).
 
 Large binary payloads mean SMALL batches: a batch × concurrency must
 fit the worker heap, so ``media_stage`` defaults to ``batch_size=32``.
@@ -48,15 +49,10 @@ FEATURES_SCHEMA = pa.schema(
 
 def probe_backends() -> dict:
     """Capability probe for real decoders, evaluated once per actor (in
-    ``DecodeStage.__init__``): PIL for images, stdlib ``wave`` for WAV
-    audio, an ffmpeg binary for video."""
-    caps = {"image": False, "audio": False, "video": False}
-    try:
-        from PIL import Image  # noqa: F401
-
-        caps["image"] = True
-    except ImportError:
-        pass
+    ``DecodeStage.__init__``): PIL — or the vendored stdlib PNG parser,
+    always present — for images, stdlib ``wave`` for WAV audio, an
+    ffmpeg binary for video."""
+    caps = {"image": True, "audio": False, "video": False}
     try:
         import wave  # noqa: F401
 
@@ -69,17 +65,123 @@ def probe_backends() -> dict:
     return caps
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode_gray(payload: bytes):
+    """Vendored stdlib-only PNG decode (RFC 2083): chunk walk → IHDR
+    dims → zlib-inflate the IDAT stream → per-scanline de-filtering
+    (all five filter types) → grayscale float array in [0, 1].
+
+    Supports the common web shapes: 8-bit depth, color types 0
+    (grayscale), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace.
+    Raises ``ValueError`` on anything else — ``backend="auto"`` then
+    takes the deterministic-fake path for that row."""
+    import struct
+    import zlib
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = []
+    dims = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, bitd, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if bitd != 8 or comp != 0 or filt != 0 or inter != 0:
+                raise ValueError("unsupported PNG encoding")
+            if ctype not in (0, 2, 4, 6):
+                raise ValueError(f"unsupported PNG color type {ctype}")
+            dims = (w, h, ctype)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if dims is None or not idat:
+        raise ValueError("truncated PNG")
+    w, h, ctype = dims
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanlines")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        line = np.frombuffer(raw[p + 1 : p + 1 + stride], np.uint8).astype(np.int32)
+        p += 1 + stride
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 255
+        elif f == 1:  # Sub — sequential left dependence
+            cur = line.copy()
+            for i in range(ch, stride):
+                cur[i] = (cur[i] + cur[i - ch]) & 255
+        elif f == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                pp = a + b - c
+                pa_, pb, pc_ = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                cur[i] = (cur[i] + pred) & 255
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, ch).astype(np.float32)
+    if ctype == 0:
+        gray = px[..., 0]
+    elif ctype == 4:
+        gray = px[..., 0]
+    else:
+        # ITU-R 601 luma — the same weights PIL's convert("L") uses
+        gray = px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+    return w, h, gray / 255.0
+
+
+def _box_thumb(gray: np.ndarray, k: int = 8) -> np.ndarray:
+    """(h, w) → (k, k) box-averaged thumbnail (deterministic, no
+    resampling library)."""
+    rows = np.array_split(gray, k, axis=0)
+    return np.stack(
+        [np.stack([c.mean() for c in np.array_split(r, k, axis=1)]) for r in rows]
+    ).astype(np.float32)
+
+
 def _decode_image_real(payload: bytes, kind: str):
-    """PIL decode: true dimensions + an 8-dim feature (mean intensity of
-    an 8-cell vertical banding of the grayscale thumbnail)."""
-    import io
+    """Image decode: PIL when installed; otherwise the vendored stdlib
+    PNG parser.  Either way: true dimensions + an 8-dim feature (mean
+    intensity per vertical band of the 8×8 grayscale thumbnail).  The
+    two backends use different downsampling, so features are
+    deterministic per environment, not identical across them."""
+    try:
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    img = Image.open(io.BytesIO(payload))
-    width, height = img.size
-    gray = np.asarray(img.convert("L").resize((8, 8)), dtype=np.float32) / 255.0
-    return width, height, gray.mean(axis=0).tolist()
+        img = Image.open(io.BytesIO(payload))
+        width, height = img.size
+        gray = np.asarray(img.convert("L").resize((8, 8)), dtype=np.float32) / 255.0
+        return width, height, gray.mean(axis=0).tolist()
+    except ImportError:
+        pass
+    width, height, gray = _png_decode_gray(payload)
+    return width, height, _box_thumb(gray, 8).mean(axis=0).tolist()
 
 
 def _decode_audio_real(payload: bytes, kind: str):
@@ -118,7 +220,7 @@ def _decode_real(payload: bytes, kind: str):
         return _decode_audio_real(payload, kind)
     raise NotImplementedError(
         f"real {kind} decoding requires "
-        f"{'PIL' if kind == 'image' else 'wave' if kind == 'audio' else 'ffmpeg'}, "
+        f"{'PIL or the vendored PNG parser' if kind == 'image' else 'wave' if kind == 'audio' else 'ffmpeg'}, "
         "not available in this environment — use backend='fake' "
         "(deterministic) or backend='auto' (real where possible)"
     )
@@ -262,11 +364,42 @@ def _synthetic_wav(i: int) -> bytes:
     return buf.getvalue()
 
 
-def synthetic_media_table(n: int, *, real_audio: bool = False) -> pa.Table:
+def _synthetic_png(i: int) -> bytes:
+    """Deterministic valid 8-bit grayscale PNG (diagonal gradient keyed
+    by ``i``) — parses in any environment via the vendored stdlib
+    decoder (or PIL where installed)."""
+    import struct
+    import zlib
+
+    w = h = 24 + (i % 5)
+    arr = ((np.add.outer(np.arange(h), np.arange(w)) * 3 + i * 7) % 256).astype(np.uint8)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthetic_media_table(
+    n: int, *, real_audio: bool = False, real_image: bool = False
+) -> pa.Table:
     """Deterministic media fixture (payload bytes derived from the id).
-    ``real_audio=True`` makes the audio rows genuine WAV payloads so a
+    ``real_audio=True`` makes the audio rows genuine WAV payloads and
+    ``real_image=True`` the image rows genuine PNGs, so a
     capability-probed ``backend="auto"`` stage exercises its real
-    decoder on them."""
+    decoders on them."""
     kinds = ["image", "audio", "video"]
     rows = {
         "media_id": [],
@@ -278,6 +411,8 @@ def synthetic_media_table(n: int, *, real_audio: bool = False) -> pa.Table:
         kind = kinds[i % 3]
         if kind == "audio" and real_audio:
             payload = _synthetic_wav(i)
+        elif kind == "image" and real_image:
+            payload = _synthetic_png(i)
         else:
             payload = hashlib.blake2b(str(i).encode(), digest_size=32).digest() * (4 + i % 5)
         rows["media_id"].append(i)
