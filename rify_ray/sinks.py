@@ -49,8 +49,34 @@ def write_partitioned_parquet(
     property resume correctness rests on.
 
     Returns ``{"written": [...], "skipped": [...], "rows_written": n}``.
+
+    The first write persists ``{key_cols, num_buckets}`` in a
+    ``_sink_manifest.json``; a resume under DIFFERENT values would skip
+    buckets computed under the old mapping and silently drop or
+    duplicate rows, so a mismatch raises instead.
     """
+    import json
+
     os.makedirs(path, exist_ok=True)
+    manifest_path = os.path.join(path, "_sink_manifest.json")
+    wanted = {"key_cols": list(key_cols), "num_buckets": int(num_buckets)}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            have = json.load(f)
+        if skip_complete and have != wanted:
+            raise ValueError(
+                f"resume mismatch at {path}: existing buckets were written with "
+                f"{have}, this call passes {wanted} — rows would be skipped or "
+                "duplicated under the new mapping; use a fresh path or "
+                "skip_complete=False to rewrite"
+            )
+        if not skip_complete and have != wanted:
+            os.remove(manifest_path)
+    if not os.path.exists(manifest_path):
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(wanted, f)
+        os.replace(tmp, manifest_path)
     done: List[int] = []
     if skip_complete:
         for name in os.listdir(path):

@@ -52,20 +52,29 @@ def _unescape(s: str) -> str:
         return s
     out = []
     i = 0
-    while i < len(s):
+    n = len(s)
+    while i < n:
         c = s[i]
         if c != "\\":
             out.append(c)
             i += 1
             continue
+        if i + 1 >= n:
+            raise ValueError(f"truncated escape at end of literal: {s!r}")
         e = s[i + 1]
-        if e == "u":
-            out.append(chr(int(s[i + 2 : i + 6], 16)))
-            i += 6
-        elif e == "U":
-            out.append(chr(int(s[i + 2 : i + 10], 16)))
-            i += 10
+        if e in ("u", "U"):
+            width = 4 if e == "u" else 8
+            hexpart = s[i + 2 : i + 2 + width]
+            if len(hexpart) < width:
+                raise ValueError(f"truncated \\{e} escape in literal: {s!r}")
+            try:
+                out.append(chr(int(hexpart, 16)))
+            except (ValueError, OverflowError) as exc:
+                raise ValueError(f"invalid \\{e} escape {hexpart!r} in literal: {s!r}") from exc
+            i += 2 + width
         else:
+            if e not in _UNESCAPE:
+                raise ValueError(f"invalid escape \\{e} in literal: {s!r}")
             out.append(_UNESCAPE[e])
             i += 2
     return "".join(out)
@@ -154,11 +163,21 @@ def _parse_batch_fn(on_error: str):
                     continue
                 raise ValueError(f"malformed N-Quads line: {raw!r}")
             toks = (row["s"], row["p"], row["o"], row.get("g"))
-            for c, tok in zip(("s", "p", "o", "g"), toks):
-                if c == "g" and (tok is None or tok == ""):
-                    cols[c].append("DefaultGraph")
-                else:
-                    cols[c].append(encode_term(term_to_json(tok)))
+            try:
+                vals = [
+                    "DefaultGraph"
+                    if (c == "g" and (tok is None or tok == ""))
+                    else encode_term(term_to_json(tok))
+                    for c, tok in zip(("s", "p", "o", "g"), toks)
+                ]
+            except ValueError:
+                # a line can pass the RE2 shape check yet hold an invalid
+                # or truncated escape — on_error="skip" drops those too
+                if on_error == "skip":
+                    continue
+                raise ValueError(f"malformed N-Quads line: {raw!r}")
+            for c, v in zip(("s", "p", "o", "g"), vals):
+                cols[c].append(v)
         return pa.table({c: pa.array(cols[c], pa.string()) for c in ("s", "p", "o", "g")})
 
     return fn
@@ -209,6 +228,12 @@ def write_nquads(quads_ds, path: str, *, plain_strings: str = "error") -> int:
     import ray
 
     os.makedirs(path, exist_ok=True)
+    # clear prior part files: a rerun producing fewer batches would
+    # otherwise leave stale parts behind, and a later directory read
+    # would see duplicate/phantom quads
+    for n in os.listdir(path):
+        if n.endswith(".nq") or n.endswith(".nq.tmp"):
+            os.remove(os.path.join(path, n))
     lines = quads_ds.map_batches(
         _format_batch_fn(plain_strings), batch_format="pyarrow", zero_copy_batch=True
     )
@@ -220,8 +245,10 @@ def write_nquads(quads_ds, path: str, *, plain_strings: str = "error") -> int:
         if batch.num_rows == 0:
             continue
         part = os.path.join(path, f"part-{i:05d}.nq")
-        with open(part, "w", encoding="utf-8") as f:
+        # tmp + rename: a crashed write never leaves a half-written .nq
+        with open(part + ".tmp", "w", encoding="utf-8") as f:
             f.write("\n".join(batch["line"].to_pylist()))
             f.write("\n")
+        os.replace(part + ".tmp", part)
         total += batch.num_rows
     return total

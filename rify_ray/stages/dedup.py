@@ -97,15 +97,19 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     else:
         windows = np.lib.stride_tricks.sliding_window_view(b, k)
         k_eff = k
+    # NOTE: this is a deterministic MIXING function, not exact modular
+    # arithmetic — the scalar power recurrence wraps mod 2^64 before the
+    # Mersenne reduction, and the final accumulation is uint64
+    # wraparound.  Shingle hashes here are internal-only (compared to
+    # each other, never to an external implementation; the SQL oracle
+    # recomputes pairs from raw substrings), so only determinism and
+    # near-injectivity matter — both hold.
     powers = np.empty(k_eff, dtype=np.uint64)
     powers[0] = 1
-    for j in range(1, k_eff):
-        powers[j] = (powers[j - 1] * _SHINGLE_BASE) % _SHINGLE_MOD
-    # (n_windows, k) @ (k,) with modular reduction; uint64 products of
-    # (byte < 256) * (power < 2^61) overflow — split bytes into the sum
-    # directly: values fit since 256 * 2^61 overflows, so reduce powers
-    # mod first and accumulate in python-object-free float? Use uint64
-    # wraparound-safe scheme: (b * (powers mod 2^53)) fits in uint64.
+    with np.errstate(over="ignore"):
+        for j in range(1, k_eff):
+            powers[j] = (powers[j - 1] * _SHINGLE_BASE) % _SHINGLE_MOD
+    # (byte < 256) × (power mod 2^53) fits uint64 per element; sums wrap
     powers_small = powers & np.uint64((1 << 53) - 1)
     h = (windows.astype(np.uint64) * powers_small[None, :]).sum(axis=1)
     return np.unique(h)

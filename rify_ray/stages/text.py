@@ -193,6 +193,13 @@ def _winnow_select(data: np.ndarray, k: int, w: int) -> np.ndarray:
     from numpy.lib.stride_tricks import sliding_window_view
 
     grams = sliding_window_view(data.astype(np.int64), k)
+    # int64 products of byte × power wrap mod 2^64 — harmless: 2^61
+    # divides 2^64, so the masked low 61 bits equal the exact product
+    # mod 2^61, per-term sums of 61-bit values likewise survive any
+    # wrap, and masking per step is the ring homomorphism of mod 2^61.
+    # The result IS the documented polynomial hash mod 2^61 — pinned
+    # against a from-the-paper pure-Python reference in
+    # tests/test_stages.py::test_winnow_select_matches_reference.
     h = (grams * powers[::-1][None, :] & _WINNOW_MASK).sum(axis=1) & _WINNOW_MASK
     if h.size <= w:
         return np.unique(h[h.argmin() : h.argmin() + 1])

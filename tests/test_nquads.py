@@ -6,6 +6,8 @@ that shape via the engine's canonical JSON string encoding, so a quad
 loaded here is directly usable by infer/prove/query.
 """
 
+import os
+
 import pytest
 
 import rify_ray
@@ -204,3 +206,56 @@ def test_write_plain_strings(ray_session, tmp_path):
     assert write_nquads(ds, out, plain_strings="iri") == 1
     (row,) = read_nquads(out).take_all()
     assert decode_term(row["s"]) == {"Iri": "c:1"}
+
+
+def test_read_nquads_bad_escapes(ray_session, tmp_path):
+    """Lines that pass the line regex but hold an invalid or truncated
+    escape honor on_error: skip drops them, error raises with context."""
+    bad = (
+        '<http://ex.org/a> <http://ex.org/p> "bad \\q escape" .\n'
+        '<http://ex.org/a> <http://ex.org/p> "cut \\u00" .\n'
+        '<http://ex.org/a> <http://ex.org/p> "bad hex \\uZZZZ" .\n'
+    )
+    path = _write(tmp_path, NQ_TEXT + bad)
+    with pytest.raises(Exception, match="malformed N-Quads line"):
+        read_nquads(path).take_all()
+    ok = read_nquads(path, on_error="skip").take_all()
+    assert len(ok) == 3
+
+
+def test_write_nquads_rerun_clears_stale_parts(ray_session, tmp_path):
+    """A rerun that produces fewer batches must not leave stale part
+    files from the previous run (phantom quads on read-back)."""
+    import ray.data
+
+    from rify_ray.sources.nquads import write_nquads
+
+    d = str(tmp_path / "out")
+
+    def quads(n):
+        import pyarrow as pa
+
+        from rify_ray.engine import encode_term
+
+        iri = lambda x: encode_term({"Iri": f"http://ex.org/{x}"})  # noqa: E731
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "s": pa.array([iri(f"s{i}") for i in range(n)]),
+                    "p": pa.array([iri("p")] * n),
+                    "o": pa.array([iri(f"o{i}") for i in range(n)]),
+                    "g": pa.array([encode_term("DefaultGraph")] * n),
+                }
+            )
+        )
+
+    # first run: many small parts
+    big = quads(300_000)
+    assert write_nquads(big, d) == 300_000
+    n_parts_before = sum(1 for x in os.listdir(d) if x.endswith(".nq"))
+    assert n_parts_before > 1
+    # rerun with a tiny dataset: old parts must vanish
+    assert write_nquads(quads(3), d) == 3
+    assert sum(1 for x in os.listdir(d) if x.endswith(".nq")) == 1
+    assert read_nquads(d).count() == 3
+    assert not any(x.endswith(".tmp") for x in os.listdir(d))

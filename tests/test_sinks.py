@@ -87,7 +87,8 @@ def test_read_requires_complete_bucket(tmp_path):
     path = str(tmp_path / "out")
     write_partitioned_parquet(_ds(20), path, key_cols=["k"], num_buckets=2)
     for name in os.listdir(path):
-        os.remove(os.path.join(path, name, "_SUCCESS"))
+        if name.startswith("bucket="):
+            os.remove(os.path.join(path, name, "_SUCCESS"))
     with pytest.raises(FileNotFoundError):
         read_partitioned_parquet(path)
 
@@ -124,3 +125,28 @@ def test_empty_write_reads_back_empty(tmp_path):
     out = read_partitioned_parquet(path)
     assert out.count() == 0
     assert set(out.schema().base_schema.names) == {"k", "v"}
+
+
+def test_resume_mapping_mismatch_raises(tmp_path):
+    """A resume under different key_cols/num_buckets would skip buckets
+    computed under the old mapping (silent row loss/duplication) — the
+    persisted sink manifest turns that into a loud error."""
+    import pytest
+
+    from rify_ray.sinks import write_partitioned_parquet
+
+    path = str(tmp_path / "out")
+    write_partitioned_parquet(_ds(), path, key_cols=["k"], num_buckets=8)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        write_partitioned_parquet(_ds(), path, key_cols=["k"], num_buckets=16)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        write_partitioned_parquet(_ds(), path, key_cols=["v"], num_buckets=8)
+    # same mapping resumes fine (everything already complete)
+    m = write_partitioned_parquet(_ds(), path, key_cols=["k"], num_buckets=8)
+    assert m["rows_written"] == 0 and len(m["skipped"]) == 8
+    # full rewrite opt-out re-baselines the manifest
+    m2 = write_partitioned_parquet(
+        _ds(), path, key_cols=["k"], num_buckets=4, skip_complete=False
+    )
+    assert m2["rows_written"] == 200
+    assert _read_all(path) == [(i, f"v{i}") for i in range(200)]
