@@ -1112,6 +1112,97 @@ def _q_multimodal_decode(sf_dir: str):
     return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 
 
+def _q_docs_tfidf_top5(sf_dir: str):
+    """Top-5 TF-IDF keywords per document (linear idf — ``tf/df`` —
+    so the score is an exactly-rounded IEEE division, bit-identical to
+    the SQL oracle): one vocabulary-sized df exchange, broadcast df
+    lookup, per-doc top-k resolved locally inside the scoring map."""
+    from rify_ray.stages.lexical import tfidf_topk
+
+    return _collect(tfidf_topk(_docs_ds(sf_dir), k=5))
+
+
+def _q_docs_postings_index(sf_dir: str):
+    """Inverted index over word bigrams with a document-frequency cap:
+    (term, df, ascending comma-joined posting list).  The df cap is
+    enforced BEFORE the posting-list exchange (exact dfs from a
+    partial-count groupby + broadcast hot-term anti-filter), so every
+    posting-building group is bounded."""
+    from rify_ray.stages.lexical import postings_index
+
+    return _collect(postings_index(_docs_ds(sf_dir), ngram=2, max_df=200))
+
+
+def _q_docs_per_source_cap(sf_dir: str):
+    """Per-source document cap (the C4/RefinedWeb-style per-host cap):
+    keep the first 15 docs per source by doc_id — per-block partial
+    combiner, at most k rows per key per block cross the exchange."""
+    import ray.data
+
+    from rify_ray.stages.corpus import per_key_cap
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source"],
+        override_num_blocks=32,
+    )
+    return _collect(per_key_cap(ds, key_cols=["source"], order_col="doc_id", k=15))
+
+
+def _bgp_filter_clauses():
+    return [("n", "!=", "n:3")]
+
+
+def _q_kg_bgp_filtered(sf_dir: str):
+    """Basic-graph-pattern query WITH the SPARQL-lite modifiers:
+    FILTER (?n != 'n:3'), SELECT DISTINCT ?c ?r — driver path."""
+    from rify_ray import engine
+    from rify_ray.pipelines.relational import customer_nation_quads, nation_region_quads
+    from rify_ray.util import polars_to_arrow_string
+
+    quads = _collect_quads(customer_nation_quads(sf_dir), nation_region_quads(sf_dir))
+    out = engine.query(
+        quads,
+        _bgp_pattern(),
+        filters=_bgp_filter_clauses(),
+        select=["c", "r"],
+        distinct=True,
+    )
+    return polars_to_arrow_string(out)
+
+
+def _q_kg_bgp_filtered_store(sf_dir: str):
+    """The same filtered BGP on the STORE path: the filter runs as a
+    vectorized predicate map over the decoded bindings stream, distinct
+    is one groupby exchange over the projected columns."""
+    import tempfile
+
+    import ray.data
+
+    from rify_ray import engine
+    from rify_ray.pipelines.relational import customer_nation_quads, nation_region_quads
+    from rify_ray.util import polars_to_arrow_string
+
+    quads = _collect_quads(customer_nation_quads(sf_dir), nation_region_quads(sf_dir))
+    with tempfile.TemporaryDirectory() as d:
+        store = engine.infer_store(
+            ray.data.from_arrow(polars_to_arrow_string(quads)),
+            _rules_in_region(),
+            f"{d}/kg",
+            num_partitions=8,
+        )
+        return _collect(
+            engine.query_store(
+                store,
+                _bgp_pattern(),
+                num_partitions=8,
+                filters=_bgp_filter_clauses(),
+                select=["c", "r"],
+                distinct=True,
+            )
+        )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_customer_region": _q_kg_customer_region,
@@ -1119,6 +1210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_customer_region_incr": _q_kg_customer_region_incr,
         "kg_bgp_customer_region": _q_kg_bgp_customer_region,
         "kg_bgp_store": _q_kg_bgp_store,
+        "kg_bgp_filtered": _q_kg_bgp_filtered,
+        "kg_bgp_filtered_store": _q_kg_bgp_filtered_store,
         "kg_customer_region_retract": _q_kg_customer_region_retract,
         "kg_conational": _q_kg_conational,
         "kg_conational_store": _q_kg_conational_store,
@@ -1156,6 +1249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_purchases_24h": _q_events_range_purchases_24h,
         "events_value_quantiles": _q_events_value_quantiles,
         "docs_topk_per_source": _q_docs_topk_per_source,
+        "docs_tfidf_top5": _q_docs_tfidf_top5,
+        "docs_postings_index": _q_docs_postings_index,
+        "docs_per_source_cap": _q_docs_per_source_cap,
         "events_distinct_users": _q_events_distinct_users,
         "events_distinct_users_hll": _q_events_distinct_users_hll,
         "top_users_by_events": _q_top_users_by_events,
@@ -1286,6 +1382,18 @@ def oracle_sql() -> dict[str, str]:
             "'r:' || n_regionkey AS r "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey"
         ),
+        # FILTER (?n != 'n:3') + SELECT DISTINCT ?c ?r — string
+        # comparison on the term text, exactly the engine's semantics
+        "kg_bgp_filtered": (
+            "SELECT DISTINCT 'c:' || c_custkey AS c, 'r:' || n_regionkey AS r "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE 'n:' || n_nationkey <> 'n:3'"
+        ),
+        "kg_bgp_filtered_store": (
+            "SELECT DISTINCT 'c:' || c_custkey AS c, 'r:' || n_regionkey AS r "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE 'n:' || n_nationkey <> 'n:3'"
+        ),
         "kg_conational": (
             "WITH ents AS ("
             "SELECT 'c:' || c_custkey AS e, c_nationkey AS nk FROM customer "
@@ -1401,6 +1509,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, n_chars FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY source "
             "ORDER BY n_chars DESC, doc_id) <= 3"
+        ),
+        # linear idf: score = tf/df (N constant across terms drops out
+        # of the ranking; an IEEE double division is exactly rounded,
+        # so the float column hashes identically across engines)
+        "docs_tfidf_top5": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+            "WHERE term <> '' GROUP BY 1, 2), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks "
+            "WHERE term <> '' GROUP BY 1) "
+            "SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.term, "
+            "CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df, "
+            "CAST(t.tf AS DOUBLE) / d.df AS score "
+            "FROM tf t JOIN df d USING (term) "
+            "QUALIFY row_number() OVER (PARTITION BY t.doc_id "
+            "ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.term) <= 5"
+        ),
+        "docs_postings_index": (
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS term "
+            "FROM s, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)) "
+            "SELECT term, CAST(count(*) AS BIGINT) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
+            "FROM g GROUP BY term HAVING count(*) <= 200"
+        ),
+        "docs_per_source_cap": (
+            "SELECT doc_id, source FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15"
         ),
         "events_distinct_users": (
             "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events"

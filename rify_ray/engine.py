@@ -749,11 +749,70 @@ def infer(
     return out
 
 
+_FILTER_OPS = ("==", "!=", "<", "<=", ">", ">=")
+
+
+def _check_binding_filters(filters, var_names: Sequence[str]) -> None:
+    """Validate SPARQL-FILTER-lite clauses ``(lhs_var, op, rhs)``: the
+    lhs must be a pattern variable; the rhs is another variable when it
+    names one, otherwise a constant term (non-string constants are
+    JSON-encoded like rule constants, so equality semantics match the
+    engine's term model).  Ordering comparisons are lexicographic on
+    the term text — the SQL twin is plain string comparison."""
+    names = set(var_names)
+    for clause in filters:
+        if len(clause) != 3:
+            raise ValueError(f"filter clause must be (var, op, term): {clause!r}")
+        lhs, op, _ = clause
+        if op not in _FILTER_OPS:
+            raise ValueError(f"unsupported filter op {op!r} (use one of {_FILTER_OPS})")
+        if lhs not in names:
+            raise ValueError(f"filter lhs {lhs!r} is not a pattern variable {sorted(names)}")
+
+
+def _binding_filter_exprs(filters, var_names: Sequence[str]):
+    """Compile validated filter clauses to polars boolean expressions
+    (ANDed by the caller)."""
+    import operator as _op
+
+    ops = {
+        "==": _op.eq,
+        "!=": _op.ne,
+        "<": _op.lt,
+        "<=": _op.le,
+        ">": _op.gt,
+        ">=": _op.ge,
+    }
+    names = set(var_names)
+    exprs = []
+    for lhs, op, rhs in filters:
+        left = pl.col(lhs)
+        if isinstance(rhs, str) and rhs in names:
+            right = pl.col(rhs)
+        else:
+            right = pl.lit(encode_term(rhs))
+        exprs.append(ops[op](left, right))
+    return exprs
+
+
+def _check_select(select, var_names: Sequence[str]) -> List[str]:
+    sel = [str(v) for v in select]
+    bad = [v for v in sel if v not in set(var_names)]
+    if bad:
+        raise ValueError(f"select names {bad} are not pattern variables {list(var_names)}")
+    if len(set(sel)) != len(sel):
+        raise ValueError(f"duplicate select names: {sel}")
+    return sel
+
+
 def query(
     premises: QuadsLike,
     pattern: Sequence,
     *,
     dict_encode: bool = True,
+    filters: Optional[Sequence] = None,
+    select: Optional[Sequence[str]] = None,
+    distinct: bool = False,
 ):
     """Answer a conjunctive (basic-graph) pattern against a fact set:
     all satisfying variable assignments, one column per variable.
@@ -776,7 +835,14 @@ def query(
     keeps join outputs duplicate-free by construction).  List-of-tuples
     input returns a list of ``{var: term}`` dicts (terms decoded like
     :func:`infer`).  A pattern with no variables returns a one-row
-    ``matched`` boolean.  Like :func:`infer`, this is the
+    ``matched`` boolean.
+
+    SPARQL-style post-join modifiers: ``filters`` is a sequence of
+    ``(var, op, var_or_term)`` clauses (ops ``== != < <= > >=``,
+    ANDed; ordering is lexicographic on the term text — the SQL twin
+    is plain string comparison); ``select`` projects a subset of
+    variables (SPARQL SELECT keeps duplicate rows, so pair it with
+    ``distinct=True`` for set semantics).  Like :func:`infer`, this is the
     driver-resident API — the binding enumeration runs as one fused
     lazy polars query over the collected fact set."""
     from .eval_broadcast import eval_chain
@@ -796,6 +862,10 @@ def query(
         rule = _encode_rules_ids([rule], terms)[0]
     plan = compile_rule(0, rule)
     var_names = [str(v) for v in plan.cano_vars]
+    if filters:
+        _check_binding_filters(filters, var_names)
+    if select is not None:
+        select = _check_select(select, var_names)
     vcols = [vcol(i) for i in range(len(var_names))]
     lz = eval_chain(df, df, df, plan, plan.chains[0])
     if not var_names:
@@ -814,9 +884,15 @@ def query(
             )
         bdf = bdf.select(vcols)
     bdf = bdf.rename(dict(zip(vcols, var_names)))
+    if filters:
+        bdf = bdf.filter(_binding_filter_exprs(filters, var_names))
+    if select is not None:
+        bdf = bdf.select(select)
+    if distinct:
+        bdf = bdf.unique(maintain_order=True)
     if isinstance(premises, (list, tuple)):
         rows = [
-            {v: (decode_term(t) if encoded else t) for v, t in zip(var_names, r)}
+            {v: (decode_term(t) if encoded else t) for v, t in zip(bdf.columns, r)}
             for r in bdf.iter_rows()
         ]
         return rows
@@ -832,6 +908,9 @@ def query_store(
     first_gen: int = 0,
     derived_only: bool = False,
     decode: bool = True,
+    filters: Optional[Sequence] = None,
+    select: Optional[Sequence[str]] = None,
+    distinct: bool = False,
 ):
     """Conjunctive pattern query over a materialized
     :class:`rify_ray.state.TripleStore` — the scale path of
@@ -845,7 +924,14 @@ def query_store(
     back to strings via the store dictionary (broadcast gather below
     ``broadcast_terms_rows``, distributed hash joins above —
     :meth:`TripleStore.decode_columns`).  ``store`` may be a
-    :class:`TripleStore` or its path."""
+    :class:`TripleStore` or its path.
+
+    ``filters`` / ``select`` / ``distinct`` mirror :func:`query`:
+    filters run as a vectorized polars predicate map over the DECODED
+    bindings stream (so the semantics are on terms, not hash ids —
+    they require ``decode=True`` on a hash-encoded store); ``select``
+    projects; ``distinct`` dedupes via one ``groupby`` exchange over
+    the (already projected) binding columns."""
     import ray.data
 
     from .eval_shuffle import _drop_empty_blocks, _match_batch_fn, shuffle_join
@@ -864,6 +950,12 @@ def query_store(
     plan = compile_rule(0, rule)
     chain = plan.chains[0]
     var_names = [str(v) for v in plan.cano_vars]
+    if filters:
+        _check_binding_filters(filters, var_names)
+        if store.value_type == "int64" and not decode:
+            raise ValueError("filters compare decoded terms: pass decode=True")
+    if select is not None:
+        select = _check_select(select, var_names)
     vcols = [vcol(i) for i in range(len(var_names))]
     facts_ds = store.dataset(first_gen=first_gen, derived_only=derived_only)
 
@@ -905,8 +997,9 @@ def query_store(
         pa.int64() if store.value_type == "int64" else pa.string()
     )
     if not satisfied or bindings is None:
+        empty_names = select if select is not None else var_names
         return ray.data.from_arrow(
-            pa.schema([(nm, out_type) for nm in var_names]).empty_table()
+            pa.schema([(nm, out_type) for nm in empty_names]).empty_table()
         )
 
     def project(batch: pa.Table) -> pa.Table:
@@ -917,6 +1010,46 @@ def query_store(
         out = store.decode_columns(
             out, var_names, broadcast_terms_rows=broadcast_terms_rows
         )
+    return _binding_modifiers_ds(
+        out, var_names, filters, select, distinct, num_partitions
+    )
+
+
+def _binding_modifiers_ds(out, var_names, filters, select, distinct, num_partitions):
+    """Apply the SPARQL-lite post-join modifiers to a bindings Dataset:
+    filters as a vectorized polars predicate map (no exchange), select
+    as a projection map, distinct as ONE ``groupby`` exchange over the
+    projected columns (the only modifier that must shuffle)."""
+    from .util import polars_to_arrow_string
+
+    if filters:
+        spec = [tuple(c) for c in filters]
+        names = list(var_names)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            df = pl.from_arrow(batch).filter(_binding_filter_exprs(spec, names))
+            return polars_to_arrow_string(df).cast(batch.schema)
+
+        out = out.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+    if select is not None:
+        sel = list(select)
+
+        def proj(batch: pa.Table) -> pa.Table:
+            return batch.select(sel) if batch.num_columns else batch
+
+        out = out.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+    if distinct:
+        cols = list(select) if select is not None else list(var_names)
+        out = out.groupby(cols).count()
+
+        def drop_cnt(batch: pa.Table) -> pa.Table:
+            if "count()" in batch.column_names:
+                return batch.drop_columns(["count()"]).select(cols)
+            return batch
+
+        out = out.map_batches(drop_cnt, batch_format="pyarrow", zero_copy_batch=True)
     return out
 
 

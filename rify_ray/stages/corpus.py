@@ -399,6 +399,35 @@ def stratified_sample(
     return out.map_batches(drop_hash, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def per_key_cap(
+    ds,
+    *,
+    key_cols: Sequence[str] = ("source",),
+    order_col: str = "doc_id",
+    k: int = 100,
+    forced_shuffle: bool = False,
+):
+    """Cap the number of rows kept per key: the FIRST ``k`` rows per
+    ``key_cols`` in ascending ``order_col`` order — the per-domain
+    document cap every web-crawl curation pipeline applies so no single
+    site dominates the training mix (e.g. C4 / RefinedWeb-style host
+    caps).
+
+    Physically :func:`grouped_topk` ordered ascending, so the per-block
+    partial combiner bounds exchange traffic at ``k`` rows per key per
+    block.  SQL twin: ``QUALIFY row_number() OVER (PARTITION BY key
+    ORDER BY order_col) <= k``."""
+    return grouped_topk(
+        ds,
+        key_cols=key_cols,
+        order_col=order_col,
+        tiebreak_col=order_col,
+        k=k,
+        descending=False,
+        forced_shuffle=forced_shuffle,
+    )
+
+
 def quantile_threshold(
     ds,
     value_col: str,

@@ -186,9 +186,12 @@ def _winnow_select(data: np.ndarray, k: int, w: int) -> np.ndarray:
     n = data.size
     if n < k:
         return np.zeros(0, dtype=np.int64)
-    powers = np.ones(k, dtype=np.int64)
+    # powers precompute in Python ints (no scalar-overflow warning;
+    # the masked values are identical to the wrapping int64 compute)
+    powers_py = [1] * k
     for j in range(1, k):
-        powers[j] = (powers[j - 1] * _WINNOW_BASE) & _WINNOW_MASK
+        powers_py[j] = (powers_py[j - 1] * int(_WINNOW_BASE)) & int(_WINNOW_MASK)
+    powers = np.array(powers_py, dtype=np.int64)
     # hash of gram starting at i = sum data[i+j] * B^(k-1-j)  (masked)
     from numpy.lib.stride_tricks import sliding_window_view
 

@@ -1,0 +1,140 @@
+"""Lexical / indexing operators (TF-IDF keyword extraction, inverted
+postings index, per-key cap) vs brute-force Python references, on both
+the broadcast and the forced-distributed physical branches."""
+
+import pyarrow as pa
+import polars as pl
+import pytest
+
+DOCS = [
+    (0, "apple banana apple cherry"),
+    (1, "banana cherry cherry date"),
+    (2, "apple apple apple elder"),
+    (3, "date elder fig fig fig"),
+    (4, "apple banana"),
+]
+
+
+def _docs_ds():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+                "text": pa.array([t for _, t in DOCS], pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+def _collect(ds):
+    tabs = [
+        b
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    ]
+    return pl.from_arrow(pa.concat_tables(tabs)) if tabs else None
+
+
+def brute_tfidf(k):
+    from collections import Counter
+
+    df = Counter()
+    tfs = {}
+    for doc_id, text in DOCS:
+        toks = [t for t in text.split(" ") if t]
+        tf = Counter(toks)
+        tfs[doc_id] = tf
+        for t in tf:
+            df[t] += 1
+    rows = []
+    for doc_id, tf in tfs.items():
+        scored = sorted(
+            ((tf[t] / df[t], t) for t in tf), key=lambda x: (-x[0], x[1])
+        )[:k]
+        for score, t in scored:
+            rows.append((doc_id, t, tf[t], df[t], score))
+    return sorted(rows)
+
+
+def brute_postings(n, max_df):
+    grams = {}
+    for doc_id, text in DOCS:
+        toks = text.split(" ")
+        for i in range(len(toks) - n + 1):
+            grams.setdefault(" ".join(toks[i : i + n]), set()).add(doc_id)
+    return sorted(
+        (term, len(ids), ",".join(str(i) for i in sorted(ids)))
+        for term, ids in grams.items()
+        if len(ids) <= max_df
+    )
+
+
+@pytest.mark.parametrize("broadcast_rows", [20_000_000, 0])
+def test_tfidf_topk_matches_brute(ray_session, broadcast_rows):
+    from rify_ray.stages.lexical import tfidf_topk
+
+    out = _collect(tfidf_topk(_docs_ds(), k=2, broadcast_rows=broadcast_rows))
+    got = sorted(map(tuple, out.rows()))
+    assert got == brute_tfidf(2)
+
+
+def test_tfidf_score_is_exact_division(ray_session):
+    from rify_ray.stages.lexical import tfidf_topk
+
+    out = _collect(tfidf_topk(_docs_ds(), k=10))
+    for doc_id, term, tf, df, score in out.rows():
+        assert score == tf / df  # bit-exact IEEE division
+
+
+@pytest.mark.parametrize("broadcast_rows", [20_000_000, 0])
+def test_postings_index_matches_brute(ray_session, broadcast_rows):
+    from rify_ray.stages.lexical import postings_index
+
+    out = _collect(
+        postings_index(_docs_ds(), ngram=2, max_df=10, broadcast_rows=broadcast_rows)
+    )
+    assert sorted(map(tuple, out.rows())) == brute_postings(2, 10)
+
+
+def test_postings_df_cap_drops_hot_terms(ray_session):
+    from rify_ray.stages.lexical import postings_index
+
+    # unigrams: 'apple'/'banana' appear in 3 docs, a max_df of 2 drops
+    # them; 'cherry' (df=2) stays
+    out = _collect(postings_index(_docs_ds(), ngram=1, max_df=2))
+    terms = set(out["term"].to_list())
+    assert "apple" not in terms and "banana" not in terms and "cherry" in terms
+    assert sorted(map(tuple, out.rows())) == brute_postings(1, 2)
+
+
+def test_per_key_cap_keeps_first_k(ray_session):
+    import ray.data
+
+    from rify_ray.stages.corpus import per_key_cap
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 1, 4, 2, 6], pa.int64()),
+            "source": pa.array(["a", "a", "a", "b", "b", "b"], pa.string()),
+        }
+    )
+    out = _collect(
+        per_key_cap(
+            ray.data.from_arrow(t).repartition(3),
+            key_cols=["source"],
+            order_col="doc_id",
+            k=2,
+        )
+    )
+    got = sorted(map(tuple, out.rows()))
+    assert got == [(1, "a"), (2, "b"), (3, "a"), (4, "b")]
+
+
+def test_term_document_frequency(ray_session):
+    from rify_ray.stages.lexical import term_document_frequency
+
+    out = _collect(term_document_frequency(_docs_ds()))
+    got = dict(zip(out["term"].to_list(), out["df"].to_list()))
+    assert got["apple"] == 3 and got["fig"] == 1 and got["cherry"] == 2

@@ -146,3 +146,92 @@ def test_query_store_equals_query_over_closure(tmp_path):
         store, [[B("node_0"), B("nope"), B("node_3"), B(DG)]]
     ).take_all()
     assert m2 == [{"matched": False}]
+
+
+# ---------------------------------------------------------------------------
+# SPARQL-lite modifiers: FILTER / SELECT / DISTINCT
+# ---------------------------------------------------------------------------
+
+
+def _chain_pattern():
+    return [
+        [U("a"), B("parent"), U("b"), B(DG)],
+        [U("b"), B("parent"), U("c"), B(DG)],
+    ]
+
+
+def test_query_filters_match_brute():
+    facts = ancestry_facts(8)
+    want_vars, want = brute_query(facts, [tuple(a) for a in _chain_pattern()])
+    kept = {t for t in want if t[1] != "node_3" and t[0] < t[2]}
+    got = engine.query(
+        facts,
+        _chain_pattern(),
+        filters=[("b", "!=", "node_3"), ("a", "<", "c")],
+    )
+    assert _result_set(got, [str(v) for v in want_vars]) == kept
+    assert kept and kept != want  # both clauses actually bite
+
+
+def test_query_select_keeps_duplicates_distinct_dedupes():
+    facts = [
+        ("a", "p", "x", "g"),
+        ("a", "p", "y", "g"),
+        ("b", "p", "x", "g"),
+    ]
+    pattern = [[U("s"), B("p"), U("o"), B("g")]]
+    plain = engine.query(facts, pattern, select=["s"])
+    assert sorted(r["s"] for r in plain) == ["a", "a", "b"]  # SPARQL SELECT
+    dedup = engine.query(facts, pattern, select=["s"], distinct=True)
+    assert sorted(r["s"] for r in dedup) == ["a", "b"]
+
+
+def test_query_filter_constant_encoding_non_string():
+    facts = [(1, 2, 3, 0), (3, 2, 4, 0), (4, 2, 1, 0)]
+    out = engine.query(
+        facts, [[U("x"), B(2), U("y"), B(0)]], filters=[("x", "!=", 3)]
+    )
+    assert _result_set(out, ["x", "y"]) == {(1, 3), (4, 1)}
+
+
+def test_query_filter_validation_errors():
+    facts = ancestry_facts(4)
+    pattern = [[U("x"), B("parent"), U("y"), B(DG)]]
+    with pytest.raises(ValueError):
+        engine.query(facts, pattern, filters=[("x", "~", "node_1")])
+    with pytest.raises(ValueError):
+        engine.query(facts, pattern, filters=[("nope", "==", "node_1")])
+    with pytest.raises(ValueError):
+        engine.query(facts, pattern, select=["x", "zz"])
+    with pytest.raises(ValueError):
+        engine.query(facts, pattern, select=["x", "x"])
+
+
+def test_query_store_filters_equal_driver(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    facts = ancestry_facts(8)
+    rules = ancestry_rules()
+    derived = engine.infer(facts, rules)
+    closure = list(facts) + [tuple(f) for f in derived]
+    pattern = [
+        [U("a"), B("ancestor"), U("b"), B(DG)],
+        [U("b"), B("ancestor"), U("c"), B(DG)],
+    ]
+    filters = [("b", "!=", "node_3"), ("a", "<", "c")]
+    want = engine.query(closure, pattern, filters=filters, select=["a", "c"], distinct=True)
+    want_set = _result_set(want, ["a", "c"])
+
+    ds = ray.data.from_arrow(
+        pa.table({cn: [f[j] for f in facts] for j, cn in enumerate(["s", "p", "o", "g"])})
+    )
+    store = engine.infer_store(ds, rules, str(tmp_path / "kgf"), num_partitions=4)
+    got = engine.query_store(
+        store, pattern, num_partitions=4, filters=filters, select=["a", "c"], distinct=True
+    )
+    rows = {(r["a"], r["c"]) for r in got.take_all()}
+    assert rows == want_set and want_set
+
+    with pytest.raises(ValueError):
+        engine.query_store(store, pattern, filters=filters, decode=False)
