@@ -1203,6 +1203,75 @@ def _q_kg_bgp_filtered_store(sf_dir: str):
         )
 
 
+def _kg_premise_quads_ds(sf_dir: str):
+    import ray.data
+
+    from rify_ray.pipelines.relational import (
+        customer_nation_quads,
+        nation_region_quads,
+        supplier_nation_quads,
+    )
+    from rify_ray.util import polars_to_arrow_string
+
+    quads = _collect_quads(
+        customer_nation_quads(sf_dir),
+        supplier_nation_quads(sf_dir),
+        nation_region_quads(sf_dir),
+    )
+    return ray.data.from_arrow(polars_to_arrow_string(quads)).repartition(16)
+
+
+def _q_kg_predicate_stats(sf_dir: str):
+    """Graph profile per predicate over the premise quads: fact count +
+    distinct subject/object cardinalities — per-block combiners, one
+    keyed exchange per statistic, driver merge of the tiny result."""
+    from rify_ray.stages.graph import predicate_stats
+
+    return _collect(predicate_stats(_kg_premise_quads_ds(sf_dir)))
+
+
+def _q_kg_top_out_degree(sf_dir: str):
+    """Top-10 hub entities by out-degree over the premise quads."""
+    from rify_ray.stages.graph import top_degree
+
+    return _collect(top_degree(_kg_premise_quads_ds(sf_dir), k=10, direction="out"))
+
+
+def _q_events_funnel(sf_dir: str):
+    """Ordered view→click→purchase funnel per user (first stage-1
+    event, first stage-2 at/after it, ...)."""
+    from rify_ray.pipelines.relational import events_funnel
+
+    return _collect(events_funnel(sf_dir))
+
+
+def _q_docs_jsonl_roundtrip(sf_dir: str):
+    """JSONL interchange: dump the documents table to newline-delimited
+    JSON part files (distributed formatting, streamed bounded writes),
+    read it back through the vectorized pyarrow.json parse, and return
+    the table — the oracle checks byte-exact equality with the parquet
+    source."""
+    import tempfile
+
+    import ray.data
+
+    from rify_ray.sources import read_jsonl, write_jsonl
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", override_num_blocks=8)
+    with tempfile.TemporaryDirectory() as d:
+        write_jsonl(ds, f"{d}/docs")
+        return _collect(read_jsonl(f"{d}/docs", schema=schema))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_customer_region": _q_kg_customer_region,
@@ -1216,6 +1285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conational": _q_kg_conational,
         "kg_conational_store": _q_kg_conational_store,
         "kg_nation_chain_closure": _q_kg_nation_chain_closure,
+        "kg_predicate_stats": _q_kg_predicate_stats,
+        "kg_top_out_degree": _q_kg_top_out_degree,
         "kg_pages_flagship": _q_kg_pages_flagship,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_clusters_exact": _q_dedup_clusters_exact,
@@ -1262,6 +1333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_counts": _q_segment_order_counts,
         "lineitem_pricing_cents": _q_lineitem_pricing_cents,
         "events_sessionize": _q_events_sessionize,
+        "events_funnel": _q_events_funnel,
+        "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "events_props_extract": _q_events_props_extract,
         "kg_pages_store": _q_kg_pages_store,
         "knn_cosine_top5": _q_knn_cosine_top5,
@@ -1381,6 +1454,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'c:' || c_custkey AS c, 'n:' || n_nationkey AS n, "
             "'r:' || n_regionkey AS r "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "kg_predicate_stats": (
+            "WITH quads AS ("
+            "SELECT 'c:' || c_custkey AS s, 'in_nation' AS p, "
+            "'n:' || c_nationkey AS o FROM customer "
+            "UNION ALL SELECT 's:' || s_suppkey, 'in_nation', "
+            "'n:' || s_nationkey FROM supplier "
+            "UNION ALL SELECT 'n:' || n_nationkey, 'in_region', "
+            "'r:' || n_regionkey FROM nation) "
+            "SELECT p, CAST(count(*) AS BIGINT) AS n_facts, "
+            "CAST(count(DISTINCT s) AS BIGINT) AS n_subjects, "
+            "CAST(count(DISTINCT o) AS BIGINT) AS n_objects "
+            "FROM quads GROUP BY p"
+        ),
+        "kg_top_out_degree": (
+            "WITH quads AS ("
+            "SELECT 'c:' || c_custkey AS s FROM customer "
+            "UNION ALL SELECT 's:' || s_suppkey FROM supplier "
+            "UNION ALL SELECT 'n:' || n_nationkey FROM nation) "
+            "SELECT s AS entity, CAST(count(*) AS BIGINT) AS degree "
+            "FROM quads GROUP BY s ORDER BY degree DESC, entity LIMIT 10"
+        ),
+        "events_funnel": (
+            "WITH v AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN v ON e.user_id = v.user_id AND e.ts >= v.t "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN c ON e.user_id = c.user_id AND e.ts >= c.t "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT CAST(v.user_id AS BIGINT) AS user_id, "
+            "epoch_us(v.t) AS t_view_us, epoch_us(c.t) AS t_click_us, "
+            "epoch_us(p.t) AS t_purchase_us "
+            "FROM v LEFT JOIN c ON v.user_id = c.user_id "
+            "LEFT JOIN p ON v.user_id = p.user_id"
+        ),
+        "docs_jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         # FILTER (?n != 'n:3') + SELECT DISTINCT ?c ?r — string
         # comparison on the term text, exactly the engine's semantics

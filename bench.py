@@ -164,6 +164,10 @@ def run_queries() -> dict:
         "kg_customer_region_retract",
         "kg_bgp_customer_region",
         "kg_bgp_store",
+        "kg_bgp_filtered",
+        "kg_bgp_filtered_store",
+        "kg_predicate_stats",
+        "kg_top_out_degree",
         "dedup_exact_docs",
         "text_token_counts",
         "text_lang_id",
@@ -190,7 +194,12 @@ def run_queries() -> dict:
         "events_value_quantiles",
         "events_distinct_users",
         "docs_topk_per_source",
+        "docs_tfidf_top5",
+        "docs_postings_index",
+        "docs_per_source_cap",
         "events_sessionize",
+        "events_funnel",
+        "docs_jsonl_roundtrip",
         "top_users_by_events",
         "segment_order_counts",
         "lineitem_pricing_cents",

@@ -510,6 +510,69 @@ def events_sessionize(sf_dir: str, *, gap_s: int = 1800, forced_shuffle: bool = 
     )
 
 
+def events_funnel(
+    sf_dir: str,
+    *,
+    stages: Sequence[str] = ("view", "click", "purchase"),
+    forced_shuffle: bool = False,
+):
+    """Ordered funnel analysis: per user, the timestamp of the first
+    stage-1 event, the first stage-2 event AT OR AFTER it, and so on —
+    the conversion-sequence op (view → click → purchase).  Users with
+    no stage-1 event are absent; later stages are NULL once the chain
+    breaks.  Returns (user_id, t_<stage>_us ...).
+
+    Partitioning: all state is per-user, so this is the sessionize
+    shape — adaptive ``grouped_apply`` (driver argsort below the
+    broadcast bound, ``groupby.map_groups`` hash exchange above) with a
+    vectorized numpy fold per group."""
+    import ray.data
+
+    stage_list = list(stages)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    out_schema = pa.schema(
+        [("user_id", pa.int64())]
+        + [(f"t_{s}_us", pa.int64()) for s in stage_list]
+    )
+
+    import numpy as np
+
+    def funnel(group: pa.Table) -> pa.Table:
+        uid = group["user_id"][0].as_py()
+        ts = np.asarray(
+            pc.cast(group["ts"], pa.int64()).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        types = np.asarray(group["event_type"].to_pylist())
+        vals: list = []
+        cur = None
+        for s in stage_list:
+            if cur is None and vals:
+                vals.append(None)  # chain already broken
+                continue
+            mask = types == s
+            if cur is not None:
+                mask &= ts >= cur
+            if mask.any():
+                cur = int(ts[mask].min())
+                vals.append(cur)
+            else:
+                vals.append(None)
+                cur = None
+        if vals[0] is None:
+            return out_schema.empty_table()
+        cols = {"user_id": pa.array([uid], pa.int64())}
+        for s, v in zip(stage_list, vals):
+            cols[f"t_{s}_us"] = pa.array([v], pa.int64())
+        return pa.table(cols)
+
+    from ..util import grouped_apply
+
+    return grouped_apply(ds, "user_id", funnel, out_schema, forced_shuffle=forced_shuffle)
+
+
 def events_window_counts(sf_dir: str, *, window_s: int = 3600, forced_shuffle: bool = False):
     """Tumbling-window event counts per user: (user_id, window_start
     epoch-seconds, n_events).  The window bucket is a pure vectorized

@@ -1,7 +1,9 @@
 """Data sources: parquet readers, the deterministic synthetic
-Common-Crawl-style pages table (BASELINE.json ``input_hint``), and the
-N-Quads RDF interchange reader/writer."""
+Common-Crawl-style pages table (BASELINE.json ``input_hint``), the
+N-Quads RDF interchange reader/writer, and the JSONL corpus
+reader/writer."""
 
+from .jsonl import read_jsonl, write_jsonl
 from .nquads import json_to_term, read_nquads, term_to_json, write_nquads
 from .pages import ALIAS_INDEX, PREDICATE_PHRASES, expected_page_triples, pages_dataset, pages_table
 
@@ -13,6 +15,8 @@ __all__ = [
     "PREDICATE_PHRASES",
     "read_nquads",
     "write_nquads",
+    "read_jsonl",
+    "write_jsonl",
     "term_to_json",
     "json_to_term",
 ]

@@ -1,0 +1,97 @@
+"""Graph predicate stats / top-degree + ordered funnel vs brute-force
+Python references."""
+
+import pyarrow as pa
+import pytest
+
+QUADS = [
+    ("a", "knows", "b", "g"),
+    ("a", "knows", "c", "g"),
+    ("b", "knows", "c", "g"),
+    ("a", "likes", "c", "g"),
+    ("c", "likes", "c", "g"),
+    ("a", "knows", "b", "g2"),  # duplicate (s,p,o) in another graph
+]
+
+
+def _quads_ds():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {c: pa.array([q[j] for q in QUADS], pa.string()) for j, c in enumerate("spog")}
+        )
+    ).repartition(3)
+
+
+def _collect(ds):
+    tabs = [
+        b
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    ]
+    return pa.concat_tables(tabs) if tabs else None
+
+
+def test_predicate_stats(ray_session):
+    from rify_ray.stages.graph import predicate_stats
+
+    out = _collect(predicate_stats(_quads_ds())).to_pylist()
+    got = {r["p"]: (r["n_facts"], r["n_subjects"], r["n_objects"]) for r in out}
+    # facts count every quad row; distincts are per (p, entity)
+    assert got == {"knows": (4, 2, 2), "likes": (2, 2, 1)}
+
+
+def test_top_degree_out_and_in(ray_session):
+    from rify_ray.stages.graph import top_degree
+
+    out = _collect(top_degree(_quads_ds(), k=2, direction="out")).to_pylist()
+    assert [(r["entity"], r["degree"]) for r in out] == [("a", 4), ("b", 1)]
+    inn = _collect(top_degree(_quads_ds(), k=2, direction="in")).to_pylist()
+    assert [(r["entity"], r["degree"]) for r in inn] == [("c", 4), ("b", 2)]
+    with pytest.raises(ValueError):
+        top_degree(_quads_ds(), direction="sideways")
+
+
+def test_events_funnel_chain_semantics(ray_session, tmp_path):
+    """The funnel requires each stage at/after the previous one; a
+    missing middle stage breaks the chain even when a later-stage event
+    exists."""
+    import pyarrow.parquet as pq
+
+    from rify_ray.pipelines.relational import events_funnel
+
+    us = 1_000_000
+
+    def ts(sec):
+        return sec * us
+
+    rows = [
+        # user 1: full chain in order
+        (1, ts(10), "view"), (1, ts(20), "click"), (1, ts(30), "purchase"),
+        # user 2: purchase BEFORE click → purchase stage unsatisfied
+        (2, ts(10), "view"), (2, ts(30), "click"), (2, ts(20), "purchase"),
+        # user 3: no view → absent entirely (purchase exists)
+        (3, ts(5), "purchase"),
+        # user 4: view only
+        (4, ts(7), "view"),
+        # user 5: click before view, second click after → uses the later
+        (5, ts(10), "click"), (5, ts(20), "view"), (5, ts(25), "click"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    for forced in (False, True):
+        out = _collect(events_funnel(str(tmp_path), forced_shuffle=forced)).to_pylist()
+        got = {r["user_id"]: (r["t_view_us"], r["t_click_us"], r["t_purchase_us"]) for r in out}
+        assert got == {
+            1: (ts(10), ts(20), ts(30)),
+            2: (ts(10), ts(30), None),
+            4: (ts(7), None, None),
+            5: (ts(20), ts(25), None),
+        }
