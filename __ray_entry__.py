@@ -1245,6 +1245,14 @@ def _q_events_funnel(sf_dir: str):
     return _collect(events_funnel(sf_dir))
 
 
+def _q_events_retention(sf_dir: str):
+    """Cohort retention triangle: users cohorted by first-event day,
+    distinct active users per (cohort_day, day_offset ≤ 30)."""
+    from rify_ray.pipelines.relational import events_retention
+
+    return _collect(events_retention(sf_dir))
+
+
 def _q_docs_jsonl_roundtrip(sf_dir: str):
     """JSONL interchange: dump the documents table to newline-delimited
     JSON part files (distributed formatting, streamed bounded writes),
@@ -1334,6 +1342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_cents": _q_lineitem_pricing_cents,
         "events_sessionize": _q_events_sessionize,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "events_props_extract": _q_events_props_extract,
         "kg_pages_store": _q_kg_pages_store,
@@ -1493,6 +1502,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "events_retention": (
+            "WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort "
+            "FROM events GROUP BY 1), "
+            "a AS (SELECT DISTINCT e.user_id, f.cohort, "
+            "date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset "
+            "FROM events e JOIN f ON e.user_id = f.user_id "
+            "WHERE date_diff('day', f.cohort, CAST(e.ts AS DATE)) "
+            "BETWEEN 0 AND 30) "
+            "SELECT CAST(cohort AS VARCHAR) AS cohort_day, "
+            "CAST(day_offset AS BIGINT) AS day_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM a GROUP BY 1, 2"
         ),
         # FILTER (?n != 'n:3') + SELECT DISTINCT ?c ?r — string
         # comparison on the term text, exactly the engine's semantics

@@ -199,6 +199,7 @@ def run_queries() -> dict:
         "docs_per_source_cap",
         "events_sessionize",
         "events_funnel",
+        "events_retention",
         "docs_jsonl_roundtrip",
         "top_users_by_events",
         "segment_order_counts",

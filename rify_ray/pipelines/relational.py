@@ -573,6 +573,220 @@ def events_funnel(
     return grouped_apply(ds, "user_id", funnel, out_schema, forced_shuffle=forced_shuffle)
 
 
+def events_retention(
+    sf_dir: str,
+    *,
+    max_offset: int = 30,
+    broadcast_rows: int = 20_000_000,
+    num_partitions: int = 8,
+):
+    """Cohort retention: users are cohorted by their FIRST event day;
+    for each (cohort_day, day_offset ≤ ``max_offset``) count the
+    distinct users active that many days after their first event —
+    the classic growth-analytics triangle.
+
+    Scale shape: (1) first-event-per-user via a per-block partial min +
+    one user-keyed ``groupby.min`` exchange; (2) the user→cohort table
+    rides back as a ``ray.put`` broadcast below ``broadcast_rows``
+    (hash join above); (3) activity dedup is per-block distinct
+    (user, cohort, offset) triples + one global triple-keyed dedup
+    exchange (bounded by users × max_offset, not events); (4) final
+    counts are per-block partials + one (cohort, offset)-keyed sum."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from ..util import drop_empty_blocks
+
+    US_PER_DAY = 86_400_000_000
+    schema = pa.schema(
+        [
+            ("cohort_day", pa.string()),
+            ("day_offset", pa.int64()),
+            ("n_users", pa.int64()),
+        ]
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "first_us": pa.array([], pa.int64())}
+            )
+        g = (
+            pa.table(
+                {
+                    "user_id": pc.cast(batch["user_id"], pa.int64()),
+                    "first_us": pc.cast(batch["ts"], pa.int64()),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("first_us", "min")])
+        )
+        return pa.table({"user_id": g["user_id"], "first_us": g["first_us_min"]})
+
+    parts = ds.map_batches(partial_min, batch_format="pyarrow", zero_copy_batch=True)
+    firsts = drop_empty_blocks(parts.groupby("user_id").min("first_us").materialize())
+    if firsts is None:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def rename_min(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "cohort_d": pa.array([], pa.int64())}
+            )
+        first = pc.cast(batch["min(first_us)"], pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                # first-event DAY (epoch days; events are post-1970)
+                "cohort_d": pc.divide(first, US_PER_DAY),
+            }
+        )
+
+    firsts = firsts.map_batches(
+        rename_min, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def triples_fn(lut_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "cohort_d": pa.array([], pa.int64()),
+                    "day_offset": pa.array([], pa.int64()),
+                }
+            )
+            if batch.num_rows == 0:
+                return empty
+            import polars as plr
+
+            lut: plr.DataFrame = ray.get(lut_ref)
+            df = plr.from_arrow(
+                pa.table(
+                    {
+                        "user_id": pc.cast(batch["user_id"], pa.int64()),
+                        "d": pc.divide(pc.cast(batch["ts"], pa.int64()), US_PER_DAY),
+                    }
+                )
+            ).join(lut, on="user_id", how="inner")
+            df = (
+                df.with_columns((plr.col("d") - plr.col("cohort_d")).alias("day_offset"))
+                .filter(
+                    (plr.col("day_offset") >= 0) & (plr.col("day_offset") <= max_offset)
+                )
+                .select(["user_id", "cohort_d", "day_offset"])
+                .unique()
+            )
+            out = df.to_arrow()
+            return pa.table({c: pc.cast(out[c], pa.int64()) for c in out.column_names})
+
+        return fn
+
+    n_users = firsts.count()
+    if n_users <= broadcast_rows:
+        import polars as plr
+
+        tabs = [
+            b
+            for b in firsts.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        lut_ref = ray.put(plr.from_arrow(pa.concat_tables(tabs)))
+        trip = ds.map_batches(
+            triples_fn(lut_ref), batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        trip = ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": pc.cast(b["user_id"], pa.int64()),
+                    "d": pc.divide(pc.cast(b["ts"], pa.int64()), US_PER_DAY),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).join(firsts, "inner", num_partitions, on=("user_id",))
+
+        def offsets(batch: pa.Table) -> pa.Table:
+            off = pc.subtract(batch["d"], batch["cohort_d"])
+            t = pa.table(
+                {
+                    "user_id": batch["user_id"],
+                    "cohort_d": batch["cohort_d"],
+                    "day_offset": off,
+                }
+            )
+            keep = pc.and_(
+                pc.greater_equal(off, 0), pc.less_equal(off, max_offset)
+            )
+            return t.filter(keep).group_by(
+                ["user_id", "cohort_d", "day_offset"]
+            ).aggregate([])
+
+        trip = trip.map_batches(offsets, batch_format="pyarrow", zero_copy_batch=True)
+
+    trip = drop_empty_blocks(trip.materialize())
+    if trip is None:
+        return ray.data.from_arrow(schema.empty_table())
+    # global distinct of (user, cohort, offset), then partial counts
+    uniq = drop_empty_blocks(
+        trip.groupby(["user_id", "cohort_d", "day_offset"]).count().materialize()
+    )
+    if uniq is None:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_d": pa.array([], pa.int64()),
+                "day_offset": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "cohort_d" not in batch.column_names:
+            return empty
+        g = (
+            pa.table({"cohort_d": batch["cohort_d"], "day_offset": batch["day_offset"]})
+            .group_by(["cohort_d", "day_offset"])
+            .aggregate([("day_offset", "count")])
+        )
+        return pa.table(
+            {
+                "cohort_d": g["cohort_d"],
+                "day_offset": g["day_offset"],
+                "cnt": pc.cast(g["day_offset_count"], pa.int64()),
+            }
+        )
+
+    cparts = uniq.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = drop_empty_blocks(
+        cparts.groupby(["cohort_d", "day_offset"]).sum("cnt").materialize()
+    )
+    if agg is None:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return schema.empty_table()
+        day_str = pc.cast(
+            pc.cast(
+                pc.multiply(pc.cast(batch["cohort_d"], pa.int64()), US_PER_DAY),
+                pa.timestamp("us"),
+            ),
+            pa.date32(),
+        )
+        return pa.table(
+            {
+                "cohort_day": pc.cast(day_str, pa.string()),
+                "day_offset": pc.cast(batch["day_offset"], pa.int64()),
+                "n_users": pc.cast(batch["sum(cnt)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def events_window_counts(sf_dir: str, *, window_s: int = 3600, forced_shuffle: bool = False):
     """Tumbling-window event counts per user: (user_id, window_start
     epoch-seconds, n_events).  The window bucket is a pure vectorized

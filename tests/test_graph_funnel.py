@@ -95,3 +95,36 @@ def test_events_funnel_chain_semantics(ray_session, tmp_path):
             4: (ts(7), None, None),
             5: (ts(20), ts(25), None),
         }
+
+
+def test_events_retention_matches_brute(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from rify_ray.pipelines.relational import events_retention
+
+    US_DAY = 86_400_000_000
+    # (user, day) activity; user 1 first on day 0, user 2 first on day 1
+    acts = [(1, 0), (1, 0), (1, 1), (1, 3), (2, 1), (2, 1), (2, 2), (3, 0), (3, 40)]
+    t = pa.table(
+        {
+            "user_id": pa.array([u for u, _ in acts], pa.int64()),
+            "ts": pa.array([d * US_DAY + 5 for _, d in acts], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    firsts = {}
+    for u, d in acts:
+        firsts[u] = min(firsts.get(u, 10**9), d)
+    triples = {(u, firsts[u], d - firsts[u]) for u, d in acts if 0 <= d - firsts[u] <= 30}
+    want = {}
+    for _, cd, off in triples:
+        key = (str(__import__("datetime").date(1970, 1, 1) + __import__("datetime").timedelta(days=cd)), off)
+        want[key] = want.get(key, 0) + 1
+
+    for bcast in (20_000_000, 0):
+        out = _collect(
+            events_retention(str(tmp_path), max_offset=30, broadcast_rows=bcast, num_partitions=4)
+        ).to_pylist()
+        got = {(r["cohort_day"], r["day_offset"]): r["n_users"] for r in out}
+        assert got == want, (bcast, got, want)
