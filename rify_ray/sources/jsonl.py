@@ -69,7 +69,13 @@ def read_jsonl(path, *, schema: Optional[pa.Schema] = None, on_error: str = "err
     """JSONL file(s)/dir → Dataset.  Pass ``schema`` to pin column
     names/types across blocks (otherwise each block infers its own —
     fine for homogeneous dumps, required to be stable for heterogeneous
-    ones).  ``on_error="skip"`` drops unparseable/non-object lines."""
+    ones).  ``on_error="skip"`` drops unparseable/non-object lines.
+
+    Line-splitting caveat: the underlying ``read_text`` splits on
+    unicode line boundaries, so a foreign file carrying RAW U+2028 /
+    U+2029 inside string values will break mid-record — re-emit such
+    files with those code points escaped (``\\u2028``), which is what
+    :func:`write_jsonl` does."""
     import ray.data
 
     if on_error not in ("error", "skip"):
@@ -81,13 +87,26 @@ def read_jsonl(path, *, schema: Optional[pa.Schema] = None, on_error: str = "err
 
 def _format_fn(batch: pa.Table) -> pa.Table:
     import polars as pl
+    import pyarrow.compute as pc
 
     if batch.num_rows == 0:
         return pa.table({"line": pa.array([], pa.string())})
     buf = io.BytesIO()
     pl.from_arrow(batch).write_ndjson(buf)
-    lines = buf.getvalue().decode("utf-8").splitlines()
-    return pa.table({"line": pa.array(lines, pa.string())})
+    # split on \n ONLY — str.splitlines() also splits on U+2028/U+2029,
+    # which JSON may carry raw inside string values
+    lines = buf.getvalue().decode("utf-8").split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    arr = pa.array(lines, pa.string())
+    # escape U+2028/U+2029 (legal raw in JSON strings, but line-split by
+    # newline-delimited readers incl. ray.data.read_text — the standard
+    # JS-compat escaping): raw separators only occur inside string
+    # values after serialization, so this rewrite preserves JSON
+    # semantics exactly
+    arr = pc.replace_substring(arr, "\u2028", "\\u2028")
+    arr = pc.replace_substring(arr, "\u2029", "\\u2029")
+    return pa.table({"line": arr})
 
 
 def write_jsonl(ds, path: str) -> int:

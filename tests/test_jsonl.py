@@ -16,6 +16,9 @@ ROWS = [
     {"doc_id": 1, "text": 'quotes " and \\ backslash', "tag": "b"},
     {"doc_id": 2, "text": "unicode é中文 \U0001f600", "tag": "c"},
     {"doc_id": 3, "text": "tab\tand\nnewline", "tag": "a"},
+    # U+2028/U+2029: legal RAW inside JSON strings — a writer that
+    # splits parts with str.splitlines() would corrupt this record
+    {"doc_id": 4, "text": "line and separators", "tag": "b"},
 ]
 
 
