@@ -1245,6 +1245,35 @@ def _q_events_funnel(sf_dir: str):
     return _collect(events_funnel(sf_dir))
 
 
+def _q_docs_incremental_dedup(sf_dir: str):
+    """Snapshot-incremental exact dedup (the recrawl shape): even
+    doc_ids are crawl snapshot 1 and commit their digests to a
+    persistent store; odd doc_ids are snapshot 2 and keep only docs
+    whose content was never seen (deduped within the snapshot,
+    min-id survivor)."""
+    import tempfile
+
+    from rify_ray.stages.dedup import incremental_exact_dedup
+
+    def parity(rem):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return batch.filter(
+                _pc.equal(_pc.bit_wise_and(batch["doc_id"], 1), rem)
+            )
+
+        return fn
+
+    ds = _docs_ds(sf_dir)
+    snap1 = ds.map_batches(parity(0), batch_format="pyarrow", zero_copy_batch=True)
+    snap2 = ds.map_batches(parity(1), batch_format="pyarrow", zero_copy_batch=True)
+    with tempfile.TemporaryDirectory() as d:
+        incremental_exact_dedup(snap1, f"{d}/digests")
+        out, _ = incremental_exact_dedup(snap2, f"{d}/digests")
+        return _collect(out)
+
+
 def _q_events_retention(sf_dir: str):
     """Cohort retention triangle: users cohorted by first-event day,
     distinct active users per (cohort_day, day_offset ≤ 30)."""
@@ -1343,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "docs_incremental_dedup": _q_docs_incremental_dedup,
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "events_props_extract": _q_events_props_extract,
         "kg_pages_store": _q_kg_pages_store,
@@ -1502,6 +1532,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "docs_incremental_dedup": (
+            "WITH s2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1), "
+            "s1 AS (SELECT text FROM documents WHERE doc_id % 2 = 0) "
+            "SELECT d.doc_id FROM s2 d "
+            "WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE s1.text = d.text) "
+            "AND d.doc_id = (SELECT min(x.doc_id) FROM s2 x WHERE x.text = d.text)"
         ),
         "events_retention": (
             "WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort "

@@ -169,6 +169,7 @@ def run_queries() -> dict:
         "kg_predicate_stats",
         "kg_top_out_degree",
         "dedup_exact_docs",
+        "docs_incremental_dedup",
         "text_token_counts",
         "text_lang_id",
         "text_fingerprint",

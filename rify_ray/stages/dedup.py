@@ -75,6 +75,130 @@ def exact_dedup(docs_ds, *, key_col: str = "text", id_col: str = "doc_id"):
     return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def incremental_exact_dedup(
+    new_ds,
+    state_dir: str,
+    *,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_rows: int = 20_000_000,
+    num_partitions: int = 8,
+    commit: bool = True,
+):
+    """Snapshot-incremental exact dedup against a PERSISTENT digest
+    store — the recrawl shape: each new crawl snapshot keeps only
+    documents whose content digest was never seen in any earlier
+    snapshot (and dedupes within itself, min id per digest).
+
+    ``state_dir`` holds the seen-digest store as append-only parquet
+    parts (``digests-NNNNN.parquet``, one ``khash`` column).  The new
+    snapshot's digests are computed distributed, deduped within the
+    snapshot via one digest-keyed ``groupby.min`` exchange, then
+    anti-filtered against the store — a ``ray.put`` broadcast of the
+    seen set below ``broadcast_rows`` digests, a ``left_anti`` hash
+    join above it (the store never lands on the driver in the scale
+    regime).  ``commit=True`` appends the surviving digests as ONE new
+    part via tmp+rename, so a crashed run never leaves a torn store
+    and the snapshot is all-or-nothing: a rerun BEFORE the commit
+    landed recomputes identically; after it, the same snapshot returns
+    empty (its content is now "seen" — exactly the recrawl semantics).
+
+    Returns ``(survivors_ds, n_seen_digests)`` — survivors as one
+    ``{id_col}`` column, and the store size BEFORE this snapshot."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    os.makedirs(state_dir, exist_ok=True)
+    parts = sorted(
+        os.path.join(state_dir, n)
+        for n in os.listdir(state_dir)
+        if n.startswith("digests-") and n.endswith(".parquet")
+    )
+    n_seen = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+
+    def key_fn(batch: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else ""
+            for t in batch[key_col].to_pylist()
+        ]
+        return pa.table({"khash": pa.array(keys, pa.string()), id_col: batch[id_col]})
+
+    keyed = new_ds.map_batches(key_fn, batch_format="pyarrow", zero_copy_batch=True)
+    cand = drop_empty_blocks(keyed.groupby("khash").min(id_col).materialize())
+    empty_ids = pa.schema([(id_col, pa.int64())]).empty_table()
+    if cand is None:
+        return ray.data.from_arrow(empty_ids), n_seen
+
+    def project(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.schema(
+                [("khash", pa.string()), (id_col, pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "khash": pc.cast(batch["khash"], pa.string()),
+                id_col: pc.cast(batch[f"min({id_col})"], pa.int64()),
+            }
+        )
+
+    cand = cand.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    if parts:
+        seen_ds = ray.data.read_parquet(parts)
+        if n_seen <= broadcast_rows:
+            seen_tabs = [
+                b
+                for b in seen_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+                if b.num_rows and b.num_columns
+            ]
+            seen_ref = ray.put(
+                pa.concat_tables(seen_tabs)["khash"].combine_chunks()
+                if seen_tabs
+                else pa.array([], pa.string())
+            )
+
+            def drop_seen(batch: pa.Table) -> pa.Table:
+                seen = ray.get(seen_ref)
+                return batch.filter(
+                    pc.invert(pc.is_in(batch["khash"], value_set=seen))
+                )
+
+            cand = cand.map_batches(
+                drop_seen, batch_format="pyarrow", zero_copy_batch=True
+            )
+        else:
+            cand = cand.join(seen_ds, "left_anti", num_partitions, on=("khash",))
+    cand = drop_empty_blocks(cand.materialize())
+    if cand is None:
+        return ray.data.from_arrow(empty_ids), n_seen
+
+    if commit:
+        part = os.path.join(state_dir, f"digests-{len(parts):05d}.parquet")
+        writer = None
+        try:
+            for batch in cand.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                if batch.num_rows == 0:
+                    continue
+                tab = pa.table({"khash": pc.cast(batch["khash"], pa.string())})
+                if writer is None:
+                    writer = pq.ParquetWriter(part + ".tmp", tab.schema)
+                writer.write_table(tab)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is not None:
+            os.replace(part + ".tmp", part)
+
+    def ids_only(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return empty_ids
+        return pa.table({id_col: pc.cast(batch[id_col], pa.int64())})
+
+    return cand.map_batches(ids_only, batch_format="pyarrow", zero_copy_batch=True), n_seen
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------

@@ -138,3 +138,62 @@ def test_term_document_frequency(ray_session):
     out = _collect(term_document_frequency(_docs_ds()))
     got = dict(zip(out["term"].to_list(), out["df"].to_list()))
     assert got["apple"] == 3 and got["fig"] == 1 and got["cherry"] == 2
+
+
+# ---------------------------------------------------------------------------
+# snapshot-incremental exact dedup (persistent digest store)
+# ---------------------------------------------------------------------------
+
+
+def _snap_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(2)
+
+
+@pytest.mark.parametrize("broadcast_rows", [20_000_000, 0])
+def test_incremental_dedup_recrawl_semantics(ray_session, tmp_path, broadcast_rows):
+    from rify_ray.stages.dedup import incremental_exact_dedup
+
+    state = str(tmp_path / "digests")
+    snap1 = [(0, "alpha"), (1, "beta"), (2, "alpha")]  # within-snapshot dup
+    out1, seen1 = incremental_exact_dedup(
+        _snap_ds(snap1), state, broadcast_rows=broadcast_rows
+    )
+    ids1 = sorted(_collect(out1)["doc_id"].to_list())
+    assert ids1 == [0, 1] and seen1 == 0
+
+    # snapshot 2: one doc already seen, one new dup'd within, one fresh
+    snap2 = [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")]
+    out2, seen2 = incremental_exact_dedup(
+        _snap_ds(snap2), state, broadcast_rows=broadcast_rows
+    )
+    ids2 = sorted(_collect(out2)["doc_id"].to_list())
+    assert ids2 == [11, 13] and seen2 == 2
+
+    # rerun of the committed snapshot returns empty (now all seen)
+    out3, seen3 = incremental_exact_dedup(
+        _snap_ds(snap2), state, broadcast_rows=broadcast_rows
+    )
+    assert _collect(out3) is None or _collect(out3).height == 0
+    assert seen3 == 4
+
+
+def test_incremental_dedup_commit_false_leaves_store(ray_session, tmp_path):
+    import os
+
+    from rify_ray.stages.dedup import incremental_exact_dedup
+
+    state = str(tmp_path / "digests")
+    incremental_exact_dedup(_snap_ds([(0, "a")]), state)
+    before = sorted(os.listdir(state))
+    out, _ = incremental_exact_dedup(_snap_ds([(1, "b")]), state, commit=False)
+    assert sorted(_collect(out)["doc_id"].to_list()) == [1]
+    assert sorted(os.listdir(state)) == before  # dry run: no new part
