@@ -1245,6 +1245,16 @@ def _q_events_funnel(sf_dir: str):
     return _collect(events_funnel(sf_dir))
 
 
+def _q_docs_cooccur_top20(sf_dir: str):
+    """Top-20 word collocations by lift (PMI sans monotone log): pairs
+    form in ONE vectorized within-block self-join (a doc lives in one
+    row — no pair exchange), per-block pair-count combiners, min-count
+    floor, broadcast unigram-df attach."""
+    from rify_ray.stages.lexical import cooccurrence_topk
+
+    return _collect(cooccurrence_topk(_docs_ds(sf_dir), k=20, min_count=5))
+
+
 def _q_docs_incremental_dedup(sf_dir: str):
     """Snapshot-incremental exact dedup (the recrawl shape): even
     doc_ids are crawl snapshot 1 and commit their digests to a
@@ -1373,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "docs_cooccur_top20": _q_docs_cooccur_top20,
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "events_props_extract": _q_events_props_extract,
         "kg_pages_store": _q_kg_pages_store,
@@ -1532,6 +1543,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "docs_cooccur_top20": (
+            "WITH w AS (SELECT DISTINCT doc_id, term FROM "
+            "(SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents) WHERE term <> ''), "
+            "uni AS (SELECT term, count(*) AS df FROM w GROUP BY 1), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "pairs AS (SELECT a.term AS w1, b.term AS w2, count(*) AS pair_n "
+            "FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.term < b.term "
+            "GROUP BY 1, 2 HAVING count(*) >= 5) "
+            "SELECT w1, w2, CAST(pair_n AS BIGINT) AS pair_n, "
+            "CAST(d1.df AS BIGINT) AS df1, CAST(d2.df AS BIGINT) AS df2, "
+            "CAST(pair_n * n.n_docs AS DOUBLE) / (d1.df * d2.df) AS lift "
+            "FROM pairs JOIN uni d1 ON w1 = d1.term "
+            "JOIN uni d2 ON w2 = d2.term CROSS JOIN n "
+            "ORDER BY lift DESC, w1, w2 LIMIT 20"
         ),
         "docs_incremental_dedup": (
             "WITH s2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1), "

@@ -170,6 +170,7 @@ def run_queries() -> dict:
         "kg_top_out_degree",
         "dedup_exact_docs",
         "docs_incremental_dedup",
+        "docs_cooccur_top20",
         "text_token_counts",
         "text_lang_id",
         "text_fingerprint",

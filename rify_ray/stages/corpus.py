@@ -185,7 +185,7 @@ def ngram_topk(
         return ray.data.from_arrow(
             df.to_arrow().cast(pa.schema([("gram", pa.string()), ("cnt", pa.int64())]))
         )
-    return agg.sort([("cnt", "descending"), ("gram", "ascending")]).limit(k)
+    return agg.sort(["cnt", "gram"], descending=[True, False]).limit(k)
 
 
 def _empty_topk():

@@ -183,6 +183,6 @@ def top_degree(quads_ds, *, k: int = 10, direction: str = "out", broadcast_rows:
 
     return (
         agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
-        .sort([("degree", "descending"), ("entity", "ascending")])
+        .sort(["degree", "entity"], descending=[True, False])
         .limit(k)
     )

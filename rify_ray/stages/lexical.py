@@ -210,6 +210,188 @@ def tfidf_topk(
     return joined.groupby("doc_id").map_groups(final, batch_format="pyarrow")
 
 
+def cooccurrence_topk(
+    docs_ds,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_rows: int = 20_000_000,
+):
+    """Top-``k`` word collocations by LIFT: pairs of distinct terms
+    co-occurring in the same document, ranked by
+    ``pair_n · N / (df1 · df2)`` (lift = PMI without the log — the log
+    is monotone, so the ranking is identical, and the score stays an
+    exactly-computable integer ratio: int64 products below 2^53 are
+    exact in doubles and the final division is exactly rounded).
+    Pairs are ordered ``w1 < w2``; ``min_count`` floors the pair count
+    (rare-pair noise floor AND the traffic bound: pairs crossing the
+    final exchange are only those seen ≥ min_count times per block
+    aggregate).  Output: (w1, w2, pair_n, df1, df2, lift).
+
+    Physical plan: per-block distinct (doc, term) explode → ONE
+    vectorized within-block self-join on doc_id (a document lives in
+    one row, so every pair forms inside its block — no pair exchange)
+    → per-block pair counts (combiner) → one pair-keyed sum exchange →
+    min_count filter → broadcast unigram-df attach → adaptive top-k."""
+    import polars as plr
+    import ray
+    import ray.data
+
+    from ..util import polars_to_arrow_string
+
+    schema = pa.schema(
+        [
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("pair_n", pa.int64()),
+            ("df1", pa.int64()),
+            ("df2", pa.int64()),
+            ("lift", pa.float64()),
+        ]
+    )
+    n_docs = docs_ds.count()
+    if n_docs == 0:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids, terms = _doc_terms(batch, text_col, id_col)
+        if len(terms) == 0:
+            return empty
+        w = plr.from_arrow(pa.table({"d": ids, "t": terms})).unique()
+        pairs = (
+            w.join(w, on="d")
+            .filter(plr.col("t") < plr.col("t_right"))
+            .group_by(["t", "t_right"])
+            .len(name="cnt")
+            .rename({"t": "w1", "t_right": "w2"})
+            .with_columns(plr.col("cnt").cast(plr.Int64))
+        )
+        return polars_to_arrow_string(pairs).cast(empty.schema)
+
+    parts = docs_ds.map_batches(
+        pair_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = drop_empty_blocks(parts.groupby(["w1", "w2"]).sum("cnt").materialize())
+    if agg is None:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def floor_fn(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "pair_n": pa.array([], pa.int64()),
+                }
+            )
+        cnt = pc.cast(batch["sum(cnt)"], pa.int64())
+        keep = pc.greater_equal(cnt, min_count)
+        return pa.table(
+            {
+                "w1": pc.cast(batch["w1"], pa.string()),
+                "w2": pc.cast(batch["w2"], pa.string()),
+                "pair_n": cnt,
+            }
+        ).filter(keep)
+
+    floored = drop_empty_blocks(
+        agg.map_batches(floor_fn, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    )
+    if floored is None:
+        return ray.data.from_arrow(schema.empty_table())
+
+    df_ds = term_document_frequency(docs_ds, text_col=text_col, id_col=id_col).materialize()
+    tabs = [
+        b
+        for b in df_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows and b.num_columns
+    ]
+    if not tabs:
+        return ray.data.from_arrow(schema.empty_table())
+    lut = plr.from_arrow(pa.concat_tables(tabs))
+    if lut.height > broadcast_rows:
+        # vocabulary beyond the broadcast bound: two hash joins
+        d_ds = ray.data.from_arrow(polars_to_arrow_string(lut))
+        one = drop_empty_blocks(
+            floored.join(
+                d_ds.map_batches(
+                    lambda b: pa.table({"w1": b["term"], "df1": b["df"]}),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ),
+                "inner",
+                8,
+                on=("w1",),
+            ).materialize()
+        )
+        if one is None:
+            return ray.data.from_arrow(schema.empty_table())
+        joined = one.join(
+            d_ds.map_batches(
+                lambda b: pa.table({"w2": b["term"], "df2": b["df"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "inner",
+            8,
+            on=("w2",),
+        )
+    else:
+        ref = ray.put(lut)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            t: plr.DataFrame = ray.get(ref)
+            df = (
+                plr.from_arrow(batch)
+                .join(t.rename({"term": "w1", "df": "df1"}), on="w1")
+                .join(t.rename({"term": "w2", "df": "df2"}), on="w2")
+            )
+            return polars_to_arrow_string(df)
+
+        joined = floored.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        df = plr.from_arrow(batch).with_columns(
+            (
+                (plr.col("pair_n") * n_docs).cast(plr.Float64)
+                / (plr.col("df1") * plr.col("df2"))
+            ).alias("lift")
+        )
+        return polars_to_arrow_string(df.select(schema.names)).cast(schema)
+
+    scored = drop_empty_blocks(
+        joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    )
+    if scored is None:
+        return ray.data.from_arrow(schema.empty_table())
+    if scored.count() <= broadcast_rows:
+        tabs = [
+            b
+            for b in scored.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        df = (
+            plr.from_arrow(pa.concat_tables(tabs))
+            .sort(["lift", "w1", "w2"], descending=[True, False, False])
+            .head(k)
+        )
+        return ray.data.from_arrow(df.to_arrow().cast(schema))
+    return scored.sort(["lift", "w1", "w2"], descending=[True, False, False]).limit(k)
+
+
 def postings_index(
     docs_ds,
     *,

@@ -128,3 +128,27 @@ def test_events_retention_matches_brute(ray_session, tmp_path):
         ).to_pylist()
         got = {(r["cohort_day"], r["day_offset"]): r["n_users"] for r in out}
         assert got == want, (bcast, got, want)
+
+
+def test_top_degree_distributed_sort_branch(ray_session):
+    from rify_ray.stages.graph import top_degree
+
+    out = _collect(top_degree(_quads_ds(), k=2, direction="out", broadcast_rows=0)).to_pylist()
+    assert [(r["entity"], r["degree"]) for r in out] == [("a", 4), ("b", 1)]
+
+
+def test_ngram_topk_distributed_sort_branch(ray_session):
+    import ray.data
+
+    from rify_ray.stages.corpus import ngram_topk
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a b a b", "a b c"], pa.string()),
+            }
+        )
+    )
+    out = _collect(ngram_topk(docs, k=2, broadcast_rows=0)).to_pylist()
+    assert [(r["gram"], r["cnt"]) for r in out] == [("a b", 3), ("b a", 1)]

@@ -197,3 +197,36 @@ def test_incremental_dedup_commit_false_leaves_store(ray_session, tmp_path):
     out, _ = incremental_exact_dedup(_snap_ds([(1, "b")]), state, commit=False)
     assert sorted(_collect(out)["doc_id"].to_list()) == [1]
     assert sorted(os.listdir(state)) == before  # dry run: no new part
+
+
+def brute_cooccur(min_count):
+    from collections import Counter
+    from itertools import combinations
+
+    df = Counter()
+    pair = Counter()
+    for _, text in DOCS:
+        terms = sorted({t for t in text.split(" ") if t})
+        df.update(terms)
+        pair.update(combinations(terms, 2))
+    n = len(DOCS)
+    rows = []
+    for (w1, w2), c in pair.items():
+        if c >= min_count:
+            rows.append((w1, w2, c, df[w1], df[w2], (c * n) / (df[w1] * df[w2])))
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return rows
+
+
+@pytest.mark.parametrize("broadcast_rows", [20_000_000, 0])
+def test_cooccurrence_topk_matches_brute(ray_session, broadcast_rows):
+    from rify_ray.stages.lexical import cooccurrence_topk
+
+    out = _collect(
+        cooccurrence_topk(
+            _docs_ds(), k=50, min_count=1, broadcast_rows=broadcast_rows
+        )
+    )
+    got = list(map(tuple, out.rows()))
+    want = brute_cooccur(1)[:50]
+    assert got == want and len(want) >= 8
