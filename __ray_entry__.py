@@ -1245,6 +1245,14 @@ def _q_events_funnel(sf_dir: str):
     return _collect(events_funnel(sf_dir))
 
 
+def _q_docs_vocab(sf_dir: str):
+    """Ranked tokenizer vocabulary: (term, df, vocab_id) with vocab_id
+    the 1-based dense rank by (df desc, term asc)."""
+    from rify_ray.stages.lexical import vocab_table
+
+    return _collect(vocab_table(_docs_ds(sf_dir)))
+
+
 def _q_docs_cooccur_top20(sf_dir: str):
     """Top-20 word collocations by lift (PMI sans monotone log): pairs
     form in ONE vectorized within-block self-join (a doc lives in one
@@ -1384,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
         "docs_cooccur_top20": _q_docs_cooccur_top20,
+        "docs_vocab": _q_docs_vocab,
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "events_props_extract": _q_events_props_extract,
         "kg_pages_store": _q_kg_pages_store,
@@ -1543,6 +1552,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "docs_vocab": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents), "
+            "d AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks "
+            "WHERE term <> '' GROUP BY 1) "
+            "SELECT term, CAST(df AS BIGINT) AS df, "
+            "CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS vocab_id "
+            "FROM d"
         ),
         "docs_cooccur_top20": (
             "WITH w AS (SELECT DISTINCT doc_id, term FROM "

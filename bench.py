@@ -171,6 +171,7 @@ def run_queries() -> dict:
         "dedup_exact_docs",
         "docs_incremental_dedup",
         "docs_cooccur_top20",
+        "docs_vocab",
         "text_token_counts",
         "text_lang_id",
         "text_fingerprint",

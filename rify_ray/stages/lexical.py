@@ -210,6 +210,73 @@ def tfidf_topk(
     return joined.groupby("doc_id").map_groups(final, batch_format="pyarrow")
 
 
+def vocab_table(
+    docs_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    broadcast_rows: int = 20_000_000,
+):
+    """Ranked vocabulary: ``(term, df, vocab_id)`` with ``vocab_id`` the
+    1-based dense rank by (df desc, term asc) — the id-assignment step
+    of building a tokenizer / embedding vocabulary.  ``min_df`` floors
+    the document frequency (rare-term cutoff).
+
+    Rank assignment needs a global total order, so it cannot be a pure
+    per-block map.  Below ``broadcast_rows`` vocabulary rows the rank
+    is one driver polars sort (vocabulary ≪ corpus by Heaps' law — the
+    normal regime even at 100 TB).  Above it, a distributed sort
+    range-partitions the vocabulary and ranks stream through the
+    driver ONCE in bounded 64 k-row chunks, each re-``ray.put`` as it
+    passes — memory-bounded, one extra pass, and honest about the
+    driver hop (a rank is a prefix count; there is no shuffle-free
+    distributed form without block-index APIs)."""
+    import polars as plr
+    import ray
+    import ray.data
+
+    schema = pa.schema(
+        [("term", pa.string()), ("df", pa.int64()), ("vocab_id", pa.int64())]
+    )
+    df_ds = term_document_frequency(docs_ds, text_col=text_col, id_col=id_col)
+    if min_df > 1:
+        df_ds = df_ds.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["df"], min_df)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    df_ds = df_ds.materialize()
+    n = df_ds.count()
+    if n == 0:
+        return ray.data.from_arrow(schema.empty_table())
+    if n <= broadcast_rows:
+        tabs = [
+            b
+            for b in df_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        df = plr.from_arrow(pa.concat_tables(tabs)).sort(
+            ["df", "term"], descending=[True, False]
+        )
+        df = df.with_columns(
+            (plr.int_range(plr.len(), dtype=plr.Int64) + 1).alias("vocab_id")
+        )
+        return ray.data.from_arrow(df.to_arrow().cast(schema))
+    ordered = df_ds.sort(["df", "term"], descending=[True, False])
+    refs = []
+    offset = 0
+    for batch in ordered.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if batch.num_rows == 0:
+            continue
+        ranks = pa.array(
+            np.arange(offset + 1, offset + 1 + batch.num_rows, dtype=np.int64)
+        )
+        offset += batch.num_rows
+        refs.append(ray.put(batch.append_column("vocab_id", ranks).cast(schema)))
+    return ray.data.from_arrow_refs(refs)
+
+
 def cooccurrence_topk(
     docs_ds,
     *,

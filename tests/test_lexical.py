@@ -230,3 +230,24 @@ def test_cooccurrence_topk_matches_brute(ray_session, broadcast_rows):
     got = list(map(tuple, out.rows()))
     want = brute_cooccur(1)[:50]
     assert got == want and len(want) >= 8
+
+
+@pytest.mark.parametrize("broadcast_rows", [20_000_000, 0])
+def test_vocab_table_rank_matches_brute(ray_session, broadcast_rows):
+    from collections import Counter
+
+    from rify_ray.stages.lexical import vocab_table
+
+    df = Counter()
+    for _, text in DOCS:
+        df.update({t for t in text.split(" ") if t})
+    ranked = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = [(t, d, i + 1) for i, (t, d) in enumerate(ranked)]
+    out = _collect(vocab_table(_docs_ds(), broadcast_rows=broadcast_rows))
+    got = sorted(map(tuple, out.rows()), key=lambda r: r[2])
+    assert got == want
+
+    # min_df floors the vocabulary but keeps the dense rank
+    out2 = _collect(vocab_table(_docs_ds(), min_df=2, broadcast_rows=broadcast_rows))
+    kept = [(t, d, i + 1) for i, (t, d) in enumerate([x for x in ranked if x[1] >= 2])]
+    assert sorted(map(tuple, out2.rows()), key=lambda r: r[2]) == kept
