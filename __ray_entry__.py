@@ -1245,6 +1245,17 @@ def _q_events_funnel(sf_dir: str):
     return _collect(events_funnel(sf_dir))
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-style star join: revenue per customer nation, exact
+    integer 1e-4-dollar units per item so the sum is order-independent.
+    Dimensions fold into ONE broadcast lookup; the fact table streams
+    through a single attach+preagg map; the only exchange is a
+    nation-sized groupby.sum."""
+    from rify_ray.pipelines.relational import revenue_by_nation
+
+    return _collect(revenue_by_nation(sf_dir))
+
+
 def _q_docs_vocab(sf_dir: str):
     """Ranked tokenizer vocabulary: (term, df, vocab_id) with vocab_id
     the 1-based dense rank by (df desc, term asc)."""
@@ -1393,6 +1404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_incremental_dedup": _q_docs_incremental_dedup,
         "docs_cooccur_top20": _q_docs_cooccur_top20,
         "docs_vocab": _q_docs_vocab,
+        "revenue_by_nation": _q_revenue_by_nation,
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "events_props_extract": _q_events_props_extract,
         "kg_pages_store": _q_kg_pages_store,
@@ -1552,6 +1564,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_c4, CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
         ),
         "docs_vocab": (
             "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "

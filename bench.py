@@ -207,6 +207,7 @@ def run_queries() -> dict:
         "top_users_by_events",
         "segment_order_counts",
         "lineitem_pricing_cents",
+        "revenue_by_nation",
         "orders_rollup",
         "events_type_pivot",
         "events_user_running",

@@ -360,6 +360,217 @@ def lineitem_pricing_cents(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def revenue_by_nation(sf_dir: str, *, broadcast_rows: int = 20_000_000, forced_shuffle: bool = False):
+    """TPC-H Q5-style star join: revenue per customer nation over
+    lineitem ⋈ orders ⋈ customer ⋈ nation.  Revenue is computed in
+    exact integer 10⁻⁴-dollar units PER ITEM
+    (``round(price·100) · (100 − round(discount·100))``) so the sum is
+    order-independent int64 arithmetic — hash-stable against the SQL
+    oracle regardless of float summation order.
+
+    Physical plan (the canonical warehouse shape): the three dimension
+    tables fold into ONE ``ray.put`` broadcast lookup
+    (orderkey → nation name, built driver-side — dimensions are small
+    by definition), the fact table streams through a single map that
+    attaches the nation and pre-aggregates per block, and the only
+    exchange is a nation-cardinality ``groupby.sum`` of partials.
+    ``forced_shuffle`` pins the hash-join chain instead (the fallback
+    when orders outgrow the broadcast bound)."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from ..util import drop_empty_blocks
+
+    schema = pa.schema(
+        [
+            ("n_name", pa.string()),
+            ("revenue_c4", pa.int64()),
+            ("n_items", pa.int64()),
+        ]
+    )
+
+    def item_rev(batch: pa.Table) -> pa.Table:
+        price_c = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        disc_pct = pc.cast(
+            pc.round(pc.multiply(batch["l_discount"], pa.scalar(100.0))), pa.int64()
+        )
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table(
+            {"l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()), "rev": rev}
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(item_rev, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+
+    def finalize(agg):
+        agg = drop_empty_blocks(agg.materialize())
+        if agg is None:
+            return ray.data.from_arrow(schema.empty_table())
+
+        def fix(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0:
+                return schema.empty_table()
+            return pa.table(
+                {
+                    "n_name": pc.cast(batch["n_name"], pa.string()),
+                    "revenue_c4": pc.cast(batch["sum(rev)"], pa.int64()),
+                    "n_items": pc.cast(batch["sum(cnt)"], pa.int64()),
+                }
+            )
+
+        return agg.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+    n_orders = orders.count()
+    if not forced_shuffle and n_orders <= broadcast_rows:
+        import polars as plr
+
+        def collect(ds):
+            return plr.from_arrow(
+                pa.concat_tables(
+                    b
+                    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+                    if b.num_rows and b.num_columns
+                )
+            )
+
+        # fold the dimension star into one orderkey → n_name lookup
+        lut = (
+            collect(orders)
+            .join(collect(cust), left_on="o_custkey", right_on="c_custkey")
+            .join(collect(nation), left_on="c_nationkey", right_on="n_nationkey")
+            .select(["o_orderkey", "n_name"])
+        )
+        ref = ray.put(lut)
+
+        def attach_agg(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "rev": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+            if batch.num_rows == 0:
+                return empty
+            t: "plr.DataFrame" = ray.get(ref)
+            df = (
+                plr.from_arrow(batch)
+                .join(t, left_on="l_orderkey", right_on="o_orderkey", how="inner")
+                .group_by("n_name")
+                .agg(
+                    plr.col("rev").sum().alias("rev"),
+                    plr.len().cast(plr.Int64).alias("cnt"),
+                )
+            )
+            from ..util import polars_to_arrow_string
+
+            return polars_to_arrow_string(df).cast(empty.schema)
+
+        parts = li.map_batches(attach_agg, batch_format="pyarrow", zero_copy_batch=True)
+        return finalize(parts.groupby("n_name").sum(["rev", "cnt"]))
+
+    # hash-join chain fallback (dimensions beyond the broadcast bound)
+    j1 = drop_empty_blocks(
+        li.join(
+            orders.map_batches(
+                lambda b: pa.table(
+                    {
+                        "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                        "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "inner",
+            8,
+            on=("l_orderkey",),
+        ).materialize()
+    )
+    if j1 is None:
+        return ray.data.from_arrow(schema.empty_table())
+    j2 = drop_empty_blocks(
+        j1.join(
+            cust.map_batches(
+                lambda b: pa.table(
+                    {
+                        "o_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                        "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "inner",
+            8,
+            on=("o_custkey",),
+        ).materialize()
+    )
+    if j2 is None:
+        return ray.data.from_arrow(schema.empty_table())
+    j3 = drop_empty_blocks(
+        j2.join(
+            nation.map_batches(
+                lambda b: pa.table(
+                    {
+                        "c_nationkey": pc.cast(b["n_nationkey"], pa.int64()),
+                        "n_name": pc.cast(b["n_name"], pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "inner",
+            8,
+            on=("c_nationkey",),
+        ).materialize()
+    )
+    if j3 is None:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def preagg(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_name": pa.array([], pa.string()),
+                "rev": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        g = (
+            pa.table({"n_name": batch["n_name"], "rev": batch["rev"]})
+            .group_by("n_name")
+            .aggregate([("rev", "sum"), ("rev", "count")])
+        )
+        return pa.table(
+            {
+                "n_name": pc.cast(g["n_name"], pa.string()),
+                "rev": pc.cast(g["rev_sum"], pa.int64()),
+                "cnt": pc.cast(g["rev_count"], pa.int64()),
+            }
+        )
+
+    parts = j3.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True)
+    return finalize(parts.groupby("n_name").sum(["rev", "cnt"]))
+
+
 def grouped_quantiles(
     ds,
     *,

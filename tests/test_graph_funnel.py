@@ -152,3 +152,15 @@ def test_ngram_topk_distributed_sort_branch(ray_session):
     )
     out = _collect(ngram_topk(docs, k=2, broadcast_rows=0)).to_pylist()
     assert [(r["gram"], r["cnt"]) for r in out] == [("a b", 3), ("b a", 1)]
+
+
+def test_revenue_by_nation_branches_agree(ray_session):
+    """Broadcast star-join path == hash-join-chain path, value-exact
+    (integer revenue units are order-independent)."""
+    from rify_ray.pipelines.relational import revenue_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    a = _collect(revenue_by_nation(sf)).to_pylist()
+    b = _collect(revenue_by_nation(sf, forced_shuffle=True)).to_pylist()
+    key = lambda r: r["n_name"]
+    assert sorted(a, key=key) == sorted(b, key=key) and len(a) > 0
