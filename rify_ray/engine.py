@@ -1840,10 +1840,13 @@ def _lineage_row_count(lineage_dir: str) -> int:
     return sum(pq.read_metadata(f).num_rows for _g, f in _lineage_gen_files(lineage_dir))
 
 
-def _read_lineage_driver(lineage_dir: str) -> pl.DataFrame:
+def _read_lineage_driver(lineage_dir: str, fact_dtype=pl.Utf8) -> pl.DataFrame:
     """All lineage rows as one driver polars frame with a ``gen`` column
     (the generation-directory number) — the driver-resident regime of the
-    overdeletion walk and lineage filter."""
+    overdeletion walk and lineage filter.  When no lineage parquet files
+    exist (every generation folded/filtered to zero rows), the empty
+    frame still carries the FULL lineage schema — downstream joins on
+    FACT_COLS must not crash on a fileless lineage dir."""
     import pyarrow.parquet as pq
 
     frames = []
@@ -1851,7 +1854,10 @@ def _read_lineage_driver(lineage_dir: str) -> pl.DataFrame:
         t = pq.read_table(f)
         frames.append(pl.from_arrow(t).with_columns(pl.lit(gen, dtype=pl.Int64).alias("gen")))
     if not frames:
-        return pl.DataFrame(schema={"gen": pl.Int64})
+        schema = {c: fact_dtype for c in FACT_COLS}
+        schema["lkey"] = pl.Utf8
+        schema["gen"] = pl.Int64
+        return pl.DataFrame(schema=schema)
     return pl.concat(frames, how="vertical_relaxed")
 
 
@@ -2198,7 +2204,9 @@ def _filter_lineage_dirs(
     gens = sorted({g for g, _f in gen_files})
 
     if lineage_df is None and _lineage_row_count(lineage_dir) <= driver_rows:
-        lineage_df = _read_lineage_driver(lineage_dir)
+        lineage_df = _read_lineage_driver(
+            lineage_dir, fact_dtype=deleted.schema["s"]
+        )
 
     if lineage_df is not None:
         del_keys = deleted.select(FACT_COLS)
@@ -2437,7 +2445,7 @@ def remove_premises_store(
     # when the whole lineage fits, pruned distributed scans otherwise
     lineage_df: Optional[pl.DataFrame] = None
     if _lineage_row_count(lineage_dir) <= max(broadcast_rows, 2_000_000):
-        lineage_df = _read_lineage_driver(lineage_dir)
+        lineage_df = _read_lineage_driver(lineage_dir, fact_dtype=fact_dtype)
     deleted, affected_gens = _overdelete_walk(
         lineage_dir,
         prem_df,

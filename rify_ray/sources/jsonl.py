@@ -27,7 +27,10 @@ def _parse_fast_fn(schema: Optional[pa.Schema]):
 
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return schema.empty_table() if schema is not None else batch
+            # schema=None: a zero-column empty block, NEVER the raw
+            # ('text') passthrough — consumers strip empties, but a
+            # wrong-schema block would break schema unification
+            return schema.empty_table() if schema is not None else pa.table({})
         buf = ("\n".join(batch["text"].to_pylist()) + "\n").encode("utf-8")
         tbl = pj.read_json(
             io.BytesIO(buf),
@@ -38,6 +41,10 @@ def _parse_fast_fn(schema: Optional[pa.Schema]):
     return fn
 
 
+def _reject_constant(_s):
+    raise ValueError("non-spec JSON constant (NaN/Infinity)")
+
+
 def _parse_skip_fn(schema: Optional[pa.Schema]):
     import json
 
@@ -45,22 +52,42 @@ def _parse_skip_fn(schema: Optional[pa.Schema]):
 
     parse_opts = pj.ParseOptions(explicit_schema=schema) if schema is not None else None
 
+    def parse_lines(lines):
+        buf = ("\n".join(lines) + "\n").encode("utf-8")
+        tbl = pj.read_json(io.BytesIO(buf), parse_options=parse_opts)
+        return tbl.select(schema.names).cast(schema) if schema is not None else tbl
+
     def fn(batch: pa.Table) -> pa.Table:
         good = []
         for line in batch["text"].to_pylist():
             if not line.strip():
                 continue
             try:
-                obj = json.loads(line)
+                # parse_constant rejects NaN/Infinity — json.loads is
+                # laxer than pyarrow.json, and a line accepted here but
+                # rejected there would crash the whole block
+                obj = json.loads(line, parse_constant=_reject_constant)
             except ValueError:
                 continue
             if isinstance(obj, dict):
                 good.append(line)
         if not good:
             return schema.empty_table() if schema is not None else pa.table({})
-        buf = ("\n".join(good) + "\n").encode("utf-8")
-        tbl = pj.read_json(io.BytesIO(buf), parse_options=parse_opts)
-        return tbl.select(schema.names).cast(schema) if schema is not None else tbl
+        try:
+            return parse_lines(good)
+        except pa.ArrowInvalid:
+            # a line json.loads accepted still failed the Arrow parse
+            # (e.g. a value conflicting with the explicit schema) —
+            # fall back to per-line parsing and drop the offenders
+            kept = []
+            for line in good:
+                try:
+                    kept.append(parse_lines([line]))
+                except pa.ArrowInvalid:
+                    continue
+            if not kept:
+                return schema.empty_table() if schema is not None else pa.table({})
+            return pa.concat_tables(kept)
 
     return fn
 
@@ -117,10 +144,15 @@ def write_jsonl(ds, path: str) -> int:
     import os
 
     os.makedirs(path, exist_ok=True)
+    # materialize the formatted lines BEFORE clearing the destination:
+    # an in-place rewrite (ds = read_jsonl(p); write_jsonl(ds, p)) would
+    # otherwise delete its own lazy input's files before the read runs
+    lines = ds.map_batches(
+        _format_fn, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     for n in os.listdir(path):
         if n.endswith(".jsonl") or n.endswith(".jsonl.tmp"):
             os.remove(os.path.join(path, n))
-    lines = ds.map_batches(_format_fn, batch_format="pyarrow", zero_copy_batch=True)
     total = 0
     for i, batch in enumerate(
         lines.iter_batches(batch_size=65536, batch_format="pyarrow")

@@ -228,15 +228,18 @@ def write_nquads(quads_ds, path: str, *, plain_strings: str = "error") -> int:
     import ray
 
     os.makedirs(path, exist_ok=True)
-    # clear prior part files: a rerun producing fewer batches would
-    # otherwise leave stale parts behind, and a later directory read
-    # would see duplicate/phantom quads
+    # materialize the formatted lines BEFORE clearing prior part files:
+    # an in-place rewrite (read_nquads(p) → write_nquads(..., p)) would
+    # otherwise delete its own lazy input's files before the read runs.
+    # Clearing is still required — a rerun producing fewer batches would
+    # leave stale parts behind, and a later directory read would see
+    # duplicate/phantom quads
+    lines = quads_ds.map_batches(
+        _format_batch_fn(plain_strings), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     for n in os.listdir(path):
         if n.endswith(".nq") or n.endswith(".nq.tmp"):
             os.remove(os.path.join(path, n))
-    lines = quads_ds.map_batches(
-        _format_batch_fn(plain_strings), batch_format="pyarrow", zero_copy_batch=True
-    )
 
     total = 0
     for i, batch in enumerate(

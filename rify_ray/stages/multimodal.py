@@ -156,7 +156,15 @@ def _png_decode_gray(payload: bytes):
 
 def _box_thumb(gray: np.ndarray, k: int = 8) -> np.ndarray:
     """(h, w) → (k, k) box-averaged thumbnail (deterministic, no
-    resampling library)."""
+    resampling library).  An image smaller than k in either dimension
+    is nearest-neighbor upsampled first — array_split would otherwise
+    produce empty chunks whose mean is NaN, silently poisoning the
+    feature vector."""
+    h, w = gray.shape
+    if h < k:
+        gray = np.repeat(gray, -(-k // h), axis=0)
+    if w < k:
+        gray = np.repeat(gray, -(-k // w), axis=1)
     rows = np.array_split(gray, k, axis=0)
     return np.stack(
         [np.stack([c.mean() for c in np.array_split(r, k, axis=1)]) for r in rows]

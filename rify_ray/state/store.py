@@ -532,7 +532,12 @@ class TripleStore:
         if not rewritten:
             return {"deleted": 0, "gens_rewritten": []}
         self.manifest["generations"] = new_entries
-        self.manifest["next_gen"] = max(self.next_gen, rewritten[-1] + 1)
+        # max(), not rewritten[-1]: the loop orders by LIST POSITION but
+        # new gen numbers were assigned in gen-number order — when those
+        # orders differ, rewritten[-1]+1 can land next_gen on a live
+        # committed generation, which the next add() would rmtree as a
+        # "stale crashed attempt" (data loss)
+        self.manifest["next_gen"] = max(self.next_gen, max(rewritten) + 1)
         self._write_manifest()  # atomic commit point
         for d in old_dirs:
             shutil.rmtree(d, ignore_errors=True)

@@ -762,3 +762,76 @@ def test_compact_derived_folds_runs_across_premise_adds(tmp_path):
         for r in s.decoded_dataset(derived_only=True).take_all()
     }
     assert derived_only == want - set(facts)
+
+
+def test_remove_premises_fileless_lineage_dir(tmp_path):
+    """A lineage dir whose parquet files are all gone (folded/filtered to
+    zero rows) must not crash retraction — the driver lineage frame must
+    carry the full schema even when empty."""
+    import os
+
+    facts = ancestry_facts(5)
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts), ancestry_rules(), path,
+        num_partitions=4, with_lineage=True,
+    )
+    lineage_dir = os.path.join(path, "lineage")
+    removed = 0
+    for root, _dirs, names in os.walk(lineage_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                os.remove(os.path.join(root, n))
+                removed += 1
+    assert removed > 0
+    s2 = engine.remove_premises_store(
+        _premises_table(facts[:1]), ancestry_rules(), path, num_partitions=4
+    )
+    got = _decoded_set(s2)
+    # with no recorded dependents, only the premise itself disappears
+    assert facts[0] not in {f for f in got if f[1] == "parent"} or facts[0] not in got
+
+
+def test_delete_facts_distributed_next_gen_no_collision(tmp_path):
+    """Reordered generation numbers (a prior rewrite) + a distributed
+    multi-gen delete: next_gen must clear the MAX new generation, or the
+    next add() rmtree's a live committed generation (data loss)."""
+    import pyarrow as pa
+
+    from rify_ray.state.store import TripleStore
+
+    path = str(tmp_path / "st")
+    store = TripleStore(path, num_partitions=2, value_type="string")
+
+    def quads(rows):
+        return pa.table(
+            {c: pa.array([r[j] for r in rows], pa.string()) for j, c in enumerate("spog")}
+        )
+
+    import ray.data
+
+    a = [("a", "p", str(i), "g") for i in range(3)]
+    b = [("b", "p", str(i), "g") for i in range(3)]
+    store.add(ray.data.from_arrow(quads(a)))   # gen 0
+    store.add(ray.data.from_arrow(quads(b)))   # gen 1
+    # rewrite ONLY position 0 (gen 0 -> 2): positions now [2, 1]
+    import polars as pl
+
+    store.delete_facts(pl.DataFrame({"s": ["a"], "p": ["p"], "o": ["0"], "g": ["g"]}))
+    nums = [g["gen"] for g in store.generations]
+    assert nums != sorted(nums)  # the reordering premise of the bug
+    # distributed multi-gen delete (driver_rows=0 pins the regime)
+    store.delete_facts(
+        pl.DataFrame(
+            {"s": ["a", "b"], "p": ["p", "p"], "o": ["1", "1"], "g": ["g", "g"]}
+        ),
+        driver_rows=0,
+    )
+    live = {g["gen"] for g in store.generations}
+    assert store.next_gen > max(live)
+    # the next add must not destroy any committed generation
+    c = [("c", "p", str(i), "g") for i in range(2)]
+    store.add(ray.data.from_arrow(quads(c)))
+    got = {(r["s"], r["o"]) for r in store.dataset().take_all()}
+    want = {("a", "2"), ("b", "0"), ("b", "2"), ("c", "0"), ("c", "1")}
+    assert got == want

@@ -93,3 +93,42 @@ def test_rerun_clears_stale_parts(ray_session, tmp_path):
     write_jsonl(ray.data.from_arrow(_table()), out)
     back = _collect(read_jsonl(out, schema=SCHEMA))
     assert back.num_rows == len(ROWS)
+
+
+def test_in_place_rewrite_preserves_data(ray_session, tmp_path):
+    """write_jsonl(read_jsonl(p), p) must not destroy its own lazy
+    input — the formatted lines materialize before parts are cleared."""
+    import json as _json
+
+    from rify_ray.sources import read_jsonl, write_jsonl
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in ROWS) + "\n", encoding="utf-8"
+    )
+    ds = read_jsonl(str(p), schema=SCHEMA)
+    n = write_jsonl(ds, str(p))
+    assert n == len(ROWS)
+    back = _collect(read_jsonl(str(p), schema=SCHEMA))
+    assert sorted(back.to_pylist(), key=lambda r: r["doc_id"]) == ROWS
+
+
+def test_on_error_skip_rejects_nonspec_and_schema_conflicts(ray_session, tmp_path):
+    """json.loads is laxer than pyarrow.json: NaN/Infinity lines and
+    schema-conflicting values must be SKIPPED, not crash the block."""
+    import json as _json
+
+    from rify_ray.sources import read_jsonl
+
+    p = tmp_path / "bad2.jsonl"
+    lines = [
+        _json.dumps(ROWS[0]),
+        '{"doc_id": NaN, "text": "x", "tag": "t"}',       # non-spec constant
+        '{"doc_id": "abc", "text": "y", "tag": "t"}',      # schema conflict
+        _json.dumps(ROWS[1]),
+    ]
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    back = _collect(read_jsonl(str(p), schema=SCHEMA, on_error="skip"))
+    got = sorted(back.to_pylist(), key=lambda r: r["doc_id"])
+    assert got == [ROWS[0], ROWS[1]]

@@ -1445,3 +1445,16 @@ def test_neardup_survivors_left_anti_branch():
     )
     out = neardup_survivors(docs, pairs, broadcast_rows=0, num_partitions=4).take_all()
     assert sorted(r["doc_id"] for r in out) == [0, 2, 4]
+
+
+def test_box_thumb_small_image_no_nan():
+    """Images narrower/shorter than the 8px thumbnail grid must not
+    produce NaN features (empty array_split chunks)."""
+    import numpy as np
+
+    from rify_ray.stages.multimodal import _box_thumb
+
+    t = _box_thumb(np.arange(16, dtype=np.float32).reshape(4, 4))
+    assert t.shape == (8, 8) and not np.isnan(t).any()
+    t2 = _box_thumb(np.ones((1, 1), dtype=np.float32))
+    assert t2.shape == (8, 8) and (t2 == 1).all()
