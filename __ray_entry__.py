@@ -1256,6 +1256,28 @@ def _q_revenue_by_nation(sf_dir: str):
     return _collect(revenue_by_nation(sf_dir))
 
 
+def _q_docs_bloom_decontaminate(sf_dir: str):
+    """Constant-memory decontamination: the eval gram set lives in a
+    16 MB-class Bloom filter instead of a broadcast set — the scale
+    path for web-scale blocklists.  Approximate by design (bounded
+    false-positive OVERDROP, zero false negatives — property-pinned in
+    tests), so rows-only: its exact twin ``docs_ngram_decontaminate``
+    carries the SQL oracle."""
+    import duckdb
+
+    from rify_ray.stages.corpus import bloom_ngram_decontaminate
+
+    con = duckdb.connect()
+    evals = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM '{sf_dir}/documents.parquet' WHERE doc_id % 97 = 0"
+        ).fetchall()
+    ]
+    con.close()
+    return _collect(bloom_ngram_decontaminate(_docs_ds(sf_dir), evals, n=8))
+
+
 def _q_docs_vocab(sf_dir: str):
     """Ranked tokenizer vocabulary: (term, df, vocab_id) with vocab_id
     the 1-based dense rank by (df desc, term asc)."""
@@ -1404,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_incremental_dedup": _q_docs_incremental_dedup,
         "docs_cooccur_top20": _q_docs_cooccur_top20,
         "docs_vocab": _q_docs_vocab,
+        "docs_bloom_decontaminate": _q_docs_bloom_decontaminate,
         "revenue_by_nation": _q_revenue_by_nation,
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "events_props_extract": _q_events_props_extract,

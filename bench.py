@@ -184,6 +184,7 @@ def run_queries() -> dict:
         "docs_stratified_sample",
         "docs_quality_filter",
         "docs_ngram_decontaminate",
+        "docs_bloom_decontaminate",
         "docs_pack_bins",
         "text_winnow_fp",
         "ngram_top20",

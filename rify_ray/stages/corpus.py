@@ -602,6 +602,100 @@ def ngram_decontaminate(
     return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+class BloomFilter:
+    """Deterministic Bloom filter over strings: ``k`` probes by double
+    hashing (``h1 + i·h2``) of two independent seeded polars hashes.
+    No false negatives by construction; false-positive rate ≈
+    ``(1 − e^(−k·n/m))^k``.  The bit array is a numpy uint64 vector —
+    a 2^27-bit filter is 16 MB however many grams went in, which is the
+    point: it broadcasts at constant cost where the exact gram SET of a
+    web-scale blocklist cannot."""
+
+    def __init__(self, bits_pow: int = 20, k: int = 4):
+        if not (3 <= bits_pow <= 40):
+            raise ValueError(f"bits_pow out of range: {bits_pow}")
+        self.bits_pow = bits_pow
+        self.k = k
+        self.mask = np.uint64((1 << bits_pow) - 1)
+        self.bits = np.zeros(1 << max(0, bits_pow - 6), dtype=np.uint64)
+        self.n_added = 0
+
+    def _probes(self, arr: pa.Array) -> np.ndarray:
+        """(len(arr), k) bit positions."""
+        import polars as plr
+
+        s = plr.from_arrow(pc.cast(arr, pa.large_string()))
+        if isinstance(s, plr.DataFrame):  # single-column frame
+            s = s.to_series()
+        h1 = s.hash(seed=0x51ED).to_numpy().astype(np.uint64)
+        h2 = (s.hash(seed=0xB10F).to_numpy().astype(np.uint64)) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        with np.errstate(over="ignore"):
+            return ((h1[:, None] + i * h2[:, None]) & self.mask).astype(np.uint64)
+
+    def add(self, arr) -> None:
+        if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+            arr = pa.array(list(arr), pa.string())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) == 0:
+            return
+        pos = self._probes(arr).ravel()
+        np.bitwise_or.at(self.bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+        self.n_added += len(arr)
+
+    def contains(self, arr) -> np.ndarray:
+        """Vectorized membership: bool array (no false negatives)."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._probes(arr)
+        hit = (self.bits[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=1)
+
+
+def bloom_ngram_decontaminate(
+    docs_ds,
+    eval_texts: Sequence[str],
+    *,
+    n: int = 5,
+    text_col: str = "text",
+    bits_pow: int = 22,
+    k: int = 4,
+):
+    """:func:`ngram_decontaminate`'s constant-memory scale path: the
+    eval gram set loads into a :class:`BloomFilter` (16 MB at 2^27 bits
+    regardless of blocklist size) that ships once via the task closure;
+    membership is a vectorized k-probe bit test per batch.  No false
+    negatives — everything the exact op drops, this drops — plus a
+    bounded false-positive overdrop (tunable via ``bits_pow``/``k``),
+    the standard trade for blocklists too large to broadcast as a set."""
+    bf = BloomFilter(bits_pow=bits_pow, k=k)
+    eval_grams: set = set()
+    for t in eval_texts:
+        toks = t.split(" ")
+        for i in range(len(toks) - n + 1):
+            eval_grams.add(" ".join(toks[i : i + n]))
+    bf.add(sorted(eval_grams))
+    empty_ok = len(eval_grams) == 0
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or empty_ok:
+            return batch
+        grams, offs, valid = _word_ngrams(batch[text_col], n)
+        if len(grams) == 0:
+            return batch
+        hit = bf.contains(grams) & valid
+        starts = np.flatnonzero(hit)
+        bad_rows = np.unique(np.searchsorted(offs, starts, side="right") - 1)
+        keep = np.ones(batch.num_rows, dtype=bool)
+        keep[bad_rows] = False
+        return batch.filter(pa.array(keep))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pack_bins(
     docs_ds,
     *,

@@ -164,3 +164,41 @@ def test_revenue_by_nation_branches_agree(ray_session):
     b = _collect(revenue_by_nation(sf, forced_shuffle=True)).to_pylist()
     key = lambda r: r["n_name"]
     assert sorted(a, key=key) == sorted(b, key=key) and len(a) > 0
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(ray_session):
+    """Bloom decontamination must drop a SUPERSET of the exact op's
+    drops (no false negatives); with a roomy filter the false-positive
+    overdrop is zero on this corpus."""
+    import numpy as np
+    import ray.data
+
+    from rify_ray.stages.corpus import BloomFilter, bloom_ngram_decontaminate, ngram_decontaminate
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=12).tolist())) for i in range(200)
+    ]
+    eval_texts = [docs[3][1], docs[77][1], "w1 w2 w3 w4 w5 w6"]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x in docs], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = {r["doc_id"] for r in _collect(ngram_decontaminate(ds, eval_texts, n=5)).to_pylist()}
+    bloom = {r["doc_id"] for r in _collect(bloom_ngram_decontaminate(ds, eval_texts, n=5, bits_pow=22)).to_pylist()}
+    assert bloom <= exact            # bloom drops everything exact drops
+    assert exact - bloom == set()    # roomy filter: no overdrop here
+    assert len(exact) < len(docs)    # the op actually bites
+
+    # FP-rate sanity on the raw filter: 1k members, 100k probes, 2^20 bits
+    bf = BloomFilter(bits_pow=20, k=4)
+    bf.add([f"m{i}" for i in range(1000)])
+    probes = pa.array([f"x{i}" for i in range(100_000)], pa.string())
+    fp = bf.contains(probes).mean()
+    assert fp < 0.001, fp
+    members = pa.array([f"m{i}" for i in range(1000)], pa.string())
+    assert bf.contains(members).all()  # zero false negatives
