@@ -87,7 +87,11 @@ def _parse_skip_fn(schema: Optional[pa.Schema]):
                     continue
             if not kept:
                 return schema.empty_table() if schema is not None else pa.table({})
-            return pa.concat_tables(kept)
+            if schema is not None:
+                return pa.concat_tables(kept)
+            # schema=None: per-line inference can disagree (missing
+            # keys) — unify permissively instead of crashing
+            return pa.concat_tables(kept, promote_options="permissive")
 
     return fn
 
