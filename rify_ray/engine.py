@@ -54,6 +54,7 @@ from . import local as _local
 from .state import store as _state_store
 from .eval_broadcast import FACT_COLS, LKEY_SEP, run_iteration
 from .model import (
+    Entity,
     ExhaustedSearchSpace,
     Fact,
     NovelName,
@@ -754,20 +755,41 @@ _FILTER_OPS = ("==", "!=", "<", "<=", ">", ">=")
 
 def _check_binding_filters(filters, var_names: Sequence[str]) -> None:
     """Validate SPARQL-FILTER-lite clauses ``(lhs_var, op, rhs)``: the
-    lhs must be a pattern variable; the rhs is another variable when it
-    names one, otherwise a constant term (non-string constants are
-    JSON-encoded like rule constants, so equality semantics match the
-    engine's term model).  Ordering comparisons are lexicographic on
-    the term text — the SQL twin is plain string comparison."""
+    lhs must be a pattern variable; the rhs may be given explicitly as
+    ``U(name)`` (another pattern variable) or ``B(value)`` (a constant
+    term) — or as a bare value, in which case a string that names a
+    pattern variable is treated as that variable (a bare-string
+    collision with a variable name warns; use ``B(...)`` to force the
+    literal).  Non-string constants are JSON-encoded like rule
+    constants, so equality semantics match the engine's term model.
+    Ordering comparisons are lexicographic on the term text — the SQL
+    twin is plain string comparison."""
+    import warnings
+
     names = set(var_names)
     for clause in filters:
         if len(clause) != 3:
             raise ValueError(f"filter clause must be (var, op, term): {clause!r}")
-        lhs, op, _ = clause
+        lhs, op, rhs = clause
         if op not in _FILTER_OPS:
             raise ValueError(f"unsupported filter op {op!r} (use one of {_FILTER_OPS})")
         if lhs not in names:
             raise ValueError(f"filter lhs {lhs!r} is not a pattern variable {sorted(names)}")
+        if isinstance(rhs, Entity):
+            if rhs.is_unbound() and rhs.value not in names:
+                raise ValueError(
+                    f"filter rhs variable {rhs.value!r} is not a pattern "
+                    f"variable {sorted(names)}"
+                )
+        elif isinstance(rhs, str) and rhs in names:
+            warnings.warn(
+                f"filter rhs {rhs!r} names a pattern variable and is "
+                f"interpreted as a variable reference; wrap it in B({rhs!r}) "
+                f"to compare against the literal string, or U({rhs!r}) to "
+                f"silence this warning",
+                UserWarning,
+                stacklevel=3,
+            )
 
 
 def _binding_filter_exprs(filters, var_names: Sequence[str]):
@@ -787,7 +809,10 @@ def _binding_filter_exprs(filters, var_names: Sequence[str]):
     exprs = []
     for lhs, op, rhs in filters:
         left = pl.col(lhs)
-        if isinstance(rhs, str) and rhs in names:
+        if isinstance(rhs, Entity):
+            # explicit marker: U(name) = variable reference, B(v) = literal
+            right = pl.col(rhs.value) if rhs.is_unbound() else pl.lit(encode_term(rhs.value))
+        elif isinstance(rhs, str) and rhs in names:
             right = pl.col(rhs)
         else:
             right = pl.lit(encode_term(rhs))
@@ -2515,7 +2540,10 @@ def _seeded_rederive(
     joins themselves run in driver polars on those bounded frames.
 
     Data moved scales with the deleted cone, not the store; the store is
-    scanned once per probed body atom (constant-filtered, no exchange).
+    scanned once per probed body atom (constant-filtered, no exchange),
+    streaming straight off the parquet scan — the store is never pinned
+    in the object store (a ``materialize()`` here would hold the full
+    remainder resident per retraction call, a spill storm at scale).
 
     Returns ``(lineage frame (s,p,o,g,lkey), probe_rows)`` or None when
     any probe/binding frame exceeds ``bound`` — the caller then falls
@@ -2527,7 +2555,9 @@ def _seeded_rederive(
     from .plan import vcol
     from .util import polars_to_arrow_string
 
-    store_ds = store.dataset().materialize()
+    # lazy: each probe is an independent streaming pass over the
+    # committed parquet files; blocks are released as consumed
+    store_ds = store.dataset()
     fact_pa = pa.int64() if fact_dtype == pl.Int64 else pa.string()
     probe_rows = 0
     heads_out: List[pl.DataFrame] = []
@@ -2776,6 +2806,10 @@ def _retract_finish(
             new, probe_rows = seeded
             rederive_extra["rederive"] = "seeded"
             rederive_extra["rederive_probe_rows"] = int(probe_rows)
+            # observable scale metric: rows shipped back by the seeded
+            # probes vs rows in the remaining store — a healthy skewed
+            # retraction shows probe_rows ≪ store_rows (no full-store pin)
+            rederive_extra["rederive_store_rows"] = int(remaining)
         else:
             # fallback: the full-remainder semi-naive DRed round
             inc = IncrementalMatches(plans, broadcast_rows)

@@ -602,9 +602,70 @@ def ngram_decontaminate(
     return docs_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64/murmur3 finalizer — full-avalanche 64-bit scramble."""
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> np.uint64(33))
+        x = x * _MIX1
+        x = x ^ (x >> np.uint64(29))
+        x = x * _MIX2
+        x = x ^ (x >> np.uint64(32))
+    return x
+
+
+def stable_str_hash64(arr, seed: int) -> np.ndarray:
+    """Version-stable vectorized 64-bit string hash: a seeded
+    polynomial accumulation over the utf-8 bytes (pure numpy uint64
+    wraparound — bit-identical on every platform and library version)
+    finished with a splitmix64 scramble.  Replaces polars
+    ``Series.hash``, whose value is NOT stable across polars
+    releases/platforms — in a cluster mixing polars builds that would
+    silently break Bloom-filter no-false-negative guarantees."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.large_string())
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    offs_abs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    start, end = int(offs_abs[0]), int(offs_abs[-1])
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[start:end]
+    offs = (offs_abs - start).astype(np.int64)
+    lengths = np.diff(offs)
+    seed64 = _mix64(np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    with np.errstate(over="ignore"):
+        base = (seed64 * _MIX2) | np.uint64(1)  # odd ⇒ invertible mod 2^64
+        if data.size:
+            maxlen = int(lengths.max())
+            powers = np.full(maxlen, base, dtype=np.uint64)
+            powers[0] = np.uint64(1)
+            powers = np.multiply.accumulate(powers)
+            pos = np.arange(data.size, dtype=np.int64) - np.repeat(
+                offs[:-1], lengths
+            )
+            terms = (data.astype(np.uint64) + np.uint64(1)) * powers[pos]
+            csum = np.zeros(data.size + 1, dtype=np.uint64)
+            np.cumsum(terms, out=csum[1:])
+            sums = csum[offs[1:]] - csum[offs[:-1]]  # wraps mod 2^64: exact
+        else:
+            sums = np.zeros(n, dtype=np.uint64)
+        return _mix64(sums + seed64 + lengths.astype(np.uint64) * _MIX1)
+
+
 class BloomFilter:
     """Deterministic Bloom filter over strings: ``k`` probes by double
-    hashing (``h1 + i·h2``) of two independent seeded polars hashes.
+    hashing (``h1 + i·h2``) of two independently seeded
+    :func:`stable_str_hash64` values (pure numpy — bit-identical across
+    platforms and library versions, so driver ``add`` and worker
+    ``contains`` always agree even on heterogeneous clusters).
     No false negatives by construction; false-positive rate ≈
     ``(1 − e^(−k·n/m))^k``.  The bit array is a numpy uint64 vector —
     a 2^27-bit filter is 16 MB however many grams went in, which is the
@@ -622,13 +683,8 @@ class BloomFilter:
 
     def _probes(self, arr: pa.Array) -> np.ndarray:
         """(len(arr), k) bit positions."""
-        import polars as plr
-
-        s = plr.from_arrow(pc.cast(arr, pa.large_string()))
-        if isinstance(s, plr.DataFrame):  # single-column frame
-            s = s.to_series()
-        h1 = s.hash(seed=0x51ED).to_numpy().astype(np.uint64)
-        h2 = (s.hash(seed=0xB10F).to_numpy().astype(np.uint64)) | np.uint64(1)
+        h1 = stable_str_hash64(arr, 0x51ED)
+        h2 = stable_str_hash64(arr, 0xB10F) | np.uint64(1)
         i = np.arange(self.k, dtype=np.uint64)[None, :]
         with np.errstate(over="ignore"):
             return ((h1[:, None] + i * h2[:, None]) & self.mask).astype(np.uint64)

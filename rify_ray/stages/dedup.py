@@ -98,10 +98,14 @@ def incremental_exact_dedup(
     seen set below ``broadcast_rows`` digests, a ``left_anti`` hash
     join above it (the store never lands on the driver in the scale
     regime).  ``commit=True`` appends the surviving digests as ONE new
-    part via tmp+rename, so a crashed run never leaves a torn store
-    and the snapshot is all-or-nothing: a rerun BEFORE the commit
-    landed recomputes identically; after it, the same snapshot returns
-    empty (its content is now "seen" — exactly the recrawl semantics).
+    part via tmp+hardlink (O_EXCL semantics), so a crashed run never
+    leaves a torn store and the snapshot is all-or-nothing: a rerun
+    BEFORE the commit landed recomputes identically; after it, the same
+    snapshot returns empty (its content is now "seen" — exactly the
+    recrawl semantics).  The part index is ``max(existing)+1`` (gaps
+    from manually removed parts never cause an overwrite), and the
+    store is SINGLE-WRITER: two racing snapshot commits raise
+    ``FileExistsError`` rather than silently losing seen digests.
 
     Returns ``(survivors_ds, n_seen_digests)`` — survivors as one
     ``{id_col}`` column, and the store size BEFORE this snapshot."""
@@ -175,7 +179,16 @@ def incremental_exact_dedup(
         return ray.data.from_arrow(empty_ids), n_seen
 
     if commit:
-        part = os.path.join(state_dir, f"digests-{len(parts):05d}.parquet")
+        # next index = max(existing)+1, NOT len(parts): a gap from a
+        # manually removed part must never make a new commit land on an
+        # existing number and silently clobber committed digests
+        used = [
+            int(os.path.basename(p)[len("digests-") : -len(".parquet")])
+            for p in parts
+        ]
+        part = os.path.join(
+            state_dir, f"digests-{(max(used) + 1 if used else 0):05d}.parquet"
+        )
         writer = None
         try:
             for batch in cand.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -189,7 +202,11 @@ def incremental_exact_dedup(
             if writer is not None:
                 writer.close()
         if writer is not None:
-            os.replace(part + ".tmp", part)
+            # single-writer store: two racing snapshot runs are not
+            # supported — fail loudly instead of overwriting a part
+            # another writer committed after our directory listing
+            os.link(part + ".tmp", part)  # O_EXCL-style: EEXIST on race
+            os.remove(part + ".tmp")
 
     def ids_only(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0:

@@ -292,10 +292,13 @@ def cooccurrence_topk(
     is monotone, so the ranking is identical, and the score stays an
     exactly-computable integer ratio: int64 products below 2^53 are
     exact in doubles and the final division is exactly rounded).
-    Pairs are ordered ``w1 < w2``; ``min_count`` floors the pair count
-    (rare-pair noise floor AND the traffic bound: pairs crossing the
-    final exchange are only those seen ≥ min_count times per block
-    aggregate).  Output: (w1, w2, pair_n, df1, df2, lift).
+    Pairs are ordered ``w1 < w2``; ``min_count`` floors the GLOBAL pair
+    count and is applied AFTER the pair-keyed sum exchange (every
+    pair's per-block partial crosses that exchange — the floor keeps
+    counts exact; a per-block pre-filter would be an approximation and
+    is deliberately not done).  The traffic bound on the exchange is
+    the per-block combiner: at most one row per distinct pair per
+    block.  Output: (w1, w2, pair_n, df1, df2, lift).
 
     Physical plan: per-block distinct (doc, term) explode → ONE
     vectorized within-block self-join on doc_id (a document lives in

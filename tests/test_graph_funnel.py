@@ -202,3 +202,31 @@ def test_bloom_no_false_negatives_and_bounded_fp(ray_session):
     assert fp < 0.001, fp
     members = pa.array([f"m{i}" for i in range(1000)], pa.string())
     assert bf.contains(members).all()  # zero false negatives
+
+
+def test_stable_str_hash64_pinned_and_representation_invariant():
+    """The Bloom probe hash is pure-numpy and must be bit-identical
+    forever (a drifting hash across versions would silently break the
+    persistent/heterogeneous-cluster no-false-negative contract) —
+    pinned golden values, plus invariance to Arrow representation
+    (slices with nonzero offset, chunking, null-as-empty)."""
+    import numpy as np
+
+    from rify_ray.stages.corpus import stable_str_hash64
+
+    a = pa.array(["", "a", "hello world", "héllo", "a" * 300, None])
+    h = stable_str_hash64(a, 1)
+    assert [hex(int(x)) for x in h] == [
+        "0x96fa14d79953ca26",
+        "0x5c10119e76a023a0",
+        "0x252c9f5bd04b6a97",
+        "0xb95d43031ca1b8cd",
+        "0xe60d02f28f81d54",
+        "0x96fa14d79953ca26",  # null hashes like ""
+    ]
+    assert (stable_str_hash64(a.slice(2, 3), 1) == h[2:5]).all()
+    ch = pa.chunked_array([["", "a"], ["hello world"]])
+    assert (stable_str_hash64(ch, 1) == h[:3]).all()
+    assert (stable_str_hash64(a, 2) != h).all()  # seed independence
+    hh = stable_str_hash64(pa.array([f"g{i}" for i in range(100_000)]), 7)
+    assert len(np.unique(hh)) == 100_000  # injective on a real workload

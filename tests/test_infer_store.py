@@ -649,6 +649,10 @@ def test_remove_premises_store_seeded_rederive(tmp_path):
     # deleted cone, not the store (~157 rows here)
     assert red[0]["rows"] == 1
     assert 0 < m["rederive_probe_rows"] < s2.count() // 10
+    # no full-store pin: the committed metric pairs probe traffic with
+    # the store size it probed against (probe rows ≪ store rows)
+    assert m["rederive_store_rows"] >= s2.count() - red[0]["rows"]
+    assert m["rederive_probe_rows"] < m["rederive_store_rows"] // 10
 
 
 def test_remove_premises_store_seeded_fallback(tmp_path):

@@ -199,6 +199,33 @@ def test_incremental_dedup_commit_false_leaves_store(ray_session, tmp_path):
     assert sorted(os.listdir(state)) == before  # dry run: no new part
 
 
+def test_incremental_dedup_part_numbering_gap_safe(ray_session, tmp_path):
+    """Part index is max(existing)+1, so a gap from a manually removed
+    part never makes a commit overwrite a later part's digests; and a
+    tmp colliding with a committed part fails loudly (single-writer)."""
+    import os
+
+    from rify_ray.stages.dedup import incremental_exact_dedup
+
+    state = str(tmp_path / "digests")
+    incremental_exact_dedup(_snap_ds([(0, "a")]), state)  # digests-00000
+    incremental_exact_dedup(_snap_ds([(1, "b")]), state)  # digests-00001
+    incremental_exact_dedup(_snap_ds([(2, "c")]), state)  # digests-00002
+    # operator removes the middle part: len(parts)=2 but max index is 2
+    os.remove(os.path.join(state, "digests-00001.parquet"))
+    incremental_exact_dedup(_snap_ds([(3, "d")]), state)
+    names = sorted(os.listdir(state))
+    # the new part is 00003 — 00002 ("c") was NOT overwritten
+    assert names == [
+        "digests-00000.parquet",
+        "digests-00002.parquet",
+        "digests-00003.parquet",
+    ]
+    out, _ = incremental_exact_dedup(_snap_ds([(9, "c")]), state, commit=False)
+    got = _collect(out)
+    assert got is None or got.height == 0  # "c" still seen
+
+
 def brute_cooccur(min_count):
     from collections import Counter
     from itertools import combinations

@@ -194,6 +194,34 @@ def test_query_filter_constant_encoding_non_string():
     assert _result_set(out, ["x", "y"]) == {(1, 3), (4, 1)}
 
 
+def test_query_filter_explicit_var_literal_markers():
+    """A filter rhs can be marked explicitly: U(name) forces a variable
+    reference, B(value) forces a literal — resolving the bare-string
+    ambiguity when a literal collides with a variable name."""
+    # a fact whose object IS the string "b" — the collision case
+    facts = [
+        ("a1", "p", "b", "g"),
+        ("a2", "p", "zz", "g"),
+        ("b", "p", "b", "g"),
+    ]
+    pattern = [[U("a"), B("p"), U("b"), B("g")]]
+    # B("b"): compare variable a against the LITERAL string "b"
+    lit = engine.query(facts, pattern, filters=[("a", "==", B("b"))])
+    assert _result_set(lit, ["a", "b"]) == {("b", "b")}
+    # U("b"): compare variable a against variable b (same as bare "b")
+    var = engine.query(facts, pattern, filters=[("a", "==", U("b"))])
+    assert _result_set(var, ["a", "b"]) == {("b", "b")}
+    bare_warns = engine.query(facts, pattern, filters=[("a", "!=", U("b"))])
+    assert _result_set(bare_warns, ["a", "b"]) == {("a1", "b"), ("a2", "zz")}
+    # bare string naming a variable: still a variable reference, but warns
+    with pytest.warns(UserWarning, match="names a pattern variable"):
+        bare = engine.query(facts, pattern, filters=[("a", "==", "b")])
+    assert _result_set(bare, ["a", "b"]) == {("b", "b")}
+    # U rhs must name a pattern variable
+    with pytest.raises(ValueError):
+        engine.query(facts, pattern, filters=[("a", "==", U("nope"))])
+
+
 def test_query_filter_validation_errors():
     facts = ancestry_facts(4)
     pattern = [[U("x"), B("parent"), U("y"), B(DG)]]
