@@ -199,6 +199,69 @@ def _q_kg_nation_chain_closure(sf_dir: str):
     return _derived_to_arrow(engine.infer(quads, _rules_reach()))
 
 
+def _q_kg_prove_chain(sf_dir: str):
+    """The reference's flagship capability — ``prove`` + ``validate`` —
+    under the hard oracle signal (reference golden shape:
+    ``src/prove.rs:502-627``'s multi-step chain proofs).
+
+    Builds a lineage-tracking store over the nation ``succ`` chain,
+    proves the LONGEST goal ``reach(first, last)`` via
+    ``engine.prove_store`` (early-exit fixpoint → generation-pruned
+    backward lineage walk → proof replay), validates the returned
+    proof with ``engine.validate``, and emits the validation verdict as
+    rows: one ``kind='assumed'`` row per assumed premise plus one
+    ``kind='goal_implied'`` row for the proven goal.
+
+    The assumed set is SQL-pinnable: any proof of reach(first,last)
+    over a simple path must traverse every edge, and reach facts derive
+    only from succ premises — so assumed == the full succ premise
+    table, and the goal row == (min nation, reach, max nation).  The
+    callable additionally asserts the in-memory contracts the SQL twin
+    can't see: goal ∈ implied, assumed ∩ implied = ∅, assumed ⊆
+    premises — a broken prover or validator fails loudly rather than
+    returning plausible rows."""
+    import tempfile
+
+    import ray.data
+
+    from rify_ray import engine
+    from rify_ray.pipelines.relational import nation_chain_quads
+
+    quads = nation_chain_quads(sf_dir)
+    first = quads["s"][0].as_py()
+    last = quads["o"][-1].as_py()
+    goal = (first, "reach", last, DG)
+    with tempfile.TemporaryDirectory() as d:
+        proof = engine.prove_store(
+            ray.data.from_arrow(quads),
+            [goal],
+            _rules_reach(),
+            f"{d}/kg",
+            num_partitions=8,
+        )
+    v = engine.validate(_rules_reach(), proof)
+    if goal not in v.implied:
+        raise AssertionError("validated proof does not imply the goal")
+    if v.assumed & v.implied:
+        raise AssertionError("assumed/implied sets must be disjoint")
+    premises = set(
+        zip(*(quads[c].to_pylist() for c in FACT_COLS))
+    )
+    if not v.assumed <= premises:
+        raise AssertionError("proof assumed a non-premise quad")
+    rows = sorted(v.assumed) + [goal]
+    kinds = ["assumed"] * (len(rows) - 1) + ["goal_implied"]
+    return pa.table(
+        {
+            "kind": pa.array(kinds, pa.string()),
+            "s": pa.array([r[0] for r in rows], pa.string()),
+            "p": pa.array([r[1] for r in rows], pa.string()),
+            "o": pa.array([r[2] for r in rows], pa.string()),
+            "g": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
 def _q_kg_customer_region_store(sf_dir: str):
     """The in_region inference on the STORE-RESIDENT path (dict-encoded
     parquet generations, hybrid rounds) — oracle-checked against the
@@ -1373,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conational": _q_kg_conational,
         "kg_conational_store": _q_kg_conational_store,
         "kg_nation_chain_closure": _q_kg_nation_chain_closure,
+        "kg_prove_chain": _q_kg_prove_chain,
         "kg_predicate_stats": _q_kg_predicate_stats,
         "kg_top_out_degree": _q_kg_top_out_degree,
         "kg_pages_flagship": _q_kg_pages_flagship,
@@ -1674,6 +1738,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'n:' || a.n_nationkey AS s, 'reach' AS p, "
             "'n:' || b.n_nationkey AS o, 'default_graph' AS g "
             "FROM ordered a JOIN ordered b ON a.rn < b.rn"
+        ),
+        # prove+validate hard signal: assumed == the full succ premise
+        # chain (a path proof must traverse every edge), goal row ==
+        # reach(min nation, max nation)
+        "kg_prove_chain": (
+            "WITH chain AS (SELECT 'n:' || n_nationkey AS s, 'succ' AS p, "
+            "'n:' || lead(n_nationkey) OVER (ORDER BY n_nationkey) AS o, "
+            "'default_graph' AS g FROM nation) "
+            "SELECT 'assumed' AS kind, s, p, o, g FROM chain WHERE o IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'goal_implied', 'n:' || (SELECT min(n_nationkey) FROM nation), "
+            "'reach', 'n:' || (SELECT max(n_nationkey) FROM nation), 'default_graph'"
         ),
         "dedup_exact_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         # exact n-gram-Jaccard near-dup: char-5 shingles, candidates share

@@ -790,20 +790,35 @@ def events_retention(
     max_offset: int = 30,
     broadcast_rows: int = 20_000_000,
     num_partitions: int = 8,
+    driver_rows_bound: int = 2_000_000,
+    forced_shuffle: bool = False,
 ):
     """Cohort retention: users are cohorted by their FIRST event day;
     for each (cohort_day, day_offset ≤ ``max_offset``) count the
     distinct users active that many days after their first event —
     the classic growth-analytics triangle.
 
-    Scale shape: (1) first-event-per-user via a per-block partial min +
-    one user-keyed ``groupby.min`` exchange; (2) the user→cohort table
-    rides back as a ``ray.put`` broadcast below ``broadcast_rows``
-    (hash join above); (3) activity dedup is per-block distinct
-    (user, cohort, offset) triples + one global triple-keyed dedup
-    exchange (bounded by users × max_offset, not events); (4) final
-    counts are per-block partials + one (cohort, offset)-keyed sum."""
-    import numpy as np
+    Scale shape — ONE pass over events, then adaptive like the other
+    grouped aggregates: the scan reduces each block to its distinct
+    (user, day) pairs (bounded by users × active-days per block, not
+    events); when the per-block partials total at or below
+    ``driver_rows_bound`` the rest is ONE driver polars pass (dedup →
+    per-user min → offsets → counts, zero exchanges — the aggregator
+    spin-up otherwise dominates at this size).  Above the bound,
+    exactly three keyed exchanges, the last one tiny:
+
+    1. ONE pair-keyed dedup exchange makes the pairs globally distinct;
+    2. first-event-per-user derives FROM those deduped pairs (min day
+       == min over raw events by construction): per-block partial min
+       + one user-keyed ``groupby.min`` exchange, riding back as a
+       ``ray.put`` broadcast below ``broadcast_rows`` users (a
+       user-keyed hash join above — the only extra exchange in the
+       big regime);
+    3. cohort attach + offset filter are a pure per-block map over the
+       already-distinct pairs (distinct (user, day) ⇒ distinct
+       (user, cohort, offset): cohort is a function of user), so the
+       final count is a per-block partial + one (cohort, offset)-keyed
+       sum over at most cohorts × offsets rows per block."""
     import ray
     import ray.data
 
@@ -819,25 +834,99 @@ def events_retention(
     )
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
-    def partial_min(batch: pa.Table) -> pa.Table:
+    def block_pairs(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
-                {"user_id": pa.array([], pa.int64()), "first_us": pa.array([], pa.int64())}
+                {"user_id": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
             )
-        g = (
+        return (
             pa.table(
                 {
                     "user_id": pc.cast(batch["user_id"], pa.int64()),
-                    "first_us": pc.cast(batch["ts"], pa.int64()),
+                    # event DAY (epoch days; events are post-1970)
+                    "d": pc.divide(pc.cast(batch["ts"], pa.int64()), US_PER_DAY),
                 }
             )
-            .group_by("user_id")
-            .aggregate([("first_us", "min")])
+            .group_by(["user_id", "d"])
+            .aggregate([])
         )
-        return pa.table({"user_id": g["user_id"], "first_us": g["first_us_min"]})
 
-    parts = ds.map_batches(partial_min, batch_format="pyarrow", zero_copy_batch=True)
-    firsts = drop_empty_blocks(parts.groupby("user_id").min("first_us").materialize())
+    pairs = ds.map_batches(
+        block_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(schema.empty_table())
+    if not forced_shuffle and n_pairs <= driver_rows_bound:
+        import polars as plr
+
+        tabs = [
+            b
+            for b in pairs.iter_batches(batch_size=None, batch_format="pyarrow")
+            if b.num_rows and b.num_columns
+        ]
+        df = plr.from_arrow(pa.concat_tables(tabs)).unique()
+        df = df.join(
+            df.group_by("user_id").agg(plr.col("d").min().alias("cohort_d")),
+            on="user_id",
+        ).with_columns((plr.col("d") - plr.col("cohort_d")).alias("day_offset"))
+        out = (
+            df.filter(
+                (plr.col("day_offset") >= 0) & (plr.col("day_offset") <= max_offset)
+            )
+            .group_by(["cohort_d", "day_offset"])
+            .len("n_users")
+            .with_columns(
+                (plr.col("cohort_d") * US_PER_DAY)
+                .cast(plr.Datetime("us"))
+                .dt.date()
+                .cast(plr.Utf8)
+                .alias("cohort_day")
+            )
+            .select(["cohort_day", "day_offset", "n_users"])
+        )
+        return ray.data.from_arrow(out.to_arrow().cast(schema))
+
+    # exchange 1: globally distinct (user, day) activity pairs — reused
+    # by both the cohort derivation and the offset count, so material-
+    # ized ONCE (size bounded by users × distinct active days, ≪ events)
+    uniq = drop_empty_blocks(
+        pairs.groupby(["user_id", "d"]).count().materialize()
+    )
+    if uniq is None:
+        return ray.data.from_arrow(schema.empty_table())
+
+    def strip_count(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "d": pc.cast(batch["d"], pa.int64()),
+            }
+        )
+
+    uniq = uniq.map_batches(
+        strip_count, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+            )
+        g = batch.group_by("user_id").aggregate([("d", "min")])
+        return pa.table({"user_id": g["user_id"], "d": g["d_min"]})
+
+    # exchange 2: first day per user, from the deduped pairs
+    firsts = drop_empty_blocks(
+        uniq.map_batches(partial_min, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .min("d")
+        .materialize()
+    )
     if firsts is None:
         return ray.data.from_arrow(schema.empty_table())
 
@@ -846,12 +935,10 @@ def events_retention(
             return pa.table(
                 {"user_id": pa.array([], pa.int64()), "cohort_d": pa.array([], pa.int64())}
             )
-        first = pc.cast(batch["min(first_us)"], pa.int64())
         return pa.table(
             {
                 "user_id": pc.cast(batch["user_id"], pa.int64()),
-                # first-event DAY (epoch days; events are post-1970)
-                "cohort_d": pc.divide(first, US_PER_DAY),
+                "cohort_d": pc.cast(batch["min(d)"], pa.int64()),
             }
         )
 
@@ -859,40 +946,33 @@ def events_retention(
         rename_min, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    def triples_fn(lut_ref):
-        def fn(batch: pa.Table) -> pa.Table:
-            empty = pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "cohort_d": pa.array([], pa.int64()),
-                    "day_offset": pa.array([], pa.int64()),
-                }
-            )
-            if batch.num_rows == 0:
-                return empty
-            import polars as plr
-
-            lut: plr.DataFrame = ray.get(lut_ref)
-            df = plr.from_arrow(
-                pa.table(
-                    {
-                        "user_id": pc.cast(batch["user_id"], pa.int64()),
-                        "d": pc.divide(pc.cast(batch["ts"], pa.int64()), US_PER_DAY),
-                    }
-                )
-            ).join(lut, on="user_id", how="inner")
-            df = (
-                df.with_columns((plr.col("d") - plr.col("cohort_d")).alias("day_offset"))
-                .filter(
-                    (plr.col("day_offset") >= 0) & (plr.col("day_offset") <= max_offset)
-                )
-                .select(["user_id", "cohort_d", "day_offset"])
-                .unique()
-            )
-            out = df.to_arrow()
-            return pa.table({c: pc.cast(out[c], pa.int64()) for c in out.column_names})
-
-        return fn
+    def count_partial(batch: pa.Table) -> pa.Table:
+        """cohort attach + offset filter + per-block (cohort, offset)
+        partial counts, over globally-distinct (user, day) pairs."""
+        empty = pa.table(
+            {
+                "cohort_d": pa.array([], pa.int64()),
+                "day_offset": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "cohort_d" not in batch.column_names:
+            return empty
+        off = pc.subtract(
+            pc.cast(batch["d"], pa.int64()), pc.cast(batch["cohort_d"], pa.int64())
+        )
+        t = pa.table({"cohort_d": pc.cast(batch["cohort_d"], pa.int64()), "day_offset": off})
+        keep = pc.and_(pc.greater_equal(off, 0), pc.less_equal(off, max_offset))
+        g = t.filter(keep).group_by(["cohort_d", "day_offset"]).aggregate(
+            [("day_offset", "count")]
+        )
+        return pa.table(
+            {
+                "cohort_d": g["cohort_d"],
+                "day_offset": g["day_offset"],
+                "cnt": pc.cast(g["day_offset_count"], pa.int64()),
+            }
+        )
 
     n_users = firsts.count()
     if n_users <= broadcast_rows:
@@ -904,73 +984,25 @@ def events_retention(
             if b.num_rows and b.num_columns
         ]
         lut_ref = ray.put(plr.from_arrow(pa.concat_tables(tabs)))
-        trip = ds.map_batches(
-            triples_fn(lut_ref), batch_format="pyarrow", zero_copy_batch=True
+
+        def attach_and_count(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return count_partial(batch)
+            import polars as plr
+
+            df = plr.from_arrow(batch).join(ray.get(lut_ref), on="user_id", how="inner")
+            return count_partial(df.to_arrow().combine_chunks())
+
+        cparts = uniq.map_batches(
+            attach_and_count, batch_format="pyarrow", zero_copy_batch=True
         )
     else:
-        trip = ds.map_batches(
-            lambda b: pa.table(
-                {
-                    "user_id": pc.cast(b["user_id"], pa.int64()),
-                    "d": pc.divide(pc.cast(b["ts"], pa.int64()), US_PER_DAY),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).join(firsts, "inner", num_partitions, on=("user_id",))
-
-        def offsets(batch: pa.Table) -> pa.Table:
-            off = pc.subtract(batch["d"], batch["cohort_d"])
-            t = pa.table(
-                {
-                    "user_id": batch["user_id"],
-                    "cohort_d": batch["cohort_d"],
-                    "day_offset": off,
-                }
-            )
-            keep = pc.and_(
-                pc.greater_equal(off, 0), pc.less_equal(off, max_offset)
-            )
-            return t.filter(keep).group_by(
-                ["user_id", "cohort_d", "day_offset"]
-            ).aggregate([])
-
-        trip = trip.map_batches(offsets, batch_format="pyarrow", zero_copy_batch=True)
-
-    trip = drop_empty_blocks(trip.materialize())
-    if trip is None:
-        return ray.data.from_arrow(schema.empty_table())
-    # global distinct of (user, cohort, offset), then partial counts
-    uniq = drop_empty_blocks(
-        trip.groupby(["user_id", "cohort_d", "day_offset"]).count().materialize()
-    )
-    if uniq is None:
-        return ray.data.from_arrow(schema.empty_table())
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "cohort_d": pa.array([], pa.int64()),
-                "day_offset": pa.array([], pa.int64()),
-                "cnt": pa.array([], pa.int64()),
-            }
-        )
-        if batch.num_rows == 0 or "cohort_d" not in batch.column_names:
-            return empty
-        g = (
-            pa.table({"cohort_d": batch["cohort_d"], "day_offset": batch["day_offset"]})
-            .group_by(["cohort_d", "day_offset"])
-            .aggregate([("day_offset", "count")])
-        )
-        return pa.table(
-            {
-                "cohort_d": g["cohort_d"],
-                "day_offset": g["day_offset"],
-                "cnt": pc.cast(g["day_offset_count"], pa.int64()),
-            }
+        joined = uniq.join(firsts, "inner", num_partitions, on=("user_id",))
+        cparts = joined.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    cparts = uniq.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+    # exchange 3 (tiny): at most cohorts × offsets rows per block
     agg = drop_empty_blocks(
         cparts.groupby(["cohort_d", "day_offset"]).sum("cnt").materialize()
     )

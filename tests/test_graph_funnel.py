@@ -122,12 +122,20 @@ def test_events_retention_matches_brute(ray_session, tmp_path):
         key = (str(__import__("datetime").date(1970, 1, 1) + __import__("datetime").timedelta(days=cd)), off)
         want[key] = want.get(key, 0) + 1
 
-    for bcast in (20_000_000, 0):
+    # all three physical regimes: driver fold, distributed+broadcast
+    # cohort lut, distributed+hash-join cohort attach
+    for bcast, forced in ((20_000_000, False), (20_000_000, True), (0, True)):
         out = _collect(
-            events_retention(str(tmp_path), max_offset=30, broadcast_rows=bcast, num_partitions=4)
+            events_retention(
+                str(tmp_path),
+                max_offset=30,
+                broadcast_rows=bcast,
+                num_partitions=4,
+                forced_shuffle=forced,
+            )
         ).to_pylist()
         got = {(r["cohort_day"], r["day_offset"]): r["n_users"] for r in out}
-        assert got == want, (bcast, got, want)
+        assert got == want, (bcast, forced, got, want)
 
 
 def test_top_degree_distributed_sort_branch(ray_session):

@@ -309,3 +309,30 @@ def test_retraction_across_compacted_lineage(tmp_path):
         True,
     )
     assert tuple(enc[t] for t in goal) in args
+
+
+def test_kg_prove_chain_query_contract(ray_session):
+    """The public kg_prove_chain queries() entry: prove_store +
+    validate end-to-end, assumed set == the succ premise chain, one
+    goal_implied row — matches the DuckDB oracle at sf0.001."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    res = e.queries()["kg_prove_chain"](sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM read_parquet('{sf}/nation.parquet')"
+    )
+    want = con.execute(e.oracle_sql()["kg_prove_chain"]).arrow()
+    key = lambda t: sorted(
+        zip(*(t[c].to_pylist() for c in ("kind", "s", "p", "o", "g")))
+    )
+    assert key(res) == key(want)
+    assert res.num_rows == want.num_rows > 1
+    kinds = set(res["kind"].to_pylist())
+    assert kinds == {"assumed", "goal_implied"}
