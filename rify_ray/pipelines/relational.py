@@ -578,22 +578,45 @@ def grouped_quantiles(
     value_col: str,
     qs: List[float],
     out_names: List[str],
+    heavy_key_bound: int = 50_000_000,
+    sketch_k: int = 256,
 ):
     """Exact per-group discrete quantiles — DuckDB ``quantile_disc``
     semantics (the element at ``max(0, ceil(q*n) - 1)`` of the sorted
     values), so the SQL oracle matches value-for-value.
 
     One ``groupby(key)`` exchange; per-group work is a single sort.
-    Partitioning assumption: one key's values fit in a worker — for
-    heavy keys swap in the mergeable deterministic quantile sketch
-    (:class:`rify_ray.stages.corpus.MPQuantileSketch`), which trades
-    exactness for constant per-block state like
-    :func:`rify_ray.stages.corpus.hll_distinct` does for counts."""
+    The exact path's partitioning assumption — one key's values fit in
+    a worker — is ENFORCED, not hoped for: a cheap key-column pre-pass
+    (per-block partial counts folded on the driver; distinct keys are
+    grouping-cardinality small by the same assumption the output makes)
+    finds keys with more than ``heavy_key_bound`` values, and those
+    keys route automatically through the mergeable deterministic
+    Munro-Paterson sketch
+    (:func:`rify_ray.stages.corpus.grouped_quantile_sketch`) — per
+    block O(k·log) sketch rows cross the exchange instead of every
+    value, trading bounded rank error for never materializing a giant
+    group (the same trade :func:`rify_ray.stages.corpus.hll_distinct`
+    makes for counts).  Light keys stay exact; the two outputs union."""
     import numpy as np
+    import ray.data
 
     out_schema = pa.schema(
         [(key_col, pa.string())] + [(n, pa.int64()) for n in out_names]
     )
+
+    # key-cardinality pre-pass: one streaming scan of the key column
+    key_counts: dict = {}
+    for b in ds.select_columns([key_col]).map_batches(
+        lambda t: t.group_by(key_col).aggregate([([], "count_all")]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows == 0 or b.num_columns == 0:
+            continue
+        for kk, cc in zip(b[key_col].to_pylist(), b["count_all"].to_pylist()):
+            key_counts[kk] = key_counts.get(kk, 0) + cc
+    heavy = {kk for kk, cc in key_counts.items() if cc > heavy_key_bound}
 
     def kernel(group: pa.Table) -> pa.Table:
         vals = np.sort(
@@ -611,12 +634,43 @@ def grouped_quantiles(
             cols[name] = pa.array([int(vals[idx])], pa.int64())
         return pa.table(cols).cast(out_schema)
 
-    return ds.groupby(key_col).map_groups(kernel, batch_format="pyarrow")
+    if not heavy:
+        return ds.groupby(key_col).map_groups(kernel, batch_format="pyarrow")
+
+    from ..stages.corpus import grouped_quantile_sketch
+
+    heavy_arr = pa.array(sorted(heavy), pa.string())
+
+    def split_fn(keep_heavy: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(pc.cast(batch[key_col], pa.string()), value_set=heavy_arr)
+            return batch.filter(m if keep_heavy else pc.invert(m))
+
+        return fn
+
+    heavy_out = grouped_quantile_sketch(
+        ds.map_batches(split_fn(True), batch_format="pyarrow", zero_copy_batch=True),
+        key_col=key_col,
+        value_col=value_col,
+        qs=qs,
+        out_names=list(out_names),
+        k=sketch_k,
+    )
+    if len(heavy) == len(key_counts):
+        return heavy_out
+    light_out = (
+        ds.map_batches(split_fn(False), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+    return light_out.union(heavy_out)
 
 
-def events_value_quantiles(sf_dir: str):
+def events_value_quantiles(sf_dir: str, *, heavy_key_bound: int = 50_000_000):
     """Per event_type quantiles of the value column in integer cents
-    (p25/p50/p75/p90), exact vs DuckDB ``quantile_disc``."""
+    (p25/p50/p75/p90), exact vs DuckDB ``quantile_disc``; an event type
+    with more than ``heavy_key_bound`` events routes automatically
+    through the Munro-Paterson sketch (see :func:`grouped_quantiles`)."""
     import ray.data
 
     ds = ray.data.read_parquet(
@@ -639,6 +693,7 @@ def events_value_quantiles(sf_dir: str):
         value_col="cents",
         qs=[0.25, 0.5, 0.75, 0.9],
         out_names=["p25_cents", "p50_cents", "p75_cents", "p90_cents"],
+        heavy_key_bound=heavy_key_bound,
     )
 
 

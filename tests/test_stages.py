@@ -1037,6 +1037,48 @@ def test_grouped_quantiles_duckdb_disc_rule():
     assert out["b"] == (20, 30, 50)
 
 
+def test_grouped_quantiles_heavy_key_routes_through_sketch():
+    """The automatic heavy-key fallback: a key whose value count
+    exceeds heavy_key_bound is detected by the key pre-pass and routed
+    through the Munro-Paterson sketch (bounded rank error); light keys
+    stay exact; the union covers every key exactly once."""
+    import ray.data
+
+    from rify_ray.pipelines.relational import grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    n_heavy, n_light = 40_000, 500
+    keys = np.concatenate([np.repeat("hot", n_heavy), np.repeat("cold", n_light)])
+    vals = np.concatenate(
+        [
+            rng.normal(5000, 1500, size=n_heavy).astype(np.int64),
+            np.arange(n_light, dtype=np.int64),
+        ]
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    ).repartition(4)
+    rows = grouped_quantiles(
+        ds, key_col="k", value_col="v", qs=[0.5, 0.9],
+        out_names=["p50", "p90"], heavy_key_bound=10_000,
+    ).take_all()
+    got = {r["k"]: (r["p50"], r["p90"]) for r in rows}
+    assert set(got) == {"hot", "cold"} and len(rows) == 2
+    # light key: exact DuckDB disc rule — element at ceil(q*n)-1
+    assert got["cold"] == (249, 449)
+    # heavy key: sketch estimate within rank-error bound
+    sub = np.sort(vals[:n_heavy])
+    for est, q in zip(got["hot"], [0.5, 0.9]):
+        rank = np.searchsorted(sub, est, side="right")
+        assert abs(rank / sub.size - q) < 0.03, (q, rank / sub.size)
+    # all keys heavy: pure sketch path still covers every key
+    rows2 = grouped_quantiles(
+        ds, key_col="k", value_col="v", qs=[0.5], out_names=["p50"],
+        heavy_key_bound=100,
+    ).take_all()
+    assert {r["k"] for r in rows2} == {"hot", "cold"}
+
+
 def test_normalize_fn():
     from rify_ray.stages.text import normalize_fn
 
