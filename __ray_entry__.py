@@ -1166,11 +1166,13 @@ def _q_multimodal_decode(sf_dir: str):
 
     from rify_ray.stages.multimodal import media_stage, synthetic_media_table
 
-    # auto backend: the WAV rows hit the REAL stdlib-wave decoder and
-    # the PNG rows the REAL vendored stdlib PNG parser
-    # (decoded_real=True); video payloads fall back to the
-    # deterministic fake — both paths exercised in one query
-    media = ray.data.from_arrow(synthetic_media_table(60, real_audio=True, real_image=True))
+    # auto backend: the WAV rows hit the REAL stdlib-wave decoder, the
+    # PNG rows the REAL vendored stdlib PNG parser, and the video rows
+    # the REAL vendored stdlib Y4M container parser — all three kinds
+    # decode real in-container (decoded_real=True row for row)
+    media = ray.data.from_arrow(
+        synthetic_media_table(60, real_audio=True, real_image=True, real_video=True)
+    )
     out = media_stage(media, backend="auto", concurrency=2)
     return pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
 

@@ -4,14 +4,16 @@ columns with typed metadata.
 Decoders are CAPABILITY-PROBED per actor (``probe_backends``): PIL
 (falling back to a vendored stdlib-only PNG parser — zlib inflate +
 scanline de-filtering, ``_png_decode_gray``) for images, stdlib
-``wave`` for WAV audio, ffmpeg for video.  ``backend="auto"`` uses the
-real decoder for a kind when it parses the payload, and degrades to a
-deterministic fake (digest-derived features) otherwise — the
-``decoded_real`` output column records which path each row took.  In
-this container the WAV and PNG decoders are real (no PIL/ffmpeg); the
-PIL path and the video plumbing are exercised only where their
-libraries exist, and ``backend="real"`` raises ``NotImplementedError``
-for a kind with no real decoder at all (video here).
+``wave`` for WAV audio, and a vendored stdlib-only Y4M (YUV4MPEG2)
+container parser (``_y4m_decode`` — header parse + per-frame plane
+walk; compressed containers would need ffmpeg, absent here) for video.
+``backend="auto"`` uses the real decoder for a kind when it parses the
+payload, and degrades to a deterministic fake (digest-derived
+features) otherwise — the ``decoded_real`` output column records which
+path each row took.  In this container all three kinds decode real
+payloads (WAV, PNG, Y4M) with no external libraries;
+``backend="real"`` raises ``ValueError`` only for payloads the
+vendored parsers cannot parse (e.g. an MP4 without ffmpeg).
 
 Large binary payloads mean SMALL batches: a batch × concurrency must
 fit the worker heap, so ``media_stage`` defaults to ``batch_size=32``.
@@ -50,18 +52,17 @@ FEATURES_SCHEMA = pa.schema(
 def probe_backends() -> dict:
     """Capability probe for real decoders, evaluated once per actor (in
     ``DecodeStage.__init__``): PIL — or the vendored stdlib PNG parser,
-    always present — for images, stdlib ``wave`` for WAV audio, an
-    ffmpeg binary for video."""
-    caps = {"image": True, "audio": False, "video": False}
+    always present — for images, stdlib ``wave`` for WAV audio, and the
+    vendored stdlib Y4M parser — also always present — for video
+    (ffmpeg, when installed, would extend coverage to compressed
+    containers; the Y4M path needs nothing)."""
+    caps = {"image": True, "audio": False, "video": True}
     try:
         import wave  # noqa: F401
 
         caps["audio"] = True
     except ImportError:  # pragma: no cover - stdlib
         pass
-    import shutil
-
-    caps["video"] = shutil.which("ffmpeg") is not None
     return caps
 
 
@@ -217,6 +218,87 @@ def _decode_audio_real(payload: bytes, kind: str):
     return rate // 1000, channels * sampwidth * 8, feat
 
 
+_Y4M_SIG = b"YUV4MPEG2"
+
+
+def _y4m_frame_geometry(w: int, h: int, cs: str):
+    """Frame payload size + Y-plane size for a Y4M colorspace tag."""
+    y = w * h
+    if cs.startswith("420"):
+        return y + 2 * ((w // 2) * (h // 2)), y
+    if cs.startswith("422"):
+        return y + 2 * ((w // 2) * h), y
+    if cs.startswith("444"):
+        return 3 * y, y
+    if cs.startswith("mono"):
+        return y, y
+    raise ValueError(f"unsupported Y4M colorspace C{cs}")
+
+
+def _y4m_decode(payload: bytes):
+    """Vendored stdlib-only Y4M (YUV4MPEG2) decode: ASCII stream header
+    (``YUV4MPEG2 W<w> H<h> F<n>:<d> ... C<cs>``) → per-frame walk of
+    ``FRAME`` markers + raw planar payloads → (width, height, n_frames,
+    first frame's Y plane as float in [0, 1], frame byte offsets).
+
+    Supports the 8-bit planar colorspaces (C420*, C422, C444, Cmono;
+    default C420).  Raises ``ValueError`` on anything else —
+    ``backend="auto"`` then takes the deterministic-fake path for that
+    row, exactly like the PNG parser."""
+    if not payload or not payload.startswith(_Y4M_SIG):
+        raise ValueError("not a Y4M payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M header")
+    w = h = None
+    cs = "420"
+    for tok in payload[len(_Y4M_SIG) : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            cs = val.decode("ascii", "replace")
+    if not w or not h:
+        raise ValueError("Y4M header missing dimensions")
+    frame_sz, y_sz = _y4m_frame_geometry(w, h, cs)
+    pos = nl + 1
+    n_frames = 0
+    first_y = None
+    offsets = []
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError("corrupt Y4M frame marker")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_sz > len(payload):
+            raise ValueError("truncated Y4M frame")
+        offsets.append(pos)
+        if first_y is None:
+            first_y = (
+                np.frombuffer(payload[fnl + 1 : fnl + 1 + y_sz], np.uint8)
+                .reshape(h, w)
+                .astype(np.float32)
+                / 255.0
+            )
+        pos = fnl + 1 + frame_sz
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("Y4M stream has no frames")
+    return w, h, n_frames, first_y, offsets
+
+
+def _decode_video_real(payload: bytes, kind: str):
+    """Video decode via the vendored Y4M parser: true container
+    dimensions + an 8-dim feature (mean intensity per vertical band of
+    the first frame's 8×8 luma thumbnail — the image feature applied to
+    frame 0, so image/video features live in the same space)."""
+    w, h, _n_frames, first_y, _offsets = _y4m_decode(payload)
+    return w, h, _box_thumb(first_y, 8).mean(axis=0).tolist()
+
+
 def _decode_real(payload: bytes, kind: str):
     """Strict real decode: dispatch to the capability-probed decoder for
     ``kind``; raises when the library isn't present (``backend="auto"``
@@ -226,9 +308,11 @@ def _decode_real(payload: bytes, kind: str):
         return _decode_image_real(payload, kind)
     if kind == "audio" and caps["audio"]:
         return _decode_audio_real(payload, kind)
+    if kind == "video" and caps["video"]:
+        return _decode_video_real(payload, kind)
     raise NotImplementedError(
         f"real {kind} decoding requires "
-        f"{'PIL or the vendored PNG parser' if kind == 'image' else 'wave' if kind == 'audio' else 'ffmpeg'}, "
+        f"{'PIL or the vendored PNG parser' if kind == 'image' else 'wave' if kind == 'audio' else 'the vendored Y4M parser (or ffmpeg for compressed containers)'}, "
         "not available in this environment — use backend='fake' "
         "(deterministic) or backend='auto' (real where possible)"
     )
@@ -264,7 +348,7 @@ class DecodeStage:
         self._real = {
             "image": _decode_image_real if caps.get("image") else None,
             "audio": _decode_audio_real if caps.get("audio") else None,
-            "video": None,  # ffmpeg plumbing not implemented even when present
+            "video": _decode_video_real if caps.get("video") else None,
         }
 
     def _decode(self, payload: bytes, kind: str):
@@ -330,13 +414,27 @@ def media_stage(
 
 
 def frame_sample_fn(n_frames: int = 4):
-    """Video frame sampling stub: one output row per sampled frame
-    (deterministic offsets).  Row-expanding map_batches — the real
-    decoder would slice the container at these offsets."""
+    """Video frame sampling: one output row per sampled frame.  A Y4M
+    payload yields REAL container offsets — ``n_frames`` evenly-spaced
+    ``FRAME`` marker positions from the vendored parser's frame walk —
+    so a downstream stage can slice the container at the offset and
+    decode exactly that frame.  Unparseable payloads degrade to
+    byte-proportional stub offsets (the deterministic-fake discipline).
+    Row-expanding map_batches either way."""
 
     def fn(batch: pa.Table) -> pa.Table:
         ids, frame_no, offs = [], [], []
         for mid, payload in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            try:
+                _w, _h, total, _y, marker_offs = _y4m_decode(payload)
+                take = min(n_frames, total)
+                for f in range(take):
+                    ids.append(mid)
+                    frame_no.append(f)
+                    offs.append(marker_offs[(total * f) // take])
+                continue
+            except ValueError:
+                pass
             n = len(payload or b"")
             for f in range(n_frames):
                 ids.append(mid)
@@ -400,12 +498,33 @@ def _synthetic_png(i: int) -> bytes:
     )
 
 
+def _synthetic_y4m(i: int) -> bytes:
+    """Deterministic valid Y4M payload (3-frame C420 gradient video
+    keyed by ``i``) — parses in any environment via the vendored stdlib
+    parser."""
+    w = h = 16 + (i % 4) * 2  # even dims for 4:2:0 chroma
+    header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+    frames = []
+    for f in range(3):
+        y = ((np.add.outer(np.arange(h), np.arange(w)) * 5 + i * 11 + f * 40) % 256).astype(
+            np.uint8
+        )
+        uv = np.full((h // 2) * (w // 2), 128, dtype=np.uint8)
+        frames.append(b"FRAME\n" + y.tobytes() + uv.tobytes() + uv.tobytes())
+    return header + b"".join(frames)
+
+
 def synthetic_media_table(
-    n: int, *, real_audio: bool = False, real_image: bool = False
+    n: int,
+    *,
+    real_audio: bool = False,
+    real_image: bool = False,
+    real_video: bool = False,
 ) -> pa.Table:
     """Deterministic media fixture (payload bytes derived from the id).
-    ``real_audio=True`` makes the audio rows genuine WAV payloads and
-    ``real_image=True`` the image rows genuine PNGs, so a
+    ``real_audio=True`` makes the audio rows genuine WAV payloads,
+    ``real_image=True`` the image rows genuine PNGs, and
+    ``real_video=True`` the video rows genuine Y4M streams, so a
     capability-probed ``backend="auto"`` stage exercises its real
     decoders on them."""
     kinds = ["image", "audio", "video"]
@@ -421,6 +540,8 @@ def synthetic_media_table(
             payload = _synthetic_wav(i)
         elif kind == "image" and real_image:
             payload = _synthetic_png(i)
+        elif kind == "video" and real_video:
+            payload = _synthetic_y4m(i)
         else:
             payload = hashlib.blake2b(str(i).encode(), digest_size=32).digest() * (4 + i % 5)
         rows["media_id"].append(i)

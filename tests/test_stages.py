@@ -545,7 +545,9 @@ def test_media_real_backend_raises():
     from rify_ray.stages.multimodal import DecodeStage
 
     stage = DecodeStage(backend="real")
-    # video has no real decoder here (no ffmpeg plumbing)
+    # strict real VIDEO decode of a non-Y4M payload fails loudly (a
+    # compressed container would need ffmpeg; the vendored Y4M parser
+    # rejects foreign bytes)
     batch = pa.table(
         {
             "media_id": pa.array([0], pa.int64()),
@@ -554,7 +556,7 @@ def test_media_real_backend_raises():
             "meta": pa.array(["{}"], pa.string()),
         }
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         stage(batch)
     # strict real IMAGE decode of a non-PNG payload fails loudly
     img = pa.table(
@@ -748,6 +750,89 @@ def test_frame_sample():
     out = frame_sample_fn(4)(batch)
     assert out["frame_no"].to_pylist() == [0, 1, 2, 3]
     assert out["byte_offset"].to_pylist() == [0, 2, 5, 7]
+
+
+def test_y4m_decode_roundtrip_and_colorspaces():
+    """The vendored stdlib Y4M parser recovers true dimensions, frame
+    count, and the exact first-frame luma plane across all supported
+    planar colorspaces; truncation and foreign bytes raise ValueError
+    (the auto-backend fake-fallback contract)."""
+    import numpy as np
+    import pytest
+
+    from rify_ray.stages.multimodal import _synthetic_y4m, _y4m_decode
+
+    w, h = 12, 8
+    y = ((np.add.outer(np.arange(h), np.arange(w)) * 9) % 256).astype(np.uint8)
+    for cs, extra in (
+        ("420", 2 * ((w // 2) * (h // 2))),
+        ("420jpeg", 2 * ((w // 2) * (h // 2))),
+        ("422", 2 * ((w // 2) * h)),
+        ("444", 2 * w * h),
+        ("mono", 0),
+    ):
+        frame = b"FRAME\n" + y.tobytes() + bytes(extra)
+        payload = f"YUV4MPEG2 W{w} H{h} F30:1 C{cs}\n".encode() + frame * 2
+        gw, gh, n, first_y, offs = _y4m_decode(payload)
+        assert (gw, gh, n) == (w, h, 2), cs
+        assert np.allclose(first_y, y.astype(np.float32) / 255.0), cs
+        assert len(offs) == 2 and offs[0] < offs[1]
+        assert payload[offs[1] : offs[1] + 5] == b"FRAME"
+    syn = _synthetic_y4m(3)
+    gw, gh, n, first_y, _ = _y4m_decode(syn)
+    assert n == 3 and gw == gh == 16 + (3 % 4) * 2
+    with pytest.raises(ValueError):
+        _y4m_decode(syn[:-5])  # truncated final frame
+    with pytest.raises(ValueError):
+        _y4m_decode(b"not a video")
+    with pytest.raises(ValueError):
+        _y4m_decode(f"YUV4MPEG2 W4 H4 C410\n".encode())  # unsupported cs
+
+
+def test_media_auto_decodes_real_video_all_three_kinds():
+    """With real payloads for all three kinds, backend='auto' decodes
+    every row real in this container — images via the vendored PNG
+    parser, audio via stdlib wave, video via the vendored Y4M parser —
+    and frame sampling returns real container offsets."""
+    import ray.data
+
+    from rify_ray.stages.multimodal import (
+        DecodeStage,
+        _synthetic_y4m,
+        frame_sample_fn,
+        media_stage,
+        synthetic_media_table,
+    )
+
+    media_t = synthetic_media_table(
+        30, real_audio=True, real_image=True, real_video=True
+    )
+    rows = media_stage(
+        ray.data.from_arrow(media_t), backend="auto", concurrency=2
+    ).take_all()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], set()).add(r["decoded_real"])
+    assert by_kind == {"image": {True}, "audio": {True}, "video": {True}}
+    vid = next(r for r in rows if r["kind"] == "video")
+    assert vid["width"] == vid["height"] and vid["width"] in (16, 18, 20, 22)
+    # strict real backend no longer raises for video
+    batch = pa.table(
+        {
+            "media_id": pa.array([2], pa.int64()),
+            "kind": pa.array(["video"], pa.string()),
+            "payload": pa.array([_synthetic_y4m(2)], pa.binary()),
+            "meta": pa.array(["{}"], pa.string()),
+        }
+    )
+    strict = DecodeStage(backend="real")(batch)
+    assert strict["decoded_real"].to_pylist() == [True]
+    # frame sampling on a real container: offsets land on FRAME markers
+    fs = frame_sample_fn(2)(batch)
+    payload = _synthetic_y4m(2)
+    assert fs["frame_no"].to_pylist() == [0, 1]
+    for off in fs["byte_offset"].to_pylist():
+        assert payload[off : off + 5] == b"FRAME"
 
 
 # ---------------------------------------------------------------------------
