@@ -434,6 +434,58 @@ def _q_kg_conational_store(sf_dir: str):
         return _collect(store.decoded_dataset(first_gen=1))
 
 
+# phase timings of the most recent _q_kg_conational_retract call —
+# bench.py reads this to report the retraction cost SEPARATELY from the
+# closure build it necessarily runs first (the sublinearity evidence:
+# retract_sec ≪ build_sec on the 10.26 M-fact closure at sf0.1)
+_LAST_RETRACT_TIMES: dict[str, float] = {}
+
+
+def _q_kg_conational_retract(sf_dir: str):
+    """DRed retraction AT SCALE: the conational closure — the biggest
+    derived set in the suite (10.26 M facts at sf0.1) — is built with
+    lineage, then ~1 % of the customer ``in_nation`` premises
+    (``custkey % 100 == 1``) are retracted.  Each customer has exactly
+    one ``in_nation`` premise, so every conational pair touching a
+    retracted customer dies and nothing rederives — the overdeletion
+    cone is ~2 % of the closure and the maintenance cost must track
+    THAT, not the 10 M-fact store (phase timings exported via
+    ``_LAST_RETRACT_TIMES`` for bench.py).  Oracle: the conational
+    closure over the surviving entities only — i.e. the from-scratch
+    recompute, so the equals-recompute property IS the hash check."""
+    import tempfile
+    import time
+
+    import polars as pl
+    import ray.data
+
+    from rify_ray import engine
+    from rify_ray.pipelines.relational import customer_nation_quads, supplier_nation_quads
+    from rify_ray.util import polars_to_arrow_string
+
+    cust = _collect_quads(customer_nation_quads(sf_dir))
+    drop = cust.filter(pl.col("s").str.strip_prefix("c:").cast(pl.Int64) % 100 == 1)
+    quads = customer_nation_quads(sf_dir).union(supplier_nation_quads(sf_dir))
+    with tempfile.TemporaryDirectory() as d:
+        t0 = time.monotonic()
+        engine.infer_store(
+            quads, _rules_conational(), f"{d}/kg", num_partitions=16,
+            with_lineage=True,
+        )
+        t1 = time.monotonic()
+        store = engine.remove_premises_store(
+            ray.data.from_arrow(polars_to_arrow_string(drop)),
+            _rules_conational(),
+            f"{d}/kg",
+            num_partitions=16,
+        )
+        t2 = time.monotonic()
+        _LAST_RETRACT_TIMES.update(
+            {"build_sec": t1 - t0, "retract_sec": t2 - t1, "retracted": drop.height}
+        )
+        return _collect(store.decoded_dataset(derived_only=True))
+
+
 def _dump_oracle_quads(store, name: str) -> None:
     """Persist the store's PREMISE quads (generation 0 — the
     canonicalized page mentions) to a fixed scratch path so the DuckDB
@@ -1069,7 +1121,10 @@ def _q_knn_lsh_top3(sf_dir: str):
 
     ids, mat = _query_vectors(sf_dir, 5)
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = knn_lsh(emb, ids, mat, k=3, multiprobe=1)
+    # nbits=6 + 2 probe hops: ~1/3 of the bucket space per query,
+    # the recall/compute knee on these embeddings (recall >= 0.5 vs
+    # brute pinned in the self-run artifact twin)
+    out = knn_lsh(emb, ids, mat, k=3, nbits=6, multiprobe=2)
     tbl = pa.concat_tables(out.iter_batches(batch_size=None, batch_format="pyarrow"))
     return tbl.select(["query_id", "rank", "neighbor_id"])
 
@@ -1437,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_customer_region_retract": _q_kg_customer_region_retract,
         "kg_conational": _q_kg_conational,
         "kg_conational_store": _q_kg_conational_store,
+        "kg_conational_retract": _q_kg_conational_retract,
         "kg_nation_chain_closure": _q_kg_nation_chain_closure,
         "kg_prove_chain": _q_kg_prove_chain,
         "kg_predicate_stats": _q_kg_predicate_stats,
@@ -1730,6 +1786,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_conational_store": (
             "WITH ents AS ("
             "SELECT 'c:' || c_custkey AS e, c_nationkey AS nk FROM customer "
+            "UNION ALL SELECT 's:' || s_suppkey, s_nationkey FROM supplier) "
+            "SELECT a.e AS s, 'conational' AS p, b.e AS o, 'default_graph' AS g "
+            "FROM ents a JOIN ents b ON a.nk = b.nk"
+        ),
+        # retraction at scale: surviving conational closure == the
+        # from-scratch recompute over the non-retracted entities
+        "kg_conational_retract": (
+            "WITH ents AS ("
+            "SELECT 'c:' || c_custkey AS e, c_nationkey AS nk FROM customer "
+            "WHERE c_custkey % 100 <> 1 "
             "UNION ALL SELECT 's:' || s_suppkey, s_nationkey FROM supplier) "
             "SELECT a.e AS s, 'conational' AS p, b.e AS o, 'default_graph' AS g "
             "FROM ents a JOIN ents b ON a.nk = b.nk"

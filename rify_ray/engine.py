@@ -1865,6 +1865,94 @@ def _lineage_row_count(lineage_dir: str) -> int:
     return sum(pq.read_metadata(f).num_rows for _g, f in _lineage_gen_files(lineage_dir))
 
 
+# -- lineage tombstones (the LSM delete path's lineage side) ---------------
+
+
+def _lineage_tomb_meta_path(lineage_dir: str) -> str:
+    return os.path.join(lineage_dir, "tombstones", "meta.json")
+
+
+def _lineage_tombstones(lineage_dir: str) -> List[Dict]:
+    """Committed lineage tombstone parts ``[{file, rows, max_gen}]`` — a
+    part hides lineage rows whose HEAD quad is in the part and whose
+    generation is ≤ ``max_gen`` (a rederived head's NEW lineage row in a
+    later generation stays visible)."""
+    p = _lineage_tomb_meta_path(lineage_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f).get("parts", [])
+
+
+def _write_lineage_tombstone(
+    lineage_dir: str, deleted: pl.DataFrame, max_gen: int
+) -> None:
+    """Append one immutable lineage tombstone part (tmp+rename, meta
+    updated last = commit point; a crash leaves at worst an orphan
+    parquet no meta references)."""
+    from .util import polars_to_arrow_string
+
+    import pyarrow.parquet as _pq
+
+    if deleted.height == 0:
+        return
+    tdir = os.path.join(lineage_dir, "tombstones")
+    os.makedirs(tdir, exist_ok=True)
+    parts = _lineage_tombstones(lineage_dir)
+    used = [int(t["file"].split("-")[-1].split(".")[0]) for t in parts]
+    idx = (max(used) + 1) if used else 0
+    rel = f"ts-{idx:05d}.parquet"
+    fpath = os.path.join(tdir, rel)
+    _pq.write_table(
+        polars_to_arrow_string(deleted.select(FACT_COLS).unique()), fpath + ".tmp"
+    )
+    os.replace(fpath + ".tmp", fpath)
+    parts = [*parts, {"file": rel, "rows": int(deleted.height), "max_gen": int(max_gen)}]
+    meta = _lineage_tomb_meta_path(lineage_dir)
+    with open(meta + ".tmp", "w") as f:
+        json.dump({"parts": parts}, f)
+    os.replace(meta + ".tmp", meta)
+
+
+def _lineage_tombstone_frame(
+    lineage_dir: str, fact_dtype
+) -> Optional[pl.DataFrame]:
+    """All lineage tombstone parts as one frame with a ``_mg`` scope
+    column (driver-resident; bounded by the retraction batch bound)."""
+    parts = _lineage_tombstones(lineage_dir)
+    if not parts:
+        return None
+    tdir = os.path.join(lineage_dir, "tombstones")
+    frames = []
+    for t in parts:
+        df = pl.read_parquet(os.path.join(tdir, t["file"])).select(FACT_COLS)
+        df = df.with_columns(
+            [pl.col(c).cast(fact_dtype) for c in FACT_COLS]
+            + [pl.lit(t["max_gen"], dtype=pl.Int64).alias("_mg")]
+        )
+        frames.append(df)
+    return pl.concat(frames)
+
+
+def _apply_lineage_tombstones(
+    df: pl.DataFrame, tomb: Optional[pl.DataFrame]
+) -> pl.DataFrame:
+    """Drop rows of a ``gen``-carrying lineage frame whose head quad is
+    tombstoned at or below that row's generation."""
+    if tomb is None or df.height == 0:
+        return df
+    hid = (
+        df.select([*FACT_COLS, "gen"])
+        .join(tomb, on=FACT_COLS, how="inner")
+        .filter(pl.col("gen") <= pl.col("_mg"))
+        .select([*FACT_COLS, "gen"])
+        .unique()
+    )
+    if hid.height == 0:
+        return df
+    return df.join(hid, on=[*FACT_COLS, "gen"], how="anti")
+
+
 def _read_lineage_driver(lineage_dir: str, fact_dtype=pl.Utf8) -> pl.DataFrame:
     """All lineage rows as one driver polars frame with a ``gen`` column
     (the generation-directory number) — the driver-resident regime of the
@@ -1883,7 +1971,10 @@ def _read_lineage_driver(lineage_dir: str, fact_dtype=pl.Utf8) -> pl.DataFrame:
         schema["lkey"] = pl.Utf8
         schema["gen"] = pl.Int64
         return pl.DataFrame(schema=schema)
-    return pl.concat(frames, how="vertical_relaxed")
+    out = pl.concat(frames, how="vertical_relaxed")
+    return _apply_lineage_tombstones(
+        out, _lineage_tombstone_frame(lineage_dir, out.schema["s"])
+    )
 
 
 def _dependents_in_frame(
@@ -1905,6 +1996,26 @@ def _dependents_in_frame(
     if blk.height == 0 or frontier.height == 0:
         return empty
     fr = frontier.select(FACT_COLS)
+    # raw-lkey substring prefilter (Aho-Corasick) BEFORE the expensive
+    # per-row split: a derivation whose body contains a frontier fact
+    # must carry at least one frontier term among its lkey
+    # instantiations — UNLESS some atom is all-constant (the dependence
+    # is then invisible in the lkey), which disables the prefilter.
+    # Substring matches over-select (id "12" inside "123"), never drop.
+    if blk.height > 50_000 and all(
+        any(e.is_unbound() for e in atom) for r in walk_rules for atom in r.if_all
+    ):
+        vals: set = set()
+        for c in FACT_COLS:
+            vals.update(fr[c].unique().to_list())
+            if len(vals) > 20_000:
+                break
+        if len(vals) <= 20_000:
+            blk = blk.filter(
+                pl.col("lkey").str.contains_any([str(v) for v in vals])
+            )
+            if blk.height == 0:
+                return empty
     var_pos = [
         {name: k for k, name in enumerate(r.canonical_unbound())} for r in walk_rules
     ]
@@ -1915,13 +2026,36 @@ def _dependents_in_frame(
         rule = walk_rules[ri]
         vp = var_pos[ri]
         sub = blk.filter(pl.col("_ri") == ri)
-        sub = sub.with_columns(
-            [
-                pl.col("_parts").list.get(k + 1).cast(fact_dtype).alias(f"_v{k}")
-                for k in range(len(vp))
-            ]
-        )
         for atom in rule.if_all:
+            # cheap single-column prefilter BEFORE reconstructing the
+            # candidate body frame: the atom can only produce a frontier
+            # fact if its (first) variable slot's instantiation value
+            # appears in the frontier's corresponding column — one
+            # vectorized is_in over the raw lkey parts cuts a
+            # millions-of-rows block to the dependent neighborhood
+            # before any multi-column select/join materializes
+            pre = None
+            for j, e in enumerate(atom):
+                if e.is_unbound():
+                    pre = (j, vp[e.value])
+                    break
+            s2 = sub
+            if pre is not None:
+                j, k = pre
+                s2 = sub.filter(
+                    pl.col("_parts")
+                    .list.get(k + 1)
+                    .cast(fact_dtype)
+                    .is_in(fr[FACT_COLS[j]].unique().implode())
+                )
+            if s2.height == 0:
+                continue
+            s2 = s2.with_columns(
+                [
+                    pl.col("_parts").list.get(k + 1).cast(fact_dtype).alias(f"_v{k}")
+                    for k in range(len(vp))
+                ]
+            )
             exprs = []
             for j, e in enumerate(atom):
                 if e.is_unbound():
@@ -1930,7 +2064,7 @@ def _dependents_in_frame(
                     exprs.append(
                         pl.lit(e.value, dtype=fact_dtype).alias(f"_p_{FACT_COLS[j]}")
                     )
-            cand = sub.select([*[pl.col(c) for c in keep_cols], *exprs])
+            cand = s2.select([*[pl.col(c) for c in keep_cols], *exprs])
             hit = cand.join(
                 fr.rename({c: f"_p_{c}" for c in FACT_COLS}),
                 on=[f"_p_{c}" for c in FACT_COLS],
@@ -1982,6 +2116,8 @@ def _scan_lineage_dependents(
     )
     fref = ray.put(frontier.select(FACT_COLS))
     href = ray.put(head_probe.select(FACT_COLS)) if head_probe is not None else None
+    tomb = _lineage_tombstone_frame(lineage_dir, fact_dtype)
+    tref = ray.put(tomb) if tomb is not None else None
     gen_expr = (
         pl.col("path")
         .str.extract_all(r"gen=(\d+)")
@@ -1996,6 +2132,10 @@ def _scan_lineage_dependents(
         if blk.height == 0:
             return out_schema.empty_table()
         blk = blk.with_columns(gen_expr)
+        if tref is not None:
+            blk = _apply_lineage_tombstones(blk, ray.get(tref))
+            if blk.height == 0:
+                return out_schema.empty_table()
         outs = []
         deps = _dependents_in_frame(blk, ray.get(fref), walk_rules, fact_dtype)
         if deps.height:
@@ -2044,12 +2184,36 @@ def _overdelete_walk(
     previous level's fresh heads (level 0 scans everything — a premise's
     position is unknown, and a premise retracted after being rederived
     HAS a lineage row whose generation the filter must know)."""
+    def _atom_compatible(frontier_df: pl.DataFrame) -> pl.DataFrame:
+        """Frontier rows that can match at least one rule-body atom's
+        constant slots — only those can have recorded dependents, so a
+        level whose frontier is all-incompatible needs NO lineage scan
+        (e.g. retracting facts of a derived-only predicate that never
+        appears in any body)."""
+        keeps = []
+        for r in walk_rules:
+            for atom in r.if_all:
+                cond = None
+                for j, e in enumerate(atom):
+                    if e.is_bound():
+                        c = pl.col(FACT_COLS[j]) == pl.lit(e.value, dtype=fact_dtype)
+                        cond = c if cond is None else (cond & c)
+                keeps.append(
+                    frontier_df if cond is None else frontier_df.filter(cond)
+                )
+        if not keeps:
+            return frontier_df.head(0)
+        return pl.concat(keeps).unique()
+
     deleted = prem_df
     frontier = prem_df
     affected: set = set()
     min_gen: Optional[int] = None
     first = True
     while frontier.height:
+        frontier = _atom_compatible(frontier)
+        if frontier.height == 0 and not first:
+            break
         if lineage_df is not None:
             src = (
                 lineage_df
@@ -2141,6 +2305,7 @@ def compact_lineage(
     import shutil
 
     _heal_lineage_dirs(lineage_dir)
+    _materialize_lineage_tombstones(lineage_dir)
     gen_files = _lineage_gen_files(lineage_dir)
     gens = sorted({g for g, _f in gen_files})
     victims = gens[:-keep_last] if keep_last else gens
@@ -2195,6 +2360,38 @@ def compact_lineage(
             shutil.rmtree(os.path.join(lineage_dir, f"gen={g:05d}"), ignore_errors=True)
 
 
+def _materialize_lineage_tombstones(lineage_dir: str) -> None:
+    """Fold committed lineage tombstone parts into physical rewrites
+    (oldest first, each scoped to generations ≤ its ``max_gen``) —
+    called by :func:`compact_lineage` so the logical deletes are paid
+    once per compaction cycle, mirroring
+    :meth:`TripleStore.materialize_tombstones`."""
+    parts = _lineage_tombstones(lineage_dir)
+    if not parts:
+        return
+    tdir = os.path.join(lineage_dir, "tombstones")
+    meta = _lineage_tomb_meta_path(lineage_dir)
+    while parts:
+        t = parts[0]
+        df = pl.read_parquet(os.path.join(tdir, t["file"]))
+        gens = [
+            g
+            for g in sorted({g for g, _f in _lineage_gen_files(lineage_dir)})
+            if g <= t["max_gen"]
+        ]
+        _filter_lineage_dirs(
+            lineage_dir, df.select(FACT_COLS), affected_gens=gens, mode="rewrite"
+        )
+        parts = parts[1:]
+        with open(meta + ".tmp", "w") as f:
+            json.dump({"parts": parts}, f)
+        os.replace(meta + ".tmp", meta)
+        try:
+            os.remove(os.path.join(tdir, t["file"]))
+        except OSError:
+            pass
+
+
 def _filter_lineage_dirs(
     lineage_dir: str,
     deleted: pl.DataFrame,
@@ -2202,23 +2399,38 @@ def _filter_lineage_dirs(
     affected_gens: Optional[List[int]] = None,
     lineage_df: Optional[pl.DataFrame] = None,
     driver_rows: int = 2_000_000,
+    mode: str = "rewrite",
 ) -> None:
     """Drop lineage rows whose HEAD is a deleted fact.
 
-    Only ``affected_gens`` (the generations the overdeletion walk saw
-    deleted heads in) are rewritten — every other generation provably
-    holds none.  Below ``driver_rows`` total lineage rows the filter
-    runs in driver polars (``lineage_df`` reuses the frame the walk
-    already loaded); above, ONE distributed pass over the affected
-    generations' files writes the filtered rows hive-partitioned by
-    source generation, then plain renames swap each directory in
-    (write-new → swap; a crashed swap is healed by
-    :func:`_heal_lineage_dirs` on the next retraction)."""
+    ``mode="rewrite"`` (default): only ``affected_gens`` (the
+    generations the overdeletion walk saw deleted heads in) are
+    rewritten — every other generation provably holds none.  Below
+    ``driver_rows`` total lineage rows the filter runs in driver polars
+    (``lineage_df`` reuses the frame the walk already loaded); above,
+    ONE distributed pass over the affected generations' files writes
+    the filtered rows hive-partitioned by source generation, then plain
+    renames swap each directory in (write-new → swap; a crashed swap is
+    healed by :func:`_heal_lineage_dirs` on the next retraction).
+
+    ``mode="tombstone"``: the LSM path — ONE part file records the
+    deleted heads (scoped to the current max generation); every lineage
+    reader filters against it and :func:`compact_lineage` folds it into
+    a physical rewrite later.  Writes scale with the deleted cone."""
     import shutil
 
     from .util import polars_to_arrow_string
 
     if not os.path.isdir(lineage_dir) or deleted.height == 0:
+        return
+    if mode == "tombstone":
+        all_gens = [g for g, _f in _lineage_gen_files(lineage_dir)]
+        scope = (
+            max(affected_gens)
+            if affected_gens
+            else (max(all_gens) if all_gens else 0)
+        )
+        _write_lineage_tombstone(lineage_dir, deleted, scope)
         return
     gen_files = _lineage_gen_files(lineage_dir)
     if affected_gens is not None:
@@ -2339,6 +2551,7 @@ def remove_premises_store(
     dict_encode: bool = True,
     compact_every: Optional[int] = 64,
     rederive_bound: Optional[int] = None,
+    tombstone_rows: int = 2_000_000,
 ):
     """DRed-style retraction (delete + rederive, Gupta/Mumick/
     Subrahmanian, SIGMOD 1993) over a live :func:`infer_store` fixpoint
@@ -2431,6 +2644,7 @@ def remove_premises_store(
             resuming=True,
             affected_gens=gens,
             rederive_bound=rederive_bound,
+            tombstone_rows=tombstone_rows,
         )
         os.remove(pending_marker)
         if os.path.exists(pending_gens):
@@ -2513,6 +2727,7 @@ def remove_premises_store(
         affected_gens=affected_gens,
         lineage_df=lineage_df,
         rederive_bound=rederive_bound,
+        tombstone_rows=tombstone_rows,
     )
     os.remove(marker)
     os.remove(pending_gens)
@@ -2563,6 +2778,21 @@ def _seeded_rederive(
     heads_out: List[pl.DataFrame] = []
     del_keys = deleted.select(FACT_COLS).unique()
 
+    def _atom_scan(atom):
+        """Constant-pruned store scan for one probe atom: the atom's
+        constant slots push down as a parquet filter, so row groups
+        whose statistics exclude the constants (e.g. a whole derived
+        generation under a different predicate) never leave storage."""
+        import pyarrow.dataset as pads
+
+        expr = None
+        for c, v in atom.const_filters:
+            e = pads.field(c) == v
+            expr = e if expr is None else expr & e
+        if expr is None:
+            return store_ds
+        return store.dataset(filter_expr=expr)
+
     def probe_atom(atom, seed_small: Optional[pl.DataFrame], shared: List[str]):
         """Matched projections of ``atom`` over the store, restricted to
         rows semi-joinable with the (broadcast) seed on ``shared``.
@@ -2586,7 +2816,8 @@ def _seeded_rederive(
         tabs = []
         total = 0
         for b in (
-            store_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+            _atom_scan(atom)
+            .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
             .iter_batches(batch_size=None, batch_format="pyarrow")
         ):
             if b.num_rows and b.num_columns:
@@ -2612,7 +2843,8 @@ def _seeded_rederive(
             return pa.table({"n": pa.array([1 if m is not None else 0], pa.int64())})
 
         for b in (
-            store_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+            _atom_scan(atom)
+            .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
             .iter_batches(batch_size=None, batch_format="pyarrow")
         ):
             if b.num_rows and b.num_columns and pa.compute.sum(b["n"]).as_py():
@@ -2735,6 +2967,7 @@ def _retract_finish(
     affected_gens: Optional[List[int]] = None,
     lineage_df: Optional[pl.DataFrame] = None,
     rederive_bound: Optional[int] = None,
+    tombstone_rows: int = 2_000_000,
 ):
     """The destructive tail of :func:`remove_premises_store` — every
     step is idempotent so a crashed attempt re-runs safely under the
@@ -2750,11 +2983,20 @@ def _retract_finish(
     from .eval_hybrid import run_iteration_hybrid
     from .eval_shuffle import IncrementalMatches, collect_to_polars, run_iteration_core
 
-    res = store.delete_facts(deleted)
+    # delete regime: above the driver-rewrite bound the physical rewrite
+    # of the affected generations would cost a full store's worth of
+    # writes per retraction — switch to LSM tombstones (writes scale
+    # with the deleted cone; compaction folds them in later)
+    lsm = store.count() > tombstone_rows
+    res = store.delete_facts(deleted, mode="tombstone" if lsm else "rewrite")
     if res["deleted"] == 0 and not resuming:
         return store
     _filter_lineage_dirs(
-        lineage_dir, deleted, affected_gens=affected_gens, lineage_df=lineage_df
+        lineage_dir,
+        deleted,
+        affected_gens=affected_gens,
+        lineage_df=lineage_df,
+        mode="tombstone" if lsm else "rewrite",
     )
 
     # rederive: head-constrained when the store is big (cost tracks the
@@ -2910,8 +3152,10 @@ def _walk_lineage_generations(
     )
     frontier = set(goals)
     seen = set(goals)
+    fact_dtype_w = pl.Int64 if dict_encode else pl.Utf8
+    tomb_w = _lineage_tombstone_frame(lineage_dir, fact_dtype_w)
 
-    def scan_dir(files, frontier) -> bool:
+    def scan_dir(files, frontier, gen_no) -> bool:
         """One probe pass of this generation's files against the current
         frontier; returns whether any new quad resolved."""
         fact_pa = pa.int64() if dict_encode else pa.string()
@@ -2927,6 +3171,22 @@ def _walk_lineage_generations(
             blk = pl.from_arrow(batch)
             hits = blk.join(ray.get(_ref), on=FACT_COLS, how="semi")
             return polars_to_arrow_string(hits)
+
+        # tombstoned heads at this generation never resolve (their
+        # recorded derivation was retracted; a rederived head's lineage
+        # lives in a newer generation above every part's max_gen)
+        tomb_here = (
+            set(
+                map(
+                    tuple,
+                    tomb_w.filter(pl.col("_mg") >= gen_no)
+                    .select(FACT_COLS)
+                    .iter_rows(),
+                )
+            )
+            if tomb_w is not None
+            else None
+        )
 
         hit = ray.data.read_parquet(files).map_batches(
             probe, batch_format="pyarrow", zero_copy_batch=True
@@ -2944,6 +3204,8 @@ def _walk_lineage_generations(
             ):
                 q = (s, p, o, g)
                 if q in arguments:
+                    continue
+                if tomb_here and q in tomb_here:
                     continue
                 resolved_any = True
                 frontier.discard(q)
@@ -2981,7 +3243,7 @@ def _walk_lineage_generations(
         merged = os.path.exists(os.path.join(d, _MERGED_MARKER))
         while True:
             scan_log.append((gen_no, len(files)))
-            resolved = scan_dir(files, frontier)
+            resolved = scan_dir(files, frontier, gen_no)
             if not (merged and resolved and frontier):
                 break
     return arguments, scan_log

@@ -134,8 +134,36 @@ class TripleStore:
             return self.manifest["next_gen"]
         return (self.generations[-1]["gen"] + 1) if self.generations else 0
 
+    @property
+    def tombstones(self) -> List[Dict]:
+        """Committed tombstone parts: ``[{file, rows, max_gen}]``.  A
+        part hides its quads from every generation numbered ≤ its
+        ``max_gen`` (facts re-added AFTER the delete live in higher
+        generations and stay visible).  Parts are bounded by the
+        engine's ``max_overdelete`` contract, so they broadcast."""
+        return self.manifest.get("tombstones", [])
+
     def count(self) -> int:
-        return sum(g["rows"] for g in self.generations)
+        return sum(g["rows"] for g in self.generations) - sum(
+            t["rows"] for t in self.tombstones
+        )
+
+    def _tombstone_frame(self, parts: List[Dict]):
+        """Union of the given tombstone parts as one polars frame
+        (driver-resident by the max_overdelete bound; file contents are
+        immutable so the per-file cache never staleys)."""
+        import polars as pl
+
+        cache = getattr(self, "_tomb_cache", None)
+        if cache is None:
+            cache = self._tomb_cache = {}
+        frames = []
+        for t in parts:
+            f = os.path.join(self.path, t["file"])
+            if f not in cache:
+                cache[f] = pl.read_parquet(f).select(QUAD_COLS)
+            frames.append(cache[f])
+        return pl.concat(frames).unique() if frames else None
 
     def dataset(
         self,
@@ -144,6 +172,7 @@ class TripleStore:
         first_gen: int = 0,
         last_gen: Optional[int] = None,
         derived_only: bool = False,
+        filter_expr=None,
     ):
         """Streaming Dataset over committed generations
         ``[first_gen, last_gen]`` (inclusive; default: all).  Column
@@ -169,17 +198,65 @@ class TripleStore:
             ]
         gens = [g for _i, g in sel]
         # Ray's read_parquet rejects a list of >1 DIRECTORIES — expand the
-        # committed generations to concrete parquet file paths
-        files: List[str] = []
+        # committed generations to concrete parquet file paths, grouped
+        # by which tombstone parts apply (a part hides its quads only
+        # from generations ≤ its max_gen — re-added facts stay visible)
+        tombs = self.tombstones
+        groups: Dict[tuple, List[str]] = {}
         for g in gens:
             gen_dir = os.path.join(self.path, f"gen={g['gen']:05d}")
+            gfiles = []
             for root, _dirs, names in os.walk(gen_dir):
-                files.extend(
+                gfiles.extend(
                     os.path.join(root, n) for n in names if n.endswith(".parquet")
                 )
-        if not files:
+            if not gfiles:
+                continue
+            key = tuple(
+                ti for ti, t in enumerate(tombs) if g["gen"] <= t["max_gen"]
+            )
+            groups.setdefault(key, []).extend(gfiles)
+        if not groups:
             return ray.data.from_arrow(self.quad_schema().empty_table())
-        return ray.data.read_parquet(sorted(files), columns=columns or QUAD_COLS)
+        # filter_expr (a pyarrow.dataset expression) pushes constant
+        # predicates down to row-group statistics: a generation whose
+        # whole p column is one derived predicate is SKIPPED at the
+        # metadata level when probing for a different constant — the
+        # seeded-rederive probes rely on this to avoid reading the big
+        # derived generations at all
+        kw = {"filter": filter_expr} if filter_expr is not None else {}
+        want_cols = columns or QUAD_COLS
+        out = None
+        for key, files in sorted(groups.items()):
+            if not key:
+                part = ray.data.read_parquet(sorted(files), columns=want_cols, **kw)
+            else:
+                # tombstoned generations: read the full quad (the
+                # anti-join needs all four columns), drop hidden rows per
+                # block against the broadcast tombstone frame, project
+                import ray as _ray
+
+                tomb_df = self._tombstone_frame([tombs[ti] for ti in key])
+                tref = _ray.put(tomb_df)
+                cols_after = list(want_cols)
+
+                def drop_hidden(batch: pa.Table, _tref=tref, _cols=cols_after):
+                    import polars as pl
+
+                    if batch.num_rows == 0:
+                        return batch.select(_cols)
+                    kept = pl.from_arrow(batch).join(
+                        _ray.get(_tref), on=QUAD_COLS, how="anti"
+                    )
+                    return kept.to_arrow().cast(batch.schema).select(_cols)
+
+                part = ray.data.read_parquet(
+                    sorted(files), columns=QUAD_COLS, **kw
+                ).map_batches(
+                    drop_hidden, batch_format="pyarrow", zero_copy_batch=True
+                )
+            out = part if out is None else out.union(part)
+        return out
 
     def decoded_dataset(self, *, broadcast_terms_rows: int = 20_000_000, **kw):
         """Like :meth:`dataset`, but with dictionary-encoded term ids
@@ -472,7 +549,84 @@ class TripleStore:
             files.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
         return sorted(files)
 
-    def delete_facts(self, facts_df, *, driver_rows: int = 2_000_000) -> Dict:
+    def delete_tombstone(self, facts_df) -> Dict:
+        """LSM-style logical delete: verify which of ``facts_df`` are
+        present (ONE broadcast probe scan — :meth:`contains` already
+        respects earlier tombstones, so double-deletes count zero), then
+        commit the present subset as an immutable tombstone part hiding
+        those quads from every CURRENT generation.  Writes scale with
+        the deleted cone, not the store — the 100 TB retraction path;
+        :meth:`compact`/:meth:`compact_derived` fold tombstones into a
+        physical rewrite later (the LSM compaction discipline).
+
+        Returns ``{"deleted": n, "gens_rewritten": []}`` (no generation
+        is touched)."""
+        import polars as pl
+
+        from ..util import polars_to_arrow_string
+
+        if facts_df.height == 0 or not self.generations:
+            return {"deleted": 0, "gens_rewritten": []}
+        cast_t = pl.Int64 if self.value_type == "int64" else pl.Utf8
+        fdf = facts_df.select(
+            [pl.col(c).cast(cast_t) for c in QUAD_COLS]
+        ).unique()
+        present = self.contains(polars_to_arrow_string(fdf).cast(self.quad_schema()))
+        if present.num_rows == 0:
+            return {"deleted": 0, "gens_rewritten": []}
+        import pyarrow.parquet as pq
+
+        tdir = os.path.join(self.path, "tombstones")
+        os.makedirs(tdir, exist_ok=True)
+        used = [
+            int(t["file"].split("-")[-1].split(".")[0]) for t in self.tombstones
+        ]
+        idx = (max(used) + 1) if used else 0
+        rel = os.path.join("tombstones", f"ts-{idx:05d}.parquet")
+        fpath = os.path.join(self.path, rel)
+        pq.write_table(present, fpath + ".tmp")
+        os.replace(fpath + ".tmp", fpath)
+        max_gen = max(g["gen"] for g in self.generations)
+        entry = {"file": rel, "rows": int(present.num_rows), "max_gen": int(max_gen)}
+        self.manifest["tombstones"] = [*self.tombstones, entry]
+        self._write_manifest()  # atomic commit point
+        return {"deleted": int(present.num_rows), "gens_rewritten": []}
+
+    def materialize_tombstones(self) -> None:
+        """Fold committed tombstone parts into physical generation
+        rewrites (oldest part first — each part only touches generations
+        ≤ its ``max_gen``, so a fact re-added after a delete survives).
+        Called by :meth:`compact`/:meth:`compact_derived` so long-lived
+        stores eventually pay the rewrite ONCE per compaction cycle, not
+        per retraction."""
+        import polars as pl
+
+        while self.tombstones:
+            t = self.tombstones[0]
+            fdf = pl.read_parquet(os.path.join(self.path, t["file"])).select(QUAD_COLS)
+            # drop the part from the IN-MEMORY manifest first: the
+            # rewrite's own commit then atomically both shrinks the
+            # generation rows and removes the part (no window where
+            # count() double-subtracts)
+            self.manifest["tombstones"] = self.tombstones[1:]
+            res = self.delete_facts(fdf, mode="rewrite", gen_bound=t["max_gen"])
+            if not res["gens_rewritten"]:
+                # nothing physically hit (a crashed prior fold already
+                # rewrote) — commit the part removal explicitly
+                self._write_manifest()
+            try:
+                os.remove(os.path.join(self.path, t["file"]))
+            except OSError:
+                pass
+
+    def delete_facts(
+        self,
+        facts_df,
+        *,
+        driver_rows: int = 2_000_000,
+        mode: str = "rewrite",
+        gen_bound: Optional[int] = None,
+    ) -> Dict:
         """Physically remove the given quads (a driver-small polars
         frame — the engine bounds retraction batches) from every
         generation that holds any of them.
@@ -503,6 +657,10 @@ class TripleStore:
 
         import polars as pl
 
+        if mode == "tombstone":
+            return self.delete_tombstone(facts_df)
+        if mode != "rewrite":
+            raise ValueError(f"unknown delete mode {mode!r}")
         if facts_df.height == 0:
             return {"deleted": 0, "gens_rewritten": []}
         cast_t = pl.Int64 if self.value_type == "int64" else pl.Utf8
@@ -511,9 +669,9 @@ class TripleStore:
         ).unique()
 
         if self.count() <= driver_rows:
-            per_gen = self._delete_facts_driver(fdf)
+            per_gen = self._delete_facts_driver(fdf, gen_bound=gen_bound)
         else:
-            per_gen = self._delete_facts_distributed(fdf)
+            per_gen = self._delete_facts_distributed(fdf, gen_bound=gen_bound)
 
         new_entries = list(self.generations)
         rewritten: List[int] = []
@@ -543,7 +701,7 @@ class TripleStore:
             shutil.rmtree(d, ignore_errors=True)
         return {"deleted": int(deleted_total), "gens_rewritten": rewritten}
 
-    def _delete_facts_driver(self, fdf) -> Dict[int, tuple]:
+    def _delete_facts_driver(self, fdf, *, gen_bound: Optional[int] = None) -> Dict[int, tuple]:
         """Driver-polars regime of :meth:`delete_facts`: the whole store
         fits ``driver_rows``, so affected generations are found, filtered
         and rewritten without a single Ray job.  Returns
@@ -561,6 +719,8 @@ class TripleStore:
         for i, g in enumerate(self.generations):
             if g["rows"] == 0:
                 continue
+            if gen_bound is not None and g["gen"] > gen_bound:
+                continue  # tombstone fold: re-added facts live above the bound
             files = self._gen_files(i)
             if not files:
                 continue
@@ -588,7 +748,7 @@ class TripleStore:
             out[i] = (int(n_hits), new_gen, int(kept.height))
         return out
 
-    def _delete_facts_distributed(self, fdf) -> Dict[int, tuple]:
+    def _delete_facts_distributed(self, fdf, *, gen_bound: Optional[int] = None) -> Dict[int, tuple]:
         """Distributed regime of :meth:`delete_facts`: one broadcast
         semi-join scan over the whole store (rows tagged with their
         generation via file paths) finds affected generations, one more
@@ -620,6 +780,8 @@ class TripleStore:
         for i, g in enumerate(self.generations):
             if g["rows"] == 0:
                 continue
+            if gen_bound is not None and g["gen"] > gen_bound:
+                continue  # tombstone fold: re-added facts live above the bound
             for f in self._gen_files(i):
                 file_gen[f] = g["gen"]
                 all_files.append(f)
@@ -713,6 +875,7 @@ class TripleStore:
         stale uncommitted dir that the next attempt clears)."""
         import shutil
 
+        self.materialize_tombstones()
         victims = self.generations[first_gen:]
         if len(victims) <= 1:
             return
@@ -754,6 +917,7 @@ class TripleStore:
         """
         import shutil
 
+        self.materialize_tombstones()
         runs: List[List[int]] = []
         cur: List[int] = []
         for i, g in enumerate(self.generations):

@@ -839,3 +839,109 @@ def test_delete_facts_distributed_next_gen_no_collision(tmp_path):
     got = {(r["s"], r["o"]) for r in store.dataset().take_all()}
     want = {("a", "2"), ("b", "0"), ("b", "2"), ("c", "0"), ("c", "1")}
     assert got == want
+
+
+def test_remove_premises_store_tombstone_mode(tmp_path):
+    """LSM delete path (tombstone_rows=0 forces it): retraction commits
+    tombstone parts instead of rewriting generations; every read —
+    decoded set, count, contains, rederive, proof walk — sees the
+    filtered view; compaction folds the tombstones into a physical
+    rewrite; result equals the from-scratch recompute."""
+    import os
+
+    from rify_ray.state.store import TripleStore
+
+    facts, redundant = _bulk_plus_redundant(10)
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts + [redundant]), ancestry_rules(), path,
+        num_partitions=4, with_lineage=True,
+    )
+    s2 = engine.remove_premises_store(
+        _premises_table([redundant]), ancestry_rules(), path,
+        num_partitions=4, tombstone_rows=0,
+    )
+    # physical layout: tombstone parts committed, no generation rewritten
+    assert s2.tombstones and os.path.isdir(os.path.join(path, "tombstones"))
+    from rify_ray.engine import _lineage_tombstones
+
+    assert _lineage_tombstones(os.path.join(path, "lineage"))
+    full = engine.infer_store(
+        _premises_table(facts), ancestry_rules(), str(tmp_path / "full"),
+        num_partitions=4, with_lineage=True,
+    )
+    assert _decoded_set(s2) == _decoded_set(full)
+    assert tuple(redundant) in _decoded_set(s2)  # rederived another way
+    assert s2.count() == full.count()
+    # compaction folds tombstones into physical rewrites
+    s2.compact(first_gen=0)
+    assert not s2.tombstones
+    assert _decoded_set(s2) == _decoded_set(full)
+    assert s2.count() == full.count()
+
+
+def test_tombstone_readd_after_delete_stays_visible(tmp_path):
+    """A fact re-added AFTER a tombstone delete lands in a newer
+    generation than the part's max_gen and must stay visible — both
+    before and after the tombstones are materialized."""
+    import polars as pl
+
+    from rify_ray.state.store import TripleStore
+
+    path = str(tmp_path / "ts")
+    store = TripleStore(path, num_partitions=2, value_type="string")
+    t1 = _premises_table([("a", "p", "b", "g"), ("c", "p", "d", "g")])
+    store.add_small(pl.from_arrow(t1))
+    res = store.delete_facts(
+        pl.from_arrow(t1).head(1), mode="tombstone"
+    )
+    assert res["deleted"] == 1 and store.count() == 1
+    # double-delete is a no-op (contains() respects the first part)
+    res2 = store.delete_facts(pl.from_arrow(t1).head(1), mode="tombstone")
+    assert res2["deleted"] == 0 and store.count() == 1
+    # re-add: new generation above max_gen — visible despite the part
+    store.add_small(pl.from_arrow(t1).head(1))
+    assert store.count() == 2
+    got = {tuple(r) for r in pl.from_arrow(
+        pa.concat_tables(store.dataset().iter_batches(batch_size=None, batch_format="pyarrow"))
+    ).iter_rows()}
+    assert got == {("a", "p", "b", "g"), ("c", "p", "d", "g")}
+    store.materialize_tombstones()
+    assert not store.tombstones and store.count() == 2
+    got2 = {tuple(r) for r in pl.from_arrow(
+        pa.concat_tables(store.dataset().iter_batches(batch_size=None, batch_format="pyarrow"))
+    ).iter_rows()}
+    assert got2 == got
+
+
+def test_tombstone_retract_then_prove_and_incremental(tmp_path):
+    """After a tombstone-mode retraction: proving a deleted-cone goal
+    fails, proving a surviving goal succeeds, and a later incremental
+    add continues correctly on the tombstoned store."""
+    import pytest
+
+    facts = ancestry_facts(8)
+    DGg = "default_graph"
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts), ancestry_rules(), path,
+        num_partitions=4, with_lineage=True,
+    )
+    from rify_ray import local
+
+    def oracle_full(fs, rules):
+        prem = sorted(set(fs))
+        return set(prem) | set(map(tuple, local.infer(prem, rules)))
+
+    drop = [facts[0]]  # parent edge n0->n1
+    s2 = engine.remove_premises_store(
+        _premises_table(drop), ancestry_rules(), path,
+        num_partitions=4, tombstone_rows=0,
+    )
+    remaining = [f for f in facts if f not in set(drop)]
+    assert _decoded_set(s2) == oracle_full(remaining, ancestry_rules())
+    # incremental add on the tombstoned store
+    s3 = engine.add_premises_store(
+        _premises_table(drop), ancestry_rules(), path, num_partitions=4
+    )
+    assert _decoded_set(s3) == oracle_full(facts, ancestry_rules())
