@@ -426,7 +426,7 @@ def twin_p50_sketch(tab, sf_dir):
 def twin_bloom_decontaminate(tab, sf_dir):
     docs = _docs(sf_dir)
     evals = [t for d, t in docs if d % 97 == 0]
-    n = 5
+    n = 8  # must match _q_docs_bloom_decontaminate's n=8
     eval_grams = set()
     for t in evals:
         toks = t.split(" ")
@@ -542,13 +542,15 @@ TWINS = {
 }
 
 
-def run_scale(sf_dir: str) -> dict:
+def run_scale(sf_dir: str, only=None) -> dict:
     import duckdb
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     out = {}
     con = duckdb.connect()
@@ -628,6 +630,13 @@ def main() -> None:
     ap.add_argument("--out", default="CORRECTNESS_SELF.json")
     ap.add_argument("--sf-dirs", default="/root/testdata/sf0.01,/root/testdata/sf0.1")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names to (re)run; with --merge-into, "
+        "rewrites just those rows inside an existing artifact",
+    )
+    ap.add_argument("--merge-into", default=None)
     args = ap.parse_args()
 
     import ray
@@ -646,10 +655,18 @@ def main() -> None:
 
     tune_data_context()
 
+    only = set(args.only.split(",")) if args.only else None
     result = {}
+    if args.merge_into:
+        with open(args.merge_into) as f:
+            result = json.load(f)
     for sf_dir in args.sf_dirs.split(","):
         tag = os.path.basename(sf_dir.rstrip("/"))
-        result[tag] = run_scale(sf_dir)
+        rows = run_scale(sf_dir, only=only)
+        if args.merge_into:
+            result.setdefault(tag, {}).update(rows)
+        else:
+            result[tag] = rows
         n = len(result[tag])
         fails = {k: v["err"] for k, v in result[tag].items() if v.get("err")}
         print(f"{tag}: {n} queries, {n - len(fails)} pass, {len(fails)} fail")
