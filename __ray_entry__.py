@@ -483,6 +483,11 @@ def _q_kg_conational_retract(sf_dir: str):
         _LAST_RETRACT_TIMES.update(
             {"build_sec": t1 - t0, "retract_sec": t2 - t1, "retracted": drop.height}
         )
+        # per-phase attribution (walk / delete / rederive probes) —
+        # engine.RETRACT_PHASES is rebuilt by each remove_premises_store
+        _LAST_RETRACT_TIMES.update(
+            {f"phase_{k}": v for k, v in engine.RETRACT_PHASES.items()}
+        )
         return _collect(store.decoded_dataset(derived_only=True))
 
 

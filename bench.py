@@ -232,10 +232,10 @@ def run_queries() -> dict:
             # the maintenance cost separated from the closure build the
             # callable necessarily runs first (sublinearity evidence:
             # retract writes scale with the deleted cone via tombstones)
-            for k in ("build_sec", "retract_sec"):
-                out[f"kg_conational_retract::{k}"] = round(
-                    float(entrymod._LAST_RETRACT_TIMES.get(k, 0.0)), 3
-                )
+            for k, v in entrymod._LAST_RETRACT_TIMES.items():
+                if k == "retracted":
+                    continue
+                out[f"kg_conational_retract::{k}"] = round(float(v), 3)
     return out
 
 

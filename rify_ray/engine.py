@@ -70,6 +70,10 @@ DEFAULT_BROADCAST_THRESHOLD = 2_000_000
 
 _JSON_PREFIX = "\x00j:"
 
+# per-phase wall times of the most recent remove_premises_store call
+# (observability only — bench/tests read it to attribute retraction cost)
+RETRACT_PHASES: Dict[str, float] = {}
+
 
 # ---------------------------------------------------------------------------
 # term encoding: the engine is string-typed; arbitrary Ord terms in/out
@@ -2682,9 +2686,11 @@ def remove_premises_store(
 
     # 1. overdeletion: iterate lineage dependency levels — driver polars
     # when the whole lineage fits, pruned distributed scans otherwise
+    _t0 = time.monotonic()
     lineage_df: Optional[pl.DataFrame] = None
     if _lineage_row_count(lineage_dir) <= max(broadcast_rows, 2_000_000):
         lineage_df = _read_lineage_driver(lineage_dir, fact_dtype=fact_dtype)
+    _t1 = time.monotonic()
     deleted, affected_gens = _overdelete_walk(
         lineage_dir,
         prem_df,
@@ -2692,6 +2698,14 @@ def remove_premises_store(
         fact_dtype,
         max_overdelete,
         lineage_df=lineage_df,
+    )
+    RETRACT_PHASES.clear()
+    RETRACT_PHASES.update(
+        {
+            "lineage_read_sec": _t1 - _t0,
+            "overdelete_walk_sec": time.monotonic() - _t1,
+            "deleted_rows": int(deleted.height),
+        }
     )
 
     # 2+3: physical delete + rederive, crash-resumable via the pending
@@ -2728,6 +2742,7 @@ def remove_premises_store(
         lineage_df=lineage_df,
         rederive_bound=rederive_bound,
         tombstone_rows=tombstone_rows,
+        verified_heads=deleted.join(prem_df, on=FACT_COLS, how="anti"),
     )
     os.remove(marker)
     os.remove(pending_gens)
@@ -2813,6 +2828,7 @@ def _seeded_rederive(
                 return out_schema.empty_table()
             return polars_to_arrow_string(res).cast(out_schema)
 
+        _p0 = time.monotonic()
         tabs = []
         total = 0
         for b in (
@@ -2825,6 +2841,10 @@ def _seeded_rederive(
                 total += b.num_rows
                 if total > bound * 4:
                     return None
+        RETRACT_PHASES["probe_passes"] = RETRACT_PHASES.get("probe_passes", 0) + 1
+        RETRACT_PHASES["probe_pass_sec"] = RETRACT_PHASES.get(
+            "probe_pass_sec", 0.0
+        ) + (time.monotonic() - _p0)
         if not tabs:
             return pl.DataFrame(
                 schema={vcol(i): fact_dtype for i in atom.var_indices}
@@ -2968,6 +2988,7 @@ def _retract_finish(
     lineage_df: Optional[pl.DataFrame] = None,
     rederive_bound: Optional[int] = None,
     tombstone_rows: int = 2_000_000,
+    verified_heads: Optional[pl.DataFrame] = None,
 ):
     """The destructive tail of :func:`remove_premises_store` — every
     step is idempotent so a crashed attempt re-runs safely under the
@@ -2987,10 +3008,26 @@ def _retract_finish(
     # of the affected generations would cost a full store's worth of
     # writes per retraction — switch to LSM tombstones (writes scale
     # with the deleted cone; compaction folds them in later)
+    _t0 = time.monotonic()
     lsm = store.count() > tombstone_rows
-    res = store.delete_facts(deleted, mode="tombstone" if lsm else "rewrite")
+    # overdeletion heads are live facts by construction (each heads a
+    # live lineage row, and lineage filtering is tombstone-synced with
+    # the fact store), so the tombstone path skips their presence probe
+    # and verifies only the user-supplied premise rows — against the
+    # PREMISE generations alone.  A retraction thus never reads the
+    # derived closure to delete from it (the resume path, which lost
+    # the premise/head split with the pending marker, probes the full
+    # store as before).
+    res = store.delete_facts(
+        deleted,
+        mode="tombstone" if lsm else "rewrite",
+        verified_df=verified_heads,
+        probe_premise_only=verified_heads is not None,
+    )
+    RETRACT_PHASES["delete_facts_sec"] = time.monotonic() - _t0
     if res["deleted"] == 0 and not resuming:
         return store
+    _t0 = time.monotonic()
     _filter_lineage_dirs(
         lineage_dir,
         deleted,
@@ -2998,6 +3035,7 @@ def _retract_finish(
         lineage_df=lineage_df,
         mode="tombstone" if lsm else "rewrite",
     )
+    RETRACT_PHASES["lineage_filter_sec"] = time.monotonic() - _t0
 
     # rederive: head-constrained when the store is big (cost tracks the
     # deleted cone); a plain driver round when the whole store is small
@@ -3012,6 +3050,7 @@ def _retract_finish(
     rederive_extra: Dict[str, Any] = {"round": start_round, "evaluator": "rederive"}
     if remaining == 0:
         return store
+    _t0 = time.monotonic()
     if remaining <= broadcast_rows:
         inc = IncrementalMatches(plans, broadcast_rows)
         full_df = collect_to_polars(store.dataset())
@@ -3070,8 +3109,10 @@ def _retract_finish(
                 pin_schema=pin_schema,
                 match_cache=inc.cache(),
             )
+    RETRACT_PHASES["rederive_sec"] = time.monotonic() - _t0
     import shutil
 
+    _t0 = time.monotonic()
     if isinstance(new, pl.DataFrame) and new.height:
         gen = store.next_gen
         d = os.path.join(lineage_dir, f"gen={gen:05d}")
@@ -3093,6 +3134,7 @@ def _retract_finish(
             )
         else:
             new = None
+    RETRACT_PHASES["rederive_commit_sec"] = time.monotonic() - _t0
     if new is None or (isinstance(new, pl.DataFrame) and new.height == 0):
         if not resuming:
             # nothing rederived and nothing was in flight: the remainder
@@ -3103,19 +3145,23 @@ def _retract_finish(
         # resumed fixpoint (cheap no-op when already complete)
 
     # propagate: resumed fixpoint continues from the rederived delta
-    return infer_store(
-        ray.data.from_arrow(store.quad_schema().empty_table()),
-        rules,
-        store_path,
-        num_partitions=num_partitions,
-        salt_factor=salt_factor,
-        max_iterations=max_iterations,
-        resume=True,
-        with_lineage=True,
-        broadcast_rows=broadcast_rows,
-        dict_encode=dict_encode,
-        compact_every=compact_every,
-    )
+    _t0 = time.monotonic()
+    try:
+        return infer_store(
+            ray.data.from_arrow(store.quad_schema().empty_table()),
+            rules,
+            store_path,
+            num_partitions=num_partitions,
+            salt_factor=salt_factor,
+            max_iterations=max_iterations,
+            resume=True,
+            with_lineage=True,
+            broadcast_rows=broadcast_rows,
+            dict_encode=dict_encode,
+            compact_every=compact_every,
+        )
+    finally:
+        RETRACT_PHASES["resume_fixpoint_sec"] = time.monotonic() - _t0
 
 
 def _walk_lineage_generations(

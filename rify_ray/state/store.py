@@ -172,6 +172,7 @@ class TripleStore:
         first_gen: int = 0,
         last_gen: Optional[int] = None,
         derived_only: bool = False,
+        premise_only: bool = False,
         filter_expr=None,
     ):
         """Streaming Dataset over committed generations
@@ -195,6 +196,15 @@ class TripleStore:
                 (i, g)
                 for i, g in sel
                 if i > 0 and g.get("metrics", {}).get("evaluator") != "premise-add"
+            ]
+        if premise_only:
+            # the exact complement of derived_only: position 0 plus the
+            # incremental premise-add generations — a membership probe
+            # for retracted PREMISES only needs to read these
+            sel = [
+                (i, g)
+                for i, g in sel
+                if i == 0 or g.get("metrics", {}).get("evaluator") == "premise-add"
             ]
         gens = [g for _i, g in sel]
         # Ray's read_parquet rejects a list of >1 DIRECTORIES — expand the
@@ -384,7 +394,7 @@ class TripleStore:
             ensure_schema_fn(schema), batch_format="pyarrow", zero_copy_batch=True
         )
 
-    def contains(self, quads: pa.Table) -> pa.Table:
+    def contains(self, quads: pa.Table, *, premise_only: bool = False) -> pa.Table:
         """Semi-join membership check (``Reasoner::contains``,
         src/reasoner.rs:98-101): returns the subset of ``quads`` present
         in the store.
@@ -393,7 +403,11 @@ class TripleStore:
         table), so this is ONE broadcast probe scan of the store — each
         block semi-joins against the broadcast probe and ships back only
         its hits (≤ |probe| rows total); no shuffle exchange at any store
-        size."""
+        size.  ``premise_only`` restricts the scan to the premise
+        generations (position 0 + incremental premise-adds) — the right
+        probe when the caller only cares about membership AS A PREMISE,
+        e.g. retraction verifying a user-supplied retract batch without
+        reading the (much larger) derived closure."""
         import polars as pl
         import ray
 
@@ -411,7 +425,7 @@ class TripleStore:
 
         tabs = [
             b
-            for b in self.dataset()
+            for b in self.dataset(premise_only=premise_only)
             .map_batches(hits_fn, batch_format="pyarrow", zero_copy_batch=True)
             .iter_batches(batch_size=None, batch_format="pyarrow")
             if b.num_rows and b.num_columns
@@ -549,7 +563,13 @@ class TripleStore:
             files.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
         return sorted(files)
 
-    def delete_tombstone(self, facts_df) -> Dict:
+    def delete_tombstone(
+        self,
+        facts_df,
+        *,
+        verified_df=None,
+        probe_premise_only: bool = False,
+    ) -> Dict:
         """LSM-style logical delete: verify which of ``facts_df`` are
         present (ONE broadcast probe scan — :meth:`contains` already
         respects earlier tombstones, so double-deletes count zero), then
@@ -558,6 +578,17 @@ class TripleStore:
         the deleted cone, not the store — the 100 TB retraction path;
         :meth:`compact`/:meth:`compact_derived` fold tombstones into a
         physical rewrite later (the LSM compaction discipline).
+
+        ``verified_df``: rows the caller PROVES are live facts (the
+        retraction engine's overdeletion heads — each is the head of a
+        live lineage row, and lineage stays tombstone-synced with the
+        fact store), so they skip the presence probe entirely; they are
+        still anti-joined against existing tombstone parts
+        (driver-resident) so a re-delete can never double-subtract
+        :meth:`count`.  ``probe_premise_only`` restricts the presence
+        scan for the remaining rows to the premise generations — with
+        both, a retraction never reads the derived closure to delete
+        from it.
 
         Returns ``{"deleted": n, "gens_rewritten": []}`` (no generation
         is touched)."""
@@ -571,9 +602,34 @@ class TripleStore:
         fdf = facts_df.select(
             [pl.col(c).cast(cast_t) for c in QUAD_COLS]
         ).unique()
-        present = self.contains(polars_to_arrow_string(fdf).cast(self.quad_schema()))
-        if present.num_rows == 0:
+        ver: Optional["pl.DataFrame"] = None
+        if verified_df is not None and verified_df.height:
+            ver = verified_df.select(
+                [pl.col(c).cast(cast_t) for c in QUAD_COLS]
+            ).unique()
+            tomb = self._tombstone_frame(self.tombstones)
+            if tomb is not None:
+                ver = ver.join(tomb, on=QUAD_COLS, how="anti")
+            fdf = fdf.join(ver, on=QUAD_COLS, how="anti")
+        parts = []
+        if fdf.height:
+            probed = self.contains(
+                polars_to_arrow_string(fdf).cast(self.quad_schema()),
+                premise_only=probe_premise_only,
+            )
+            if probed.num_rows:
+                parts.append(
+                    pl.from_arrow(probed).select(
+                        [pl.col(c).cast(cast_t) for c in QUAD_COLS]
+                    )
+                )
+        if ver is not None and ver.height:
+            parts.append(ver)
+        if not parts:
             return {"deleted": 0, "gens_rewritten": []}
+        present = polars_to_arrow_string(pl.concat(parts).unique()).cast(
+            self.quad_schema()
+        )
         import pyarrow.parquet as pq
 
         tdir = os.path.join(self.path, "tombstones")
@@ -626,6 +682,8 @@ class TripleStore:
         driver_rows: int = 2_000_000,
         mode: str = "rewrite",
         gen_bound: Optional[int] = None,
+        verified_df=None,
+        probe_premise_only: bool = False,
     ) -> Dict:
         """Physically remove the given quads (a driver-small polars
         frame — the engine bounds retraction batches) from every
@@ -658,7 +716,11 @@ class TripleStore:
         import polars as pl
 
         if mode == "tombstone":
-            return self.delete_tombstone(facts_df)
+            return self.delete_tombstone(
+                facts_df,
+                verified_df=verified_df,
+                probe_premise_only=probe_premise_only,
+            )
         if mode != "rewrite":
             raise ValueError(f"unknown delete mode {mode!r}")
         if facts_df.height == 0:

@@ -945,3 +945,54 @@ def test_tombstone_retract_then_prove_and_incremental(tmp_path):
         _premises_table(drop), ancestry_rules(), path, num_partitions=4
     )
     assert _decoded_set(s3) == oracle_full(facts, ancestry_rules())
+
+
+def test_tombstone_retract_trusted_heads_and_premise_probe(tmp_path):
+    """The tombstone delete must stay count-exact under the trusted-head
+    / premise-only-probe fast path (no derived-closure read): retracting
+    (a) premises with a real cone, (b) quads never present, and (c) a
+    quad present only as a DERIVED fact all end in the exact
+    from-scratch fact set with an exact count()."""
+    import polars as pl
+
+    facts = ancestry_facts(8)
+    DG = "default_graph"
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts), ancestry_rules(), path,
+        num_partitions=4, with_lineage=True,
+    )
+    from rify_ray import local
+
+    def oracle_full(fs, rules):
+        prem = sorted(set(fs))
+        return set(prem) | set(map(tuple, local.infer(prem, rules)))
+
+    # (b)+(c): a quad never present, and one present only as DERIVED —
+    # with an intact derivation the retraction must leave the fact set
+    # and count unchanged
+    s1 = engine.remove_premises_store(
+        _premises_table([("ghost", "parent", "ghost2", DG),
+                         ("n0", "ancestor", "n1", DG)]),
+        ancestry_rules(), path, num_partitions=4, tombstone_rows=0,
+    )
+    assert _decoded_set(s1) == oracle_full(facts, ancestry_rules())
+    assert s1.count() == len(oracle_full(facts, ancestry_rules()))
+
+    # (a): a premise with a real cone, retracted TWICE (double-delete
+    # must count zero the second time)
+    drop = [facts[0]]
+    s2 = engine.remove_premises_store(
+        _premises_table(drop), ancestry_rules(), path,
+        num_partitions=4, tombstone_rows=0,
+    )
+    remaining = [f for f in facts if f not in set(drop)]
+    want = oracle_full(remaining, ancestry_rules())
+    assert _decoded_set(s2) == want
+    assert s2.count() == len(want)
+    s3 = engine.remove_premises_store(
+        _premises_table(drop), ancestry_rules(), path,
+        num_partitions=4, tombstone_rows=0,
+    )
+    assert _decoded_set(s3) == want
+    assert s3.count() == len(want)
