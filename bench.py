@@ -163,6 +163,7 @@ def run_queries() -> dict:
         "kg_customer_region_incr",
         "kg_customer_region_retract",
         "kg_conational_retract",
+        "kg_prove_chain",
         "kg_bgp_customer_region",
         "kg_bgp_store",
         "kg_bgp_filtered",
