@@ -3200,6 +3200,12 @@ def _walk_lineage_generations(
     seen = set(goals)
     fact_dtype_w = pl.Int64 if dict_encode else pl.Utf8
     tomb_w = _lineage_tombstone_frame(lineage_dir, fact_dtype_w)
+    # small-lineage fast path: below the bound each generation is read
+    # ONCE with driver polars (cached for merged loop-scans) instead of
+    # paying a full Ray pass per generation — a deep-but-small proof
+    # chain otherwise spends ~1 s of fixed job overhead per round
+    driver_small = _lineage_row_count(lineage_dir) <= 2_000_000
+    _gen_cache: Dict[str, pl.DataFrame] = {}
 
     def scan_dir(files, frontier, gen_no) -> bool:
         """One probe pass of this generation's files against the current
@@ -3211,12 +3217,6 @@ def _walk_lineage_generations(
                 for j, c in enumerate(FACT_COLS)
             }
         )
-        fref = ray.put(pl.from_arrow(ftab))
-
-        def probe(batch: pa.Table, _ref=fref) -> pa.Table:
-            blk = pl.from_arrow(batch)
-            hits = blk.join(ray.get(_ref), on=FACT_COLS, how="semi")
-            return polars_to_arrow_string(hits)
 
         # tombstoned heads at this generation never resolve (their
         # recorded derivation was retracted; a rederived head's lineage
@@ -3234,11 +3234,27 @@ def _walk_lineage_generations(
             else None
         )
 
-        hit = ray.data.read_parquet(files).map_batches(
-            probe, batch_format="pyarrow", zero_copy_batch=True
-        )
+        if driver_small:
+            key = files[0]
+            if key not in _gen_cache:
+                _gen_cache[key] = pl.concat([pl.read_parquet(f) for f in files])
+            hits_df = _gen_cache[key].join(
+                pl.from_arrow(ftab), on=FACT_COLS, how="semi"
+            )
+            batches = [polars_to_arrow_string(hits_df)] if hits_df.height else []
+        else:
+            fref = ray.put(pl.from_arrow(ftab))
+
+            def probe(batch: pa.Table, _ref=fref) -> pa.Table:
+                blk = pl.from_arrow(batch)
+                hits = blk.join(ray.get(_ref), on=FACT_COLS, how="semi")
+                return polars_to_arrow_string(hits)
+
+            batches = ray.data.read_parquet(files).map_batches(
+                probe, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
         resolved_any = False
-        for b in hit.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for b in batches:
             if b.num_rows == 0 or b.num_columns == 0:
                 continue
             for s, p, o, g, lkey in zip(
