@@ -996,3 +996,42 @@ def test_tombstone_retract_trusted_heads_and_premise_probe(tmp_path):
     )
     assert _decoded_set(s3) == want
     assert s3.count() == len(want)
+
+
+def test_retract_phase_metrics_and_premise_only_probe(tmp_path):
+    """Observability contract: remove_premises_store publishes per-phase
+    wall times in engine.RETRACT_PHASES, and TripleStore.contains with
+    premise_only=True sees exactly the premise rows (never derived
+    facts)."""
+    facts = ancestry_facts(6)
+    DG = "default_graph"
+    path = str(tmp_path / "kg")
+    store = engine.infer_store(
+        _premises_table(facts), ancestry_rules(), path,
+        num_partitions=2, with_lineage=True,
+    )
+    # premise_only membership: a premise hits, a derived fact does not
+    probe = _premises_table([facts[0], ("node_0", "ancestor", "node_1", DG)])
+    # probe in the encoded domain through the public decode-free path
+    import polars as pl
+    from rify_ray.util import polars_to_arrow_string
+
+    enc = pl.from_arrow(probe).with_columns(
+        [pl.col(c).cast(pl.Utf8).hash(seed=0).reinterpret(signed=True).alias(c)
+         for c in ("s", "p", "o", "g")]
+    )
+    hits = store.contains(
+        polars_to_arrow_string(enc).cast(store.quad_schema()), premise_only=True
+    )
+    assert hits.num_rows == 1  # only the premise row
+    hits_all = store.contains(polars_to_arrow_string(enc).cast(store.quad_schema()))
+    assert hits_all.num_rows == 2  # full probe sees the derived fact too
+
+    engine.remove_premises_store(
+        _premises_table([facts[0]]), ancestry_rules(), path, num_partitions=2,
+    )
+    ph = engine.RETRACT_PHASES
+    for key in ("overdelete_walk_sec", "delete_facts_sec",
+                "lineage_filter_sec", "deleted_rows"):
+        assert key in ph, ph
+    assert ph["deleted_rows"] >= 1
