@@ -2871,6 +2871,8 @@ def _seeded_rederive(
                 return True
         return False
 
+    # ---- phase A (driver): head seeding + greedy order per chain ----
+    chains: List[Dict[str, Any]] = []
     for plan in plans:
         if not plan.body:
             continue
@@ -2904,17 +2906,155 @@ def _seeded_rederive(
                 remaining_atoms.remove(best)
                 order.append(best)
                 bvars |= set(plan.body[best].var_indices)
+            chains.append(
+                {"plan": plan, "bindings": bindings, "bound_cols": bound_cols,
+                 "order": order}
+            )
 
-            ok = True
-            for atom_i in order:
-                atom = plan.body[atom_i]
+    # ---- fused probe pass: every var-atom whose seed shares a HEAD
+    # variable probes in ONE scan (tagged projections).  The shipped
+    # frame is a superset of what sequential chained probing would
+    # fetch (head-seeded, not chain-seeded), but the driver chain join
+    # below applies the full current-bindings restriction, so the final
+    # bindings are identical — at the cost of ONE store pass instead of
+    # one per atom.  Chains with a weakly-seeded atom (no head-shared
+    # variable — its probe NEEDS the upstream chain restriction to stay
+    # bounded) keep the sequential per-atom path.
+    def _fusable(ch) -> bool:
+        if ch["bindings"] is None:
+            return False
+        head_cols = set(ch["bound_cols"])
+        for atom_i in ch["order"]:
+            atom = ch["plan"].body[atom_i]
+            m_cols = [vcol(i) for i in atom.var_indices]
+            if m_cols and not (set(m_cols) & head_cols):
+                return False
+        return True
+
+    probe_frames: Dict[Tuple[int, int], pl.DataFrame] = {}
+    fused_ids = [ci for ci, ch in enumerate(chains) if _fusable(ch)]
+    if fused_ids:
+        tasks = []  # (tag, atom, seed_small, shared_head, m_cols)
+        for ci in fused_ids:
+            ch = chains[ci]
+            head_cols = set(ch["bound_cols"])
+            for atom_i in ch["order"]:
+                atom = ch["plan"].body[atom_i]
                 m_cols = [vcol(i) for i in atom.var_indices]
                 if not m_cols:
-                    if not atom_present(atom):
-                        ok = False
-                        break
+                    continue  # all-constant atom: presence-checked below
+                shared_head = [c for c in m_cols if c in head_cols]
+                seed_small = ch["bindings"].select(shared_head).unique()
+                tasks.append(((ci, atom_i), atom, seed_small, shared_head, m_cols))
+        if tasks:
+            import pyarrow.dataset as pads
+
+            expr = None
+            unfiltered = False
+            for _tag, atom, _s, _sh, _m in tasks:
+                e = None
+                for c, v in atom.const_filters:
+                    t = pads.field(c) == v
+                    e = t if e is None else e & t
+                if e is None:
+                    unfiltered = True
+                    break
+                expr = e if expr is None else expr | e
+            scan = store_ds if unfiltered else store.dataset(filter_expr=expr)
+            tag_strs = [f"{ci}:{ai}" for (ci, ai), *_ in tasks]
+            task_ref = ray.put(
+                [
+                    (ts, atom, seed_small, shared_head, m_cols)
+                    for ts, (_tag, atom, seed_small, shared_head, m_cols) in zip(
+                        tag_strs, tasks
+                    )
+                ]
+            )
+            out_schema = pa.schema(
+                [("tag", pa.string())] + [(f"c{k}", fact_pa) for k in range(4)]
+            )
+
+            def fused_fn(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0 or batch.num_columns == 0:
+                    return out_schema.empty_table()
+                blk = pl.from_arrow(batch)
+                outs = []
+                for ts, atom, seed_small, shared_head, m_cols in ray.get(task_ref):
+                    m = match_atom(blk, atom)
+                    if m is None:
+                        continue
+                    if shared_head:
+                        m = m.join(seed_small.lazy(), on=shared_head, how="semi")
+                    res = m.collect(engine="streaming").unique()
+                    if res.height == 0:
+                        continue
+                    res = res.rename({c: f"c{k}" for k, c in enumerate(m_cols)})
+                    res = res.with_columns(
+                        [pl.lit(ts).alias("tag")]
+                        + [
+                            pl.lit(None).cast(fact_dtype).alias(f"c{k}")
+                            for k in range(len(m_cols), 4)
+                        ]
+                    ).select(["tag", "c0", "c1", "c2", "c3"])
+                    outs.append(res)
+                if not outs:
+                    return out_schema.empty_table()
+                return polars_to_arrow_string(pl.concat(outs)).cast(out_schema)
+
+            _p0 = time.monotonic()
+            per_tag: Dict[str, List[pa.Table]] = {ts: [] for ts in tag_strs}
+            totals: Dict[str, int] = {ts: 0 for ts in tag_strs}
+            for b in (
+                scan.map_batches(fused_fn, batch_format="pyarrow", zero_copy_batch=True)
+                .iter_batches(batch_size=None, batch_format="pyarrow")
+            ):
+                if b.num_rows == 0 or b.num_columns == 0:
                     continue
-                shared = [c for c in m_cols if c in bound_cols]
+                blk = pl.from_arrow(b)
+                for ts, sub in blk.group_by("tag"):
+                    key = ts[0] if isinstance(ts, tuple) else ts
+                    per_tag[key].append(sub.drop("tag"))
+                    totals[key] += sub.height
+                    if totals[key] > bound * 4:
+                        return None  # overflow → caller falls back
+            RETRACT_PHASES["probe_passes"] = RETRACT_PHASES.get("probe_passes", 0) + 1
+            RETRACT_PHASES["probe_pass_sec"] = RETRACT_PHASES.get(
+                "probe_pass_sec", 0.0
+            ) + (time.monotonic() - _p0)
+            for ts, (_tag, atom, _s, _sh, m_cols) in zip(tag_strs, tasks):
+                parts = per_tag[ts]
+                if parts:
+                    frame = (
+                        pl.concat(parts)
+                        .select([f"c{k}" for k in range(len(m_cols))])
+                        .rename({f"c{k}": c for k, c in enumerate(m_cols)})
+                        .unique()
+                    )
+                else:
+                    frame = pl.DataFrame(schema={c: fact_dtype for c in m_cols})
+                if frame.height > bound:
+                    return None
+                probe_frames[_tag] = frame
+
+    # ---- chain execution: identical join semantics either way; fused
+    # chains read their pre-fetched frames, others probe live ----
+    for ci, ch in enumerate(chains):
+        plan = ch["plan"]
+        bindings = ch["bindings"]
+        bound_cols = list(ch["bound_cols"])
+        ok = True
+        for atom_i in ch["order"]:
+            atom = plan.body[atom_i]
+            m_cols = [vcol(i) for i in atom.var_indices]
+            if not m_cols:
+                if not atom_present(atom):
+                    ok = False
+                    break
+                continue
+            shared = [c for c in m_cols if c in bound_cols]
+            if (ci, atom_i) in probe_frames:
+                matched = probe_frames[(ci, atom_i)]
+            else:
                 seed_small = (
                     bindings.select(shared).unique()
                     if (bindings is not None and shared)
@@ -2923,31 +3063,31 @@ def _seeded_rederive(
                 matched = probe_atom(atom, seed_small, shared)
                 if matched is None:
                     return None  # overflow → caller falls back
-                probe_rows += matched.height
-                if matched.height == 0:
-                    ok = False
-                    break
-                if bindings is None:
-                    bindings = matched
-                elif shared:
-                    bindings = bindings.join(matched, on=shared, how="inner")
-                else:
-                    bindings = bindings.join(matched, how="cross")
-                if bindings.height == 0:
-                    ok = False
-                    break
-                if bindings.height > bound:
-                    return None
-                bound_cols = bound_cols + [c for c in m_cols if c not in bound_cols]
-            if not ok:
-                continue
+            probe_rows += matched.height
+            if matched.height == 0:
+                ok = False
+                break
             if bindings is None:
-                bindings = pl.DataFrame({"__one": [1]})
-            heads = project_heads(plan, bindings.lazy(), True, fact_dtype).collect(
-                engine="streaming"
-            )
-            if heads.height:
-                heads_out.append(heads)
+                bindings = matched
+            elif shared:
+                bindings = bindings.join(matched, on=shared, how="inner")
+            else:
+                bindings = bindings.join(matched, how="cross")
+            if bindings.height == 0:
+                ok = False
+                break
+            if bindings.height > bound:
+                return None
+            bound_cols = bound_cols + [c for c in m_cols if c not in bound_cols]
+        if not ok:
+            continue
+        if bindings is None:
+            bindings = pl.DataFrame({"__one": [1]})
+        heads = project_heads(plan, bindings.lazy(), True, fact_dtype).collect(
+            engine="streaming"
+        )
+        if heads.height:
+            heads_out.append(heads)
 
     empty = pl.DataFrame(
         schema={**{c: fact_dtype for c in FACT_COLS}, "lkey": pl.Utf8}
