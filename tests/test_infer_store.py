@@ -1035,3 +1035,45 @@ def test_retract_phase_metrics_and_premise_only_probe(tmp_path):
                 "lineage_filter_sec", "deleted_rows"):
         assert key in ph, ph
     assert ph["deleted_rows"] >= 1
+
+
+def test_seeded_rederive_fused_single_pass(tmp_path):
+    """A 2-atom-body rule whose probes both share a head variable must
+    take the FUSED rederive path: exactly ONE probe pass, and the
+    retraction still equals the from-scratch recompute."""
+    import polars as pl
+
+    DG = "default_graph"
+    # conational shape: in_nation(a,n) & in_nation(b,n) => conational(a,b)
+    from rify_ray.model import B, Rule, U
+
+    rules = [
+        Rule.create(
+            [[U("a"), B("in_nation"), U("n"), B(DG)],
+             [U("b"), B("in_nation"), U("n"), B(DG)]],
+            [[U("a"), B("conational"), U("b"), B(DG)]],
+        )
+    ]
+    facts = [(f"c{i}", "in_nation", f"nat{i % 3}", DG) for i in range(12)]
+    path = str(tmp_path / "kg")
+    engine.infer_store(
+        _premises_table(facts), rules, path, num_partitions=2, with_lineage=True,
+    )
+    # force the seeded (big-store) branch with broadcast_rows=0 and the
+    # tombstone path with tombstone_rows=0
+    s2 = engine.remove_premises_store(
+        _premises_table([facts[0]]), rules, path,
+        num_partitions=2, broadcast_rows=0, tombstone_rows=0,
+    )
+    assert engine.RETRACT_PHASES.get("probe_passes") == 1, engine.RETRACT_PHASES
+    full = engine.infer_store(
+        _premises_table(facts[1:]), rules, str(tmp_path / "full"),
+        num_partitions=2, with_lineage=True,
+    )
+    got = {tuple(r) for r in pl.from_arrow(pa.concat_tables(
+        s2.decoded_dataset().iter_batches(batch_size=None, batch_format="pyarrow")
+    )).iter_rows()}
+    want = {tuple(r) for r in pl.from_arrow(pa.concat_tables(
+        full.decoded_dataset().iter_batches(batch_size=None, batch_format="pyarrow")
+    )).iter_rows()}
+    assert got == want
