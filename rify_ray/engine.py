@@ -2598,6 +2598,7 @@ def remove_premises_store(
     from .eval_shuffle import IncrementalMatches, collect_to_polars, run_iteration_core
     from .state import TripleStore
 
+    RETRACT_PHASES.clear()  # per-call metrics — also on the resume path
     value_type = "int64" if dict_encode else "string"
     store = TripleStore(store_path, num_partitions=num_partitions, value_type=value_type)
     if not store.generations:
@@ -2699,7 +2700,6 @@ def remove_premises_store(
         max_overdelete,
         lineage_df=lineage_df,
     )
-    RETRACT_PHASES.clear()
     RETRACT_PHASES.update(
         {
             "lineage_read_sec": _t1 - _t0,

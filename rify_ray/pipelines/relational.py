@@ -580,6 +580,7 @@ def grouped_quantiles(
     out_names: List[str],
     heavy_key_bound: int = 50_000_000,
     sketch_k: int = 256,
+    total_rows: Optional[int] = None,
 ):
     """Exact per-group discrete quantiles — DuckDB ``quantile_disc``
     semantics (the element at ``max(0, ceil(q*n) - 1)`` of the sorted
@@ -605,18 +606,30 @@ def grouped_quantiles(
         [(key_col, pa.string())] + [(n, pa.int64()) for n in out_names]
     )
 
-    # key-cardinality pre-pass: one streaming scan of the key column
+    # key-cardinality pre-pass: one streaming scan of the key column.
+    # Skipped entirely when the caller proves the input can't contain a
+    # heavy key (``total_rows`` — cheap parquet metadata at the source;
+    # NOT computed here via ds.count(), which would re-execute upstream
+    # transforms).
     key_counts: dict = {}
-    for b in ds.select_columns([key_col]).map_batches(
-        lambda t: t.group_by(key_col).aggregate([([], "count_all")]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).iter_batches(batch_size=None, batch_format="pyarrow"):
-        if b.num_rows == 0 or b.num_columns == 0:
-            continue
-        for kk, cc in zip(b[key_col].to_pylist(), b["count_all"].to_pylist()):
-            key_counts[kk] = key_counts.get(kk, 0) + cc
-    heavy = {kk for kk, cc in key_counts.items() if cc > heavy_key_bound}
+    heavy: set = set()
+    if total_rows is None or total_rows > heavy_key_bound:
+        for b in ds.select_columns([key_col]).map_batches(
+            lambda t: t.group_by(key_col).aggregate([([], "count_all")]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_rows == 0 or b.num_columns == 0:
+                continue
+            for kk, cc in zip(b[key_col].to_pylist(), b["count_all"].to_pylist()):
+                key_counts[kk] = key_counts.get(kk, 0) + cc
+        # a null key always stays on the exact path (the string-cast
+        # is_in split below can't address it)
+        heavy = {
+            kk
+            for kk, cc in key_counts.items()
+            if cc > heavy_key_bound and kk is not None
+        }
 
     def kernel(group: pa.Table) -> pa.Table:
         vals = np.sort(
@@ -628,7 +641,9 @@ def grouped_quantiles(
         n = vals.size
         if n == 0:
             return out_schema.empty_table()
-        cols = {key_col: pa.array([group[key_col][0].as_py()], pa.string())}
+        cols = {
+            key_col: pc.cast(pa.array([group[key_col][0].as_py()]), pa.string())
+        }
         for q, name in zip(qs, out_names):
             idx = max(0, int(np.ceil(q * n)) - 1)
             cols[name] = pa.array([int(vals[idx])], pa.int64())
@@ -639,7 +654,11 @@ def grouped_quantiles(
 
     from ..stages.corpus import grouped_quantile_sketch
 
-    heavy_arr = pa.array(sorted(heavy), pa.string())
+    # the split filter compares STRING casts of the key column, so the
+    # heavy set must be its string casts too (a raw pa.array(...,
+    # pa.string()) raises ArrowTypeError for int/float key columns);
+    # arrow's own cast keeps the formatting identical on both sides
+    heavy_arr = pc.cast(pa.array(sorted(heavy, key=str)), pa.string())
 
     def split_fn(keep_heavy: bool):
         def fn(batch: pa.Table) -> pa.Table:
@@ -694,6 +713,9 @@ def events_value_quantiles(sf_dir: str, *, heavy_key_bound: int = 50_000_000):
         qs=[0.25, 0.5, 0.75, 0.9],
         out_names=["p25_cents", "p50_cents", "p75_cents", "p90_cents"],
         heavy_key_bound=heavy_key_bound,
+        # parquet metadata count on the RAW read — proves no key can be
+        # heavy without scanning, so the pre-pass is skipped entirely
+        total_rows=ds.count(),
     )
 
 

@@ -580,15 +580,20 @@ class TripleStore:
         physical rewrite later (the LSM compaction discipline).
 
         ``verified_df``: rows the caller PROVES are live facts (the
-        retraction engine's overdeletion heads — each is the head of a
-        live lineage row, and lineage stays tombstone-synced with the
-        fact store), so they skip the presence probe entirely; they are
-        still anti-joined against existing tombstone parts
-        (driver-resident) so a re-delete can never double-subtract
-        :meth:`count`.  ``probe_premise_only`` restricts the presence
-        scan for the remaining rows to the premise generations — with
-        both, a retraction never reads the derived closure to delete
-        from it.
+        retraction engine's overdeletion heads — each heads a live
+        lineage row, and lineage stays tombstone-synced with the fact
+        store: a fact fully hidden by earlier parts has only hidden
+        lineage rows, so the walk can never emit it), so they skip the
+        presence probe entirely.  They are deliberately NOT anti-joined
+        against existing tombstone parts: a fact tombstoned once and
+        later REDERIVED lives in a generation above the old part's
+        ``max_gen``, counts exactly once, and needs a NEW part row to
+        die again — dropping it here would leave a live derived fact
+        with no derivation.  :meth:`count` stays exact either way
+        (each part subtracts one visible occurrence).
+        ``probe_premise_only`` restricts the presence scan for the
+        remaining rows to the premise generations — with both, a
+        retraction never reads the derived closure to delete from it.
 
         Returns ``{"deleted": n, "gens_rewritten": []}`` (no generation
         is touched)."""
@@ -607,9 +612,6 @@ class TripleStore:
             ver = verified_df.select(
                 [pl.col(c).cast(cast_t) for c in QUAD_COLS]
             ).unique()
-            tomb = self._tombstone_frame(self.tombstones)
-            if tomb is not None:
-                ver = ver.join(tomb, on=QUAD_COLS, how="anti")
             fdf = fdf.join(ver, on=QUAD_COLS, how="anti")
         parts = []
         if fdf.height:

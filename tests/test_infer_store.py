@@ -1077,3 +1077,42 @@ def test_seeded_rederive_fused_single_pass(tmp_path):
         full.decoded_dataset().iter_batches(batch_size=None, batch_format="pyarrow")
     )).iter_rows()}
     assert got == want
+
+
+def test_tombstone_retract_rederived_fact_dies_on_second_retraction(tmp_path):
+    """delete → rederive → delete-again: a fact tombstoned once and
+    REDERIVED (re-added above the part's max_gen) must die when its
+    last support is retracted — the trusted-heads path must not treat
+    the old tombstone part as 'already deleted' (code-review finding,
+    round 5)."""
+    from rify_ray.model import B, Rule, U
+
+    DG = "default_graph"
+    rules = [
+        Rule.create([[U("x"), B("p1"), U("y"), B(DG)]],
+                    [[U("x"), B("d"), U("y"), B(DG)]]),
+        Rule.create([[U("x"), B("p2"), U("y"), B(DG)]],
+                    [[U("x"), B("d"), U("y"), B(DG)]]),
+    ]
+    prem = [("a", "p1", "b", DG), ("a", "p2", "b", DG)]
+    path = str(tmp_path / "kg")
+    engine.infer_store(_premises_table(prem), rules, path,
+                       num_partitions=2, with_lineage=True)
+
+    def decoded(store):
+        return {
+            (r["s"], r["p"], r["o"], r["g"])
+            for r in store.decoded_dataset().take_all()
+        }
+
+    s1 = engine.remove_premises_store(
+        _premises_table([prem[0]]), rules, path,
+        num_partitions=2, tombstone_rows=0,
+    )
+    assert ("a", "d", "b", DG) in decoded(s1)  # survives via p2
+    s2 = engine.remove_premises_store(
+        _premises_table([prem[1]]), rules, path,
+        num_partitions=2, tombstone_rows=0,
+    )
+    assert decoded(s2) == set()
+    assert s2.count() == 0

@@ -1164,6 +1164,34 @@ def test_grouped_quantiles_heavy_key_routes_through_sketch():
     assert {r["k"] for r in rows2} == {"hot", "cold"}
 
 
+def test_grouped_quantiles_heavy_int_key(ray_session=None):
+    """Int64 key columns must route through the heavy-key sketch split
+    without crashing (the string filter array is built from arrow
+    string CASTS of the keys, not raw python values — code-review
+    finding, round 5)."""
+    import ray.data
+
+    from rify_ray.pipelines.relational import grouped_quantiles
+
+    keys = np.concatenate([np.repeat(42, 3000), np.repeat(7, 100)])
+    vals = np.concatenate(
+        [np.arange(3000, dtype=np.int64), np.arange(100, dtype=np.int64)]
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    ).repartition(2)
+    rows = grouped_quantiles(
+        ds, key_col="k", value_col="v", qs=[0.5], out_names=["p50"],
+        heavy_key_bound=1000,
+    ).take_all()
+    got = {r["k"]: r["p50"] for r in rows}
+    assert set(got) == {"42", "7"}  # output key col is string-typed
+    assert got["7"] == 49  # light key stays exact (ceil(0.5*100)-1)
+    sub = np.arange(3000)
+    rank = np.searchsorted(sub, got["42"], side="right")
+    assert abs(rank / 3000 - 0.5) < 0.05
+
+
 def test_normalize_fn():
     from rify_ray.stages.text import normalize_fn
 
